@@ -1,0 +1,77 @@
+package graft.fetch
+
+import graft.canon.UrlCanon
+import graft.model.{FetchResult, FrontierEntry}
+import graft.synthweb.{SyntheticWeb, WebConfig}
+
+/** Fetch abstraction. The engine only ever talks to this trait; a real
+  * HTTP implementation (with the reference's transport settings — 30-60s
+  * timeouts, connection pooling, UA rotation per apna/main.go:33-49)
+  * slots in outside the sandbox. In-sandbox: [[SimulatedFetcher]] over
+  * the deterministic synthetic web.
+  *
+  * Instances are constructed once per partition inside `mapPartitions`
+  * (never serialized per-row), mirroring a per-executor HTTP client pool.
+  */
+trait Fetcher extends Serializable {
+  def fetch(entry: FrontierEntry): FetchResult
+}
+
+/** Deterministic fetcher over [[graft.synthweb.SyntheticWeb]].
+  *
+  * @param simulateLatency when true, sleeps the page's seeded latency —
+  *        used by the throughput bench so the fetch stage is I/O-bound
+  *        like a real crawl; tests leave it off.
+  *
+  * Retryable-5xx semantics: a 503 page succeeds once
+  * `attempt > retryableUntilAttempt` (reference retry policy: retry all
+  * errors except 404, olx_c226/main.go:188-193).
+  */
+final case class SimulatedFetcher(cfg: WebConfig, simulateLatency: Boolean = false)
+    extends Fetcher {
+
+  override def fetch(entry: FrontierEntry): FetchResult = {
+    val p = SyntheticWeb.page(cfg, entry.url)
+    if (simulateLatency && p.latencyMs > 0) Thread.sleep(p.latencyMs.toLong)
+    val status =
+      if (p.status == 503 && entry.attempt > p.retryableUntilAttempt) 200
+      else p.status
+    val body =
+      if (status == 200 && p.status == 503)
+        // the retried fetch now sees real content
+        SyntheticWeb.page(cfg.copy(pct503 = 0, pct404 = 0), entry.url).body
+      else p.body
+    FetchResult(
+      url = entry.url,
+      url_hash = entry.url_hash,
+      host = entry.host,
+      status = status,
+      body = body,
+      latency_ms = p.latencyMs,
+      attempt = entry.attempt,
+      priority = entry.priority,
+      discovery_time = entry.discovery_time
+    )
+  }
+}
+
+object Fetcher {
+  /** Build a canonical frontier entry from a raw URL. */
+  def entryOf(raw: String, priority: Int, discoveryTime: Long, attempt: Int,
+              round: Int, salts: Int): FrontierEntry = {
+    val canon = UrlCanon.canonicalize(raw)
+    val hash = UrlCanon.urlHash(canon)
+    val host = UrlCanon.hostOf(canon)
+    FrontierEntry(
+      url = canon,
+      url_hash = hash,
+      host = host,
+      host_hash = UrlCanon.hostHash(host),
+      salt = UrlCanon.saltOf(hash, salts),
+      priority = priority,
+      discovery_time = discoveryTime,
+      attempt = attempt,
+      round = round
+    )
+  }
+}

@@ -1,0 +1,168 @@
+package graft.oracle
+
+import scala.collection.mutable
+
+import graft.canon.UrlCanon
+import graft.fetch.{Fetcher, SimulatedFetcher}
+import graft.model._
+import graft.parse.HtmlSpans
+import graft.polite.Robots
+import graft.sched.{CrawlConfig, CrawlScheduler}
+import graft.synthweb.SyntheticWeb
+
+/** Single-threaded reference-semantics oracle (SURVEY.md §5.2.2).
+  *
+  * Implements the exact scheduling policy of [[CrawlScheduler]] — robots
+  * gate, per-host token bucket, (priority, discovery_time, url_hash)
+  * ordering, retry-unless-404, candidate dedup — in plain sequential
+  * Scala over the same pure fetcher/parser, reproducing the reference
+  * crawler's observable semantics (colly visited-set dedup, politeness
+  * budget, DFS-ish priority order) in canonical (round, host, seq) order.
+  *
+  * The distributed scheduler must match this oracle bit-for-bit on:
+  * fetch log, final seen set, and per-row span sequences (kind, text,
+  * media_ref, order) — asserted in CrawlSchedulerSpec.
+  */
+final class CrawlOracle(cfg: CrawlConfig) {
+
+  final case class Result(
+      fetchLog: Vector[FetchLogEntry],
+      docs: Map[String, Doc], // doc_id -> Doc
+      seen: Map[String, Int], // url_hash -> status
+      rounds: Int
+  )
+
+  def run(): Result = {
+    val fetcher = SimulatedFetcher(cfg.web, simulateLatency = false)
+    val entryOrd = CrawlScheduler.entryOrd
+
+    var frontier = Vector.newBuilder[FrontierEntry].result()
+    val robots = mutable.Map.empty[String, Seq[String]]
+    val tokens = mutable.Map.empty[String, Double]
+    val seen = mutable.Map.empty[String, Int]
+    val docs = mutable.Map.empty[String, Doc]
+    val log = Vector.newBuilder[FetchLogEntry]
+
+    // init (mirrors CrawlScheduler.init)
+    val seeds = cfg.web.seedUrls.zipWithIndex.map { case (u, i) =>
+      Fetcher.entryOf(u, SyntheticWeb.priorityOf(u), i.toLong, 0, 0, cfg.salts)
+    }
+    val robotsSeeds = seeds.map(_.host).distinct.zipWithIndex.map { case (h, i) =>
+      Fetcher.entryOf(s"https://$h/robots.txt", 0, i.toLong, 0, 0, cfg.salts)
+    }
+    frontier = (robotsSeeds ++ seeds).distinctBy(_.url_hash).toVector
+    frontier.map(_.host).distinct.foreach(h => tokens(h) = 0.0)
+
+    var r = 1
+    var done = false
+    while (!done && r <= cfg.maxRounds) {
+      // robots gate
+      val eligible = mutable.ArrayBuffer.empty[FrontierEntry]
+      val held = mutable.ArrayBuffer.empty[FrontierEntry]
+      frontier.foreach { e =>
+        val known = robots.contains(e.host)
+        val allowed = !known || Robots.allowed(e.url, robots(e.host))
+        if (known && !allowed && e.priority != 0) () // blocked: dropped
+        else if ((known && allowed) || e.priority == 0) eligible += e
+        else held += e
+      }
+
+      // budgets + per-host selection
+      val byHost = eligible.groupBy(_.host)
+      val selected = mutable.ArrayBuffer.empty[(FrontierEntry, Int)]
+      byHost.toSeq.sortBy(h => UrlCanon.hostHash(h._1)).foreach { case (h, es) =>
+        val avail = math.min(
+          capacityOf(h), tokens.getOrElse(h, 0.0) + refillOf(h))
+        val budget = math.floor(avail).toInt
+        es.sorted(entryOrd).take(budget).zipWithIndex.foreach { case (e, i) =>
+          selected += ((e, i))
+        }
+      }
+      val selectedHashes = selected.map(_._1.url_hash).toSet
+
+      // fetch + parse
+      val retries = mutable.ArrayBuffer.empty[FrontierEntry]
+      val pageLinks = mutable.ArrayBuffer.empty[Seq[String]] // per fetched page
+      val newRobots = mutable.Map.empty[String, Seq[String]]
+      selected.foreach { case (e, seq) =>
+        val fr = fetcher.fetch(e)
+        log += FetchLogEntry(r, fr.host, UrlCanon.hostHash(fr.host), seq,
+                             fr.url, fr.url_hash, fr.status)
+        val kind = SyntheticWeb.kindOf(fr.url)
+        if (fr.status == 200) {
+          if (kind == "robots")
+            newRobots(fr.host) = Robots.parse(fr.host, fr.body).disallow_prefixes
+          else {
+            val p = HtmlSpans.parse(fr.url, fr.body)
+            docs(fr.url_hash) = Doc(fr.url_hash, fr.url, fr.host, r, p.spans)
+            pageLinks += p.links
+          }
+          seen(fr.url_hash) = 200
+        } else if (fr.status == 404) {
+          if (kind == "robots") newRobots(fr.host) = Nil
+          seen(fr.url_hash) = 404
+        } else {
+          if (fr.attempt + 1 <= cfg.maxAttempts)
+            retries += e.copy(attempt = fr.attempt + 1, round = r)
+          else seen(fr.url_hash) = 599
+        }
+      }
+      newRobots.foreach { case (h, p) =>
+        if (!robots.contains(h)) robots(h) = p
+      }
+
+      // candidates — dt = r*1e6 + per-page link index, dedup keeps the
+      // entryOrd-min, exactly like the scheduler's flatMap+reduceGroups
+      val cands = mutable.Map.empty[String, FrontierEntry]
+      val candList = mutable.ArrayBuffer.empty[FrontierEntry]
+      pageLinks.foreach { ls =>
+        ls.zipWithIndex.foreach { case (u, i) =>
+          val canon = UrlCanon.canonicalize(u)
+          candList += Fetcher.entryOf(canon, SyntheticWeb.priorityOf(canon),
+                                      r.toLong * 1000000L + i, 0, r, cfg.salts)
+        }
+      }
+      candList.foreach { c =>
+        cands.get(c.url_hash) match {
+          case Some(prev) if entryOrd.lteq(prev, c) => ()
+          case _                                    => cands(c.url_hash) = c
+        }
+      }
+      val candSeenFree = cands.values.filterNot(c => seen.contains(c.url_hash)).toVector
+
+      // robots.txt entries for newly-discovered hosts
+      val newHosts = candSeenFree.map(_.host).distinct
+        .filterNot(robots.contains).sorted
+      val robotsCand = newHosts.zipWithIndex.map { case (h, i) =>
+        Fetcher.entryOf(s"https://$h/robots.txt", 0, r.toLong * 1000000L + i, 0,
+                        r, cfg.salts)
+      }.filterNot(c => seen.contains(c.url_hash))
+
+      // exclusions + new frontier
+      val remaining = held.toVector ++
+        eligible.filterNot(e => selectedHashes.contains(e.url_hash))
+      val remainingHashes = remaining.map(_.url_hash).toSet
+      val newCand = (candSeenFree ++ robotsCand)
+        .filterNot(c => remainingHashes.contains(c.url_hash))
+        .filterNot(c => selectedHashes.contains(c.url_hash))
+      frontier = remaining ++ retries ++ newCand
+
+      // token update (all known hosts refill; selected counts drain)
+      val selCount = selected.groupBy(_._1.host).view.mapValues(_.size).toMap
+      tokens.keys.toVector.foreach { h =>
+        tokens(h) = math.min(capacityOf(h), tokens(h) + refillOf(h)) -
+          selCount.getOrElse(h, 0).toDouble
+      }
+      frontier.map(_.host).distinct.foreach(h =>
+        if (!tokens.contains(h)) tokens(h) = 0.0)
+
+      done = frontier.isEmpty
+      r += 1
+    }
+
+    Result(log.result(), docs.toMap, seen.toMap, r - 1)
+  }
+
+  private def capacityOf(host: String): Double = cfg.hostCapacity
+  private def refillOf(host: String): Double = cfg.hostRefill
+}

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.oracle.CrawlOracle
+import graft.sched.{CrawlConfig, CrawlScheduler}
+import graft.store.Snapshots
+import graft.synthweb.WebConfig
+
+/** North-rule parity: the distributed scheduler must equal the
+  * sequential reference-semantics oracle on (a) the canonical fetch log,
+  * (b) the final URL-seen set, (c) per-row span sequences
+  * (kind, text, media_ref, order).
+  */
+class CrawlSchedulerSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def runBoth(cfg: CrawlConfig): (CrawlOracle#Result, Snapshots, Int) = {
+    val sched = new CrawlScheduler(spark, cfg)
+    val last = sched.run()
+    val oracle = new CrawlOracle(cfg).run()
+    (oracle, new Snapshots(cfg.outDir), last)
+  }
+
+  private def assertParity(cfg: CrawlConfig): Unit = {
+    val (oracle, snaps, last) = runBoth(cfg)
+    assert(snaps.readManifest(last).done, "crawl must drain the frontier")
+
+    // (a) fetch log equality in canonical (round, host_hash, seq) order
+    val gotLog = spark.read
+      .schema(implicitly[org.apache.spark.sql.Encoder[FetchLogEntry]].schema)
+      .parquet(snaps.fetchLogPaths(last): _*)
+      .as[FetchLogEntry]
+      .collect()
+      .sortBy(e => (e.round, e.host_hash, e.seq))
+      .toVector
+    val wantLog = oracle.fetchLog.sortBy(e => (e.round, e.host_hash, e.seq))
+    assert(gotLog.size == wantLog.size,
+           s"fetch count: got ${gotLog.size}, oracle ${wantLog.size}")
+    gotLog.zip(wantLog).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g == w, s"fetch log diverges at $i: got $g want $w")
+    }
+
+    // (b) final seen set equality (exact reconciliation)
+    val gotSeen = spark.read
+      .schema(implicitly[org.apache.spark.sql.Encoder[SeenEntry]].schema)
+      .parquet(snaps.seenPaths(snaps.readManifest(last)): _*)
+      .as[SeenEntry]
+      .collect()
+      .map(s => s.url_hash -> s.status)
+      .toMap
+    assert(gotSeen == oracle.seen, "seen set mismatch")
+
+    // (c) per-row span-sequence equality
+    val gotDocs = spark.read
+      .schema(implicitly[org.apache.spark.sql.Encoder[Doc]].schema)
+      .parquet(snaps.docsPaths(last): _*)
+      .as[Doc]
+      .collect()
+      .map(d => d.doc_id -> d)
+      .toMap
+    assert(gotDocs.keySet == oracle.docs.keySet, "doc id set mismatch")
+    gotDocs.foreach { case (id, d) =>
+      val w = oracle.docs(id)
+      assert(d.spans.map(s => (s.kind, s.text, s.media_ref, s.offset)) ==
+               w.spans.map(s => (s.kind, s.text, s.media_ref, s.offset)),
+             s"span sequence mismatch for ${d.url}")
+    }
+
+    // docs never duplicate: one doc per seen-200 non-robots URL
+    assert(gotDocs.size == oracle.docs.size)
+  }
+
+  test("scheduler matches oracle on a 5-host web (robots, 404s, retries)") {
+    val cfg = CrawlConfig(
+      web = WebConfig(seed = 42, nHosts = 5, listPagesPerHost = 3,
+                      detailsPerList = 6, crossHostLinkPct = 15),
+      outDir = tmpDir("crawl5-"),
+      maxRounds = 40, hostCapacity = 6.0, hostRefill = 6.0)
+    assertParity(cfg)
+  }
+
+  test("scheduler matches oracle under 90% hot-host skew") {
+    val cfg = CrawlConfig(
+      web = WebConfig(seed = 7, nHosts = 4, listPagesPerHost = 2,
+                      detailsPerList = 5, hotHostFactor = 12,
+                      crossHostLinkPct = 10),
+      outDir = tmpDir("crawlskew-"),
+      maxRounds = 80, hostCapacity = 10.0, hostRefill = 10.0, salts = 4)
+    assertParity(cfg)
+  }
+
+  test("resume from checkpoint is bit-identical to uninterrupted run") {
+    val web = WebConfig(seed = 11, nHosts = 3, listPagesPerHost = 3,
+                        detailsPerList = 5)
+    val cfgA = CrawlConfig(web = web, outDir = tmpDir("crawlA-"),
+                           maxRounds = 40, hostCapacity = 5.0, hostRefill = 5.0)
+    val cfgB = cfgA.copy(outDir = tmpDir("crawlB-"))
+
+    val schedA = new CrawlScheduler(spark, cfgA)
+    val lastA = schedA.run()
+
+    // interrupted run: stop after round 2, then resume via run()
+    val schedB = new CrawlScheduler(spark, cfgB)
+    schedB.init()
+    schedB.runRound(1)
+    schedB.runRound(2)
+    val schedB2 = new CrawlScheduler(spark, cfgB) // fresh instance = new process
+    val lastB = schedB2.run()
+
+    assert(lastA == lastB)
+    val sa = new Snapshots(cfgA.outDir)
+    val sb = new Snapshots(cfgB.outDir)
+    def logOf(s: Snapshots, last: Int) = spark.read
+      .schema(implicitly[org.apache.spark.sql.Encoder[FetchLogEntry]].schema)
+      .parquet(s.fetchLogPaths(last): _*)
+      .as[FetchLogEntry].collect().sortBy(e => (e.round, e.host_hash, e.seq)).toVector
+    assert(logOf(sa, lastA) == logOf(sb, lastB))
+    def seenOf(s: Snapshots, last: Int) = spark.read
+      .schema(implicitly[org.apache.spark.sql.Encoder[SeenEntry]].schema)
+      .parquet(s.seenPaths(s.readManifest(last)): _*)
+      .as[SeenEntry].collect().map(e => e.url_hash -> e.status).toMap
+    assert(seenOf(sa, lastA) == seenOf(sb, lastB))
+  }
+
+  test("politeness budget is never exceeded per host per round") {
+    val cfg = CrawlConfig(
+      web = WebConfig(seed = 3, nHosts = 3, listPagesPerHost = 2, detailsPerList = 8),
+      outDir = tmpDir("crawlpol-"), maxRounds = 60,
+      hostCapacity = 4.0, hostRefill = 4.0)
+    val sched = new CrawlScheduler(spark, cfg)
+    val last = sched.run()
+    val snaps = new Snapshots(cfg.outDir)
+    val perHostRound = spark.read
+      .schema(implicitly[org.apache.spark.sql.Encoder[FetchLogEntry]].schema)
+      .parquet(snaps.fetchLogPaths(last): _*)
+      .groupBy(col("round"), col("host")).count()
+      .agg(max(col("count"))).as[Long].head()
+    assert(perHostRound <= 4L, s"budget exceeded: $perHostRound")
+  }
+}
