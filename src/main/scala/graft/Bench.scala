@@ -1,24 +1,118 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.sched.{CrawlConfig, CrawlScheduler}
+import graft.store.Snapshots
+import graft.synthweb.WebConfig
+
+/** Round benchmark (driver-run). Two parts:
+  *
+  * 1. Headline analytics queries over SPARK_GRAFT_SF_DIR, timed
+  *    individually (count() forces the full plan).
+  * 2. The north-rule crawl-throughput scaling run: the SAME crawl
+  *    workload executed at local[8] and local[32] on the same synthetic
+  *    web (the sandbox stand-in for N vs 4N executors — per driver
+  *    instruction). Reports pages/sec at both levels and the scaling
+  *    efficiency (pps32/pps8)/4.
+  *
+  * The fetch stage simulates I/O-bound latency (95-155 ms seeded per
+  * page), so throughput is bounded by fetch concurrency = cores — the
+  * same regime as a real fetch cluster. Politeness budgets are set high
+  * so the bench measures throughput, not the rate limiter (the
+  * correctness suite pins the rate-limiter behavior).
+  */
 object Bench {
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Crawl workload for the scaling run: ~16k pages in 4-5 fat rounds
+    * (all listing pages seeded -> BFS depth 2, the regime a large
+    * cluster's round scheduler operates in; huge budgets keep the bench
+    * throughput-bound, not rate-limiter-bound).
+    */
+  private def crawlCfg(out: String): CrawlConfig = CrawlConfig(
+    web = WebConfig(seed = 202, nHosts = 16, listPagesPerHost = 40,
+                    detailsPerList = 25, hotHostFactor = 2, pct404 = 3,
+                    pct503 = 2, crossHostLinkPct = 5,
+                    latencyBaseMs = 95, latencyJitterMs = 61,
+                    seedAllListPages = true),
+    outDir = out, maxRounds = 12, maxAttempts = 3, salts = 8,
+    hostCapacity = 100000, hostRefill = 100000,
+    bloomBits = 1 << 22, simulateLatency = true)
+
+  /** Tiny crawl to JIT/warm codegen + parquet paths before timing. */
+  private def warmupCfg(out: String): CrawlConfig = CrawlConfig(
+    web = WebConfig(seed = 9, nHosts = 2, listPagesPerHost = 1,
+                    detailsPerList = 3),
+    outDir = out, maxRounds = 8, hostCapacity = 64, hostRefill = 64)
+
+  private def crawlRun(cores: Int): (Long, Double) = {
+    val s = session(cores)
+    try {
+      new CrawlScheduler(s, warmupCfg(
+        java.nio.file.Files.createTempDirectory(s"bench-warm-$cores-").toString)).run()
+      val out = java.nio.file.Files.createTempDirectory(s"bench-crawl-$cores-").toString
+      val cfg = crawlCfg(out)
+      val t0 = System.nanoTime()
+      val last = new CrawlScheduler(s, cfg).run()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val snaps = new Snapshots(out)
+      val pages = s.read.parquet(snaps.fetchLogPaths(last): _*).count()
+      (pages, sec)
+    } finally s.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+    // part 1: headline queries
+    val s = session(cpus)
+    val headline = Seq("q01_agg_pricing", "q05_join_region", "q10_window_ffill",
+                       "q13_topk", "q16_trimhtml", "q23_content_key",
+                       "q25_exact_dedup", "q26_ngram_jaccard", "q27_minhash_lsh",
+                       "q28_simhash", "q30_quality", "q33_cosine_topk",
+                       "q35_ann_lsh")
+    // warm once (JIT + codegen + file listing), then measure
+    headline.foreach { n =>
+      try SparkEntry.queries(n)(s, sfDir).count()
+      catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qTimes = headline.map { n =>
+      val t0 = System.nanoTime()
+      val ok = try { SparkEntry.queries(n)(s, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      n -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    s.stop()
+
+    // part 2: crawl scaling run (N vs 4N cores on identical input)
+    val (pages8, sec8) = crawlRun(8)
+    val (pages32, sec32) = crawlRun(32)
+    val pps8 = pages8 / sec8
+    val pps32 = pages32 / sec32
+    val eff = (pps32 / pps8) / 4.0
+
+    val qs = qTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val total = qTimes.filter(_._2 >= 0).map(_._2).sum
+    println(
+      s"""{"metric":"crawl_pages_per_sec_32c","value":${f"$pps32%.1f"},"unit":"pages/sec",""" +
+        s""""queries":$qs,"sf":"$sfDir","queries_total_sec":${f"$total%.3f"},""" +
+        s""""crawl":{"pages":$pages32,"sec_8":${f"$sec8%.2f"},"sec_32":${f"$sec32%.2f"},""" +
+        s""""pps_8":${f"$pps8%.1f"},"pps_32":${f"$pps32%.1f"},""" +
+        s""""scaling_efficiency":${f"$eff%.3f"}}}""")
   }
 }

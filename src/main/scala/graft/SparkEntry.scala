@@ -1,13 +1,564 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Extract, Multimodal, Similarity, TextOps}
+import graft.parse.TrimHtml
+import graft.sched.{CrawlConfig, CrawlScheduler}
+import graft.store.Snapshots
+import graft.synthweb.WebConfig
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 plus the training-data operators; `oracleSql` carries
+  * the DuckDB-equivalent SQL for every SQL-expressible query (column
+  * names are aligned on both sides; aggregates are rounded/cast so the
+  * hash compare is type- and ulp-stable).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** One small deterministic crawl per JVM, shared by the crawl-derived
+    * queries and `entry` (outDir cached).
+    */
+  private object CrawlOnce {
+    private val cache = scala.collection.concurrent.TrieMap[String, String]()
+    val cfg: String => CrawlConfig = out =>
+      CrawlConfig(
+        web = WebConfig(seed = 1234, nHosts = 4, listPagesPerHost = 3,
+                        detailsPerList = 6, hotHostFactor = 2,
+                        crossHostLinkPct = 15),
+        outDir = out, maxRounds = 48, hostCapacity = 8, hostRefill = 8,
+        salts = 4)
+    def dir(s: SparkSession): String = cache.getOrElseUpdate("crawl", {
+      val out = java.nio.file.Files.createTempDirectory("graft-crawl-").toString
+      new CrawlScheduler(s, cfg(out)).run()
+      out
+    })
+    def lastRound(s: SparkSession): Int =
+      new Snapshots(dir(s)).latestRound.getOrElse(0)
+  }
+
+  /** Flagship: full crawl of the synthetic web → interleaved-span docs. */
+  def entry(spark: SparkSession): DataFrame = {
+    val snaps = new Snapshots(CrawlOnce.dir(spark))
+    spark.read.parquet(snaps.docsPaths(CrawlOnce.lastRound(spark)): _*)
+      .select(col("doc_id"), col("url"), col("host"), col("round"),
+              size(col("spans")).as("n_spans"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------
+  // planted-duplicate corpora (identical construction in the SQL oracle)
+  // ------------------------------------------------------------------
+  private def dedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents")
+    d.filter(col("doc_id") < 60).select(col("doc_id").as("id"), col("text"))
+      .union(d.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 10000).as("id"), col("text")))
+      .union(d.filter(col("doc_id") >= 30 && col("doc_id") < 60)
+        .select((col("doc_id") + 20000).as("id"),
+                concat(col("text"), lit(" zz qq")).as("text")))
+  }
+  private val dedupCorpusSql =
+    """SELECT doc_id AS id, text FROM documents WHERE doc_id < 60
+      | UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 30
+      | UNION ALL SELECT doc_id + 20000, text || ' zz qq'
+      |   FROM documents WHERE doc_id >= 30 AND doc_id < 60""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------- aggregations (A1-A3) ----------------
+    "q01_agg_pricing" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+             round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+               .as("revenue"),
+             round(avg(col("l_discount")), 4).as("avg_disc"),
+             count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q02_events_by_type" -> ((s, dir) => {
+      T(s, dir, "events").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy("event_type")
+    }),
+    "q03_orders_minmax" -> ((s, dir) => {
+      T(s, dir, "orders").groupBy(col("o_orderpriority"))
+        .agg(round(max(col("o_totalprice")), 2).as("max_price"),
+             round(min(col("o_totalprice")), 2).as("min_price"),
+             count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+    // ---------------- distinct / seen-set analogue (A4) ----------------
+    "q04_distinct_users" -> ((s, dir) =>
+      T(s, dir, "events").select(col("user_id")).distinct().orderBy("user_id")),
+    // ---------------- joins (J1-J5) ----------------
+    "q05_join_region" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val n = T(s, dir, "nation")
+      val r = T(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"),
+             round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .orderBy("r_name")
+    }),
+    "q06_join_left_enrich" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val c = T(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "left")
+        .groupBy(coalesce(col("c_mktsegment"), lit("none")).as("segment"))
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("segment")
+    }),
+    "q07_anti_join" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders")
+      c.join(o.filter(col("o_totalprice") > 300000),
+             c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey")).orderBy("c_custkey")
+    }),
+    "q08_semi_join" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+        .orderBy("c_nationkey")
+    }),
+    // ---------------- set ops ----------------
+    "q09_union_except" -> ((s, dir) => {
+      val e = T(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click" && col("value") > 150)
+        .select(col("user_id"))
+      val views = e.filter(col("event_type") === "view" && col("value") > 150)
+        .select(col("user_id"))
+      val errs = e.filter(col("event_type") === "error" && col("value") > 200)
+        .select(col("user_id"))
+      clicks.union(views).distinct().except(errs).orderBy("user_id")
+    }),
+    // ---------------- windows (W1-W2, T-family) ----------------
+    "q10_window_ffill" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "events")
+        .withColumn("purchase_val",
+                    when(col("event_type") === "purchase", col("value")))
+        .withColumn("ffill", round(Extract.forward_fill(col("purchase_val"), w), 2))
+        .select(col("event_id"), col("user_id"), col("ffill"))
+        .orderBy("event_id")
+    }),
+    "q11_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"),
+                round(col("o_totalprice"), 2).as("price"))
+        .orderBy("o_orderpriority", "rnk")
+    }),
+    "q12_posexplode" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+        .filter(col("pos") < 5)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+        .orderBy("doc_id", "pos")
+    }),
+    "q13_topk" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+    }),
+    // ---------------- scalar functions (F-family, P-family) ----------------
+    "q14_json_get" -> ((s, dir) => {
+      T(s, dir, "events")
+        .select(col("event_id"),
+                Extract.json_get(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")
+    }),
+    "q15_regex_extract" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+                regexp_extract(col("source"), "src(\\d+)", 1).cast("long").as("src_num"))
+        .orderBy("doc_id")
+    }),
+    "q16_trimhtml" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .withColumn("html",
+          concat(lit("<div class=\"x\">"), col("text"),
+                 lit("</div><script>var x=1;</script><style>p{}</style><p>tail</p>")))
+        .select(col("doc_id"), TrimHtml.trimHtmlLowerChain(col("html")).as("clean"))
+        .orderBy("doc_id")
+    }),
+    "q17_unixtime" -> ((s, dir) => {
+      T(s, dir, "events")
+        .select(col("event_id"),
+                unix_millis(col("ts").cast("timestamp")).as("ms"),
+                date_format(Extract.unix_ms_to_ts(unix_millis(col("ts").cast("timestamp"))),
+                            "yyyy-MM-dd HH:mm:ss").as("ts_rt"))
+        .orderBy("event_id")
+    }),
+    "q18_slug_url" -> ((s, dir) => {
+      T(s, dir, "part")
+        .select(col("p_partkey"),
+                Extract.slug_url("https://shop.test/item/", col("p_name"),
+                                 col("p_partkey")).as("url"))
+        .withColumn("id_back", regexp_extract(col("url"), "(\\d+)$", 1).cast("long"))
+        .orderBy("p_partkey")
+    }),
+    "q19_split_trim" -> ((s, dir) => {
+      T(s, dir, "part")
+        .select(col("p_partkey"),
+                trim(element_at(split(col("p_type"), " "), 1)).as("type_head"),
+                trim(element_at(split(col("p_name"), " "), -1)).as("name_tail"))
+        .orderBy("p_partkey")
+    }),
+    "q20_format_string" -> ((s, dir) => {
+      T(s, dir, "part")
+        .select(col("p_partkey"),
+                format_string("%s-%03d", col("p_brand"), col("p_size")).as("sku"))
+        .orderBy("p_partkey")
+    }),
+    "q21_case_route" -> ((s, dir) => {
+      // ST3/P13 status-routing analogue: three-way predicate dispatch
+      T(s, dir, "events")
+        .select(col("event_id"),
+                when(col("value") < 20, "low")
+                  .when(col("value") < 60, "mid")
+                  .otherwise("high").as("bucket"),
+                floor(col("value") * 10).cast("long").as("pct"))
+        .orderBy("event_id")
+    }),
+    "q22_dateformat" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyyMMdd").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("day")
+    }),
+    "q23_content_key" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextOps.content_key(col("text")).as("content_key"))
+        .orderBy("doc_id")
+    }),
+    // ---------------- text analysis ----------------
+    "q29_token_count" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+                TextOps.token_count(col("text")).cast("long").as("n_tokens"),
+                length(col("text")).cast("long").as("n_chars_computed"))
+        .orderBy("doc_id")
+    }),
+    "q30_quality" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+                TextOps.stopword_ratio(col("text")).as("stop_ratio"),
+                TextOps.mean_word_len(col("text")).as("mean_wlen"))
+        .orderBy("doc_id")
+    }),
+    "q31_langid" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextOps.lang_id(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+    "q32_fingerprint" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint64(col("text")).as("fp64"),
+                TextOps.quality_score(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+    // ---------------- dedup family ----------------
+    "q25_exact_dedup" -> ((s, dir) => {
+      Dedup.exactClusters(dedupCorpus(s, dir), "id", "text")
+        .filter(col("n_dups") > 1)
+        .select(col("canonical_id"), col("n_dups"))
+        .orderBy("canonical_id")
+    }),
+    "q26_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(dedupCorpus(s, dir), "id", "text", 3, 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+    "q27_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashNearDups(dedupCorpus(s, dir), "id", "text",
+                            shingleN = 3, numHashes = 32, rowsPerBand = 4,
+                            threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+    "q28_simhash" -> ((s, dir) => {
+      Dedup.simhashNearDups(dedupCorpus(s, dir), "id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+    // ---------------- similarity search ----------------
+    "q33_cosine_topk" -> ((s, dir) => {
+      // declarative brute-force: round sims, rank by (sim desc, id)
+      val e = T(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      val dot = aggregate(zip_with(col("qv"), col("nv"),
+                                   (x, y) => x.cast("double") * y.cast("double")),
+                          lit(0.0), (acc, z) => acc + z)
+      def norm(v: org.apache.spark.sql.Column) =
+        sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
+                       lit(0.0), (acc, z) => acc + z))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      c.crossJoin(broadcast(q))
+        .withColumn("sim", round(dot / (norm(col("qv")) * norm(col("nv"))), 4))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim"))
+        .orderBy("query_id", "rnk")
+    }),
+    "q34_ann_brute_typed" -> ((s, dir) => {
+      // typed scalable path (bounded per-partition heaps + merge)
+      Similarity.bruteForceTopK(s, T(s, dir, "embeddings"), "vec_id",
+                                "embedding", (0L until 10L).toSeq, 5)
+        .toDF()
+        .withColumn("sim", round(col("sim"), 4))
+        .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+    }),
+    "q35_ann_lsh" -> ((s, dir) => {
+      Similarity.lshTopK(s, T(s, dir, "embeddings"), "vec_id", "embedding",
+                         (0L until 10L).toSeq, 5, tables = 8, bits = 10)
+        .toDF()
+        .withColumn("sim", round(col("sim"), 4))
+        .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+    }),
+    "q36_embedding_neardup" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      // plant exact-duplicate vectors (vec_id+10000) for ids < 20
+      val planted = e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+      Similarity.cosineNearDups(s, e.union(planted), "vec_id", "embedding",
+                                threshold = 0.999)
+        .orderBy("id_a", "id_b")
+    }),
+    // ---------------- multimodal (stubbed decode, real plumbing) -------
+    "q37_image_meta" -> ((s, dir) => {
+      val media = Multimodal.syntheticMediaTable(s, T(s, dir, "documents"), "doc_id")
+      Multimodal.imageMeta(s, media).orderBy("media_ref")
+    }),
+    "q38_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.syntheticMediaTable(s, T(s, dir, "documents"), "doc_id")
+      Multimodal.sampleFrames(s, media, everyN = 7).orderBy("media_ref", "frame_idx")
+    }),
+    // ---------------- crawl-derived (north-rule pipeline) --------------
+    "q50_crawl_docs" -> ((s, _) => {
+      entry(s)
+    }),
+    "q51_crawl_fetch_log" -> ((s, _) => {
+      val snaps = new Snapshots(CrawlOnce.dir(s))
+      s.read.parquet(snaps.fetchLogPaths(CrawlOnce.lastRound(s)): _*)
+        .orderBy("round", "host_hash", "seq")
+    }),
+    "q52_crawl_spans" -> ((s, _) => {
+      val snaps = new Snapshots(CrawlOnce.dir(s))
+      s.read.parquet(snaps.docsPaths(CrawlOnce.lastRound(s)): _*)
+        .select(col("doc_id"), explode(col("spans")).as("s"))
+        .select(col("doc_id"), col("s.offset").as("offset"), col("s.kind").as("kind"),
+                col("s.text").as("text"), col("s.media_ref").as("media_ref"))
+        .orderBy("doc_id", "offset")
+    }),
+    "q53_crawl_metrics" -> ((s, _) => {
+      // per-(round, host-bucket) lineage metrics, derived from fetch_log
+      val snaps = new Snapshots(CrawlOnce.dir(s))
+      s.read.parquet(snaps.fetchLogPaths(CrawlOnce.lastRound(s)): _*)
+        .groupBy(col("round"), pmod(col("host_hash"), lit(32)).as("bucket"))
+        .agg(count(lit(1)).as("fetched"),
+             sum(when(col("status") === 200, 1L).otherwise(0L)).as("fetched_ok"),
+             sum(when(col("status") === 404, 1L).otherwise(0L)).as("fetched_404"),
+             sum(when(col("status") =!= 200 && col("status") =!= 404, 1L)
+               .otherwise(0L)).as("fetched_retryable"))
+        .orderBy("round", "bucket")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q02_events_by_type" ->
+      """SELECT event_type, count(*) AS n, round(sum(value),2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q03_orders_minmax" ->
+      """SELECT o_orderpriority, round(max(o_totalprice),2) AS max_price,
+        | round(min(o_totalprice),2) AS min_price, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q04_distinct_users" ->
+      "SELECT DISTINCT user_id FROM events ORDER BY user_id",
+    "q05_join_region" ->
+      """SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal),2) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey=n_nationkey
+        |JOIN region ON n_regionkey=r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q06_join_left_enrich" ->
+      """SELECT coalesce(c_mktsegment,'none') AS segment, count(*) AS n_orders,
+        | round(sum(o_totalprice),2) AS total
+        |FROM orders LEFT JOIN customer ON o_custkey=c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q07_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey=c_custkey AND o_totalprice>300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q08_semi_join" ->
+      """SELECT c_nationkey, count(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q09_union_except" ->
+      """SELECT user_id FROM (
+        | SELECT user_id FROM events WHERE event_type='click' AND value>150
+        | UNION SELECT user_id FROM events WHERE event_type='view' AND value>150)
+        |EXCEPT SELECT user_id FROM events WHERE event_type='error' AND value>200
+        |ORDER BY user_id""".stripMargin,
+    "q10_window_ffill" ->
+      """SELECT event_id, user_id,
+        | round(last_value(CASE WHEN event_type='purchase' THEN value END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS ffill
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q11_window_rank" ->
+      """SELECT o_orderpriority, rnk, o_orderkey, price FROM (
+        | SELECT o_orderpriority, o_orderkey, round(o_totalprice,2) AS price,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |                     ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        | FROM orders) WHERE rnk<=3 ORDER BY o_orderpriority, rnk""".stripMargin,
+    "q12_posexplode" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents)
+        |SELECT doc_id, CAST(i-1 AS BIGINT) AS pos, ws[i] AS token
+        |FROM w, LATERAL (SELECT unnest(generate_series(1, least(len(ws),5))) AS i) g
+        |ORDER BY doc_id, pos""".stripMargin,
+    "q13_topk" ->
+      """SELECT o_orderkey, round(o_totalprice,2) AS price FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q14_json_get" ->
+      """SELECT event_id, CAST(json_extract(props,'$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q15_regex_extract" ->
+      """SELECT doc_id, CAST(regexp_extract(source,'src(\d+)',1) AS BIGINT) AS src_num
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q16_trimhtml" ->
+      """SELECT doc_id,
+        | trim(regexp_replace(
+        |   regexp_replace(
+        |     regexp_replace(
+        |       regexp_replace('<div class="x">' || text ||
+        |         '</div><script>var x=1;</script><style>p{}</style><p>tail</p>',
+        |         '<style[\S\s]+?</style>','','g'),
+        |     '<script[\S\s]+?</script>','','g'),
+        |   '<[\S\s]+?>', chr(10),'g'),
+        | '\s{2,}', chr(10),'g')) AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q17_unixtime" ->
+      """SELECT event_id, epoch_ms(ts) AS ms,
+        | strftime(to_timestamp(epoch_ms(ts)//1000),'%Y-%m-%d %H:%M:%S') AS ts_rt
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q18_slug_url" ->
+      """SELECT p_partkey,
+        | 'https://shop.test/item/' || replace(lower(p_name),' ','-')
+        |   || '-iid-' || p_partkey AS url,
+        | CAST(regexp_extract('https://shop.test/item/' ||
+        |   replace(lower(p_name),' ','-') || '-iid-' || p_partkey,
+        |   '(\d+)$',1) AS BIGINT) AS id_back
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q19_split_trim" ->
+      """SELECT p_partkey, trim(split_part(p_type,' ',1)) AS type_head,
+        | trim(list_extract(string_split(p_name,' '),
+        |                   len(string_split(p_name,' ')))) AS name_tail
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q20_format_string" ->
+      """SELECT p_partkey, printf('%s-%03d', p_brand, p_size) AS sku
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q21_case_route" ->
+      """SELECT event_id,
+        | CASE WHEN value<20 THEN 'low' WHEN value<60 THEN 'mid'
+        |      ELSE 'high' END AS bucket,
+        | CAST(floor(value*10) AS BIGINT) AS pct
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q22_dateformat" ->
+      """SELECT strftime(o_orderdate,'%Y%m%d') AS day, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q23_content_key" ->
+      """SELECT doc_id,
+        | sha256(regexp_replace(lower(trim(text)),'\s+',' ','g')) AS content_key
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q29_token_count" ->
+      """SELECT doc_id,
+        | CAST(CASE WHEN length(trim(text))=0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text),'\s+')) END AS BIGINT)
+        |   AS n_tokens,
+        | CAST(length(text) AS BIGINT) AS n_chars_computed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q30_quality" ->
+      s"""WITH w AS (
+         | SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+         |              x -> x <> '') AS ws
+         | FROM documents)
+         |SELECT doc_id,
+         | round(len(list_filter(ws, x -> x IN
+         |   ('the','a','an','of','and','or','to','in','is','it')))::DOUBLE
+         |   / greatest(len(ws),1), 4) AS stop_ratio,
+         | round(list_sum(list_transform(ws, x -> length(x)))::DOUBLE
+         |   / greatest(len(ws),1), 4) AS mean_wlen
+         |FROM w ORDER BY doc_id""".stripMargin,
+    "q25_exact_dedup" ->
+      s"""WITH corpus AS ($dedupCorpusSql),
+         |keyed AS (SELECT id,
+         |  sha256(regexp_replace(lower(trim(text)),'\\s+',' ','g')) AS ck
+         |  FROM corpus)
+         |SELECT min(id) AS canonical_id, count(*) AS n_dups
+         |FROM keyed GROUP BY ck HAVING count(*)>1
+         |ORDER BY canonical_id""".stripMargin,
+    "q26_ngram_jaccard" ->
+      s"""WITH corpus AS ($dedupCorpusSql),
+         |words AS (SELECT id,
+         |  list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+         |              x -> x <> '') AS ws FROM corpus),
+         |grams AS (
+         |  SELECT DISTINCT id, array_to_string(ws[i:i+2],' ') AS gram
+         |  FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) g
+         |  WHERE len(ws) >= 3),
+         |sizes AS (SELECT id, count(*) AS n_grams FROM grams GROUP BY 1),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+         |  FROM grams a JOIN grams b USING (gram) WHERE a.id < b.id
+         |  GROUP BY 1,2)
+         |SELECT id_a, id_b,
+         |  round(i::DOUBLE/(sa.n_grams+sb.n_grams-i),4) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.id=id_a JOIN sizes sb ON sb.id=id_b
+         |WHERE i::DOUBLE/(sa.n_grams+sb.n_grams-i) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q33_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |  CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id<10),
+        |c AS (SELECT vec_id AS neighbor_id,
+        |  CAST(embedding AS DOUBLE[]) AS nv FROM embeddings WHERE vec_id>=10),
+        |sims AS (
+        |  SELECT query_id, neighbor_id,
+        |   round(list_dot_product(qv,nv)
+        |     / (sqrt(list_dot_product(qv,qv))*sqrt(list_dot_product(nv,nv))),4)
+        |     AS sim
+        |  FROM c CROSS JOIN q),
+        |ranked AS (SELECT query_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id
+        |                     ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM sims)
+        |SELECT query_id, rnk, neighbor_id, sim FROM ranked WHERE rnk<=5
+        |ORDER BY query_id, rnk""".stripMargin
+  )
 }

@@ -24,7 +24,8 @@ trait Fetcher extends Serializable {
   *        like a real crawl; tests leave it off.
   *
   * Retryable-5xx semantics: a 503 page succeeds once
-  * `attempt > retryableUntilAttempt` (reference retry policy: retry all
+  * `attempt > retryableUntilAttempt` — i.e. on the first retry with the
+  * synthetic web's default of 0 (reference retry policy: retry all
   * errors except 404, olx_c226/main.go:188-193).
   */
 final case class SimulatedFetcher(cfg: WebConfig, simulateLatency: Boolean = false)

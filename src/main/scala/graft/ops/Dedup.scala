@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.synthweb.SyntheticWeb.mix64
+
+/** Deduplication operators for web-scale corpora: exact, MinHash+LSH,
+  * SimHash and exact n-gram Jaccard. All are expressed as declarative
+  * DataFrame plans so Catalyst handles pushdown/pruning; the only
+  * shuffles are the ones the algorithms fundamentally need (group by
+  * content key / band bucket / gram).
+  *
+  * Scale notes:
+  *   - exact dedup shuffles once on a 32-byte content key (map-side
+  *     partial aggregation applies);
+  *   - MinHash/SimHash signatures are computed row-local (no shuffle),
+  *     and candidate generation shuffles only (band, bucket) pairs —
+  *     the classic LSH trade: O(rows × bands) small rows instead of
+  *     O(rows²) comparisons;
+  *   - pair verification joins only within buckets; a final exact
+  *     Jaccard check removes LSH false positives.
+  */
+object Dedup {
+
+  /** Exact duplicate clusters by normalized content key.
+    * Returns (content_key, n_dups, canonical_id = min id).
+    */
+  def exactClusters(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), TextOps.content_key(col(textCol)).as("content_key"))
+      .groupBy("content_key")
+      .agg(count(lit(1)).as("n_dups"), min(col("id")).as("canonical_id"))
+
+  /** Rows surviving exact dedup (keep the min-id row per content key) —
+    * the standard "keep one representative" pass.
+    */
+  def dropExactDups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = df.withColumn("content_key", TextOps.content_key(col(textCol)))
+    val keep = keyed.groupBy(col("content_key"))
+      .agg(min(col(idCol)).as(idCol + "_keep"))
+    keyed.join(keep,
+               keyed("content_key") === keep("content_key") &&
+                 col(idCol) === col(idCol + "_keep"))
+      .select(df.columns.map(keyed(_)): _*)
+  }
+
+  /** Word n-gram (shingle) array, distinct, from a text column.
+    * Texts with fewer than n words yield an empty array (matches the
+    * SQL-oracle formulation exactly).
+    */
+  def shingles(c: Column, n: Int): Column = {
+    val ws = TextOps.words(c)
+    when(size(ws) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), size(ws) - n),
+                  i => array_join(slice(ws, i + 1, lit(n)), " "))))
+  }
+
+  /** MinHash signature of a shingle array: numHashes independent
+    * hash functions via seeded splitmix over xxhash64 of the shingle.
+    * Row-local (no shuffle); NULL-free arrays assumed.
+    */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column = {
+    val sigs = (0 until numHashes).map { i =>
+      aggregate(
+        transform(shingleArr, s => SeededHash.hash_col(s, i)),
+        lit(Long.MaxValue),
+        (acc, h) => least(acc, h))
+    }
+    array(sigs: _*)
+  }
+
+  /** MinHash+LSH near-duplicate candidate pairs with exact-Jaccard
+    * verification. Bands of `rowsPerBand` signature slots are hashed to
+    * buckets; pairs sharing any bucket are verified with exact Jaccard
+    * over shingle sets and kept when >= threshold.
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, numHashes: Int = 32,
+                      rowsPerBand: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val bands = numHashes / rowsPerBand
+    val base = df.select(col(idCol).cast("long").as("id"),
+                         shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+
+    val banded = base.select(
+      col("id"), col("sh"),
+      posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+                  b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
+        .as(Seq("band", "bucket")))
+
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val cand = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+
+    cand
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", round(col("inter") / greatest(col("uni"), lit(1.0)), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over word tokens: each token votes its hash bits
+    * weighted +1/-1; the sign per bit forms the signature. Row-local.
+    */
+  def simhash64(c: Column): Column = {
+    val ws = TextOps.words(c)
+    val hashes = transform(ws, w => xxhash64(w))
+    val bits = (0 until 64).map { b =>
+      val vote = aggregate(
+        hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** SimHash near-dup pairs: bucket by 4 x 16-bit bands (a pair within
+    * hamming distance <=3 of each other shares at least one exact band —
+    * pigeonhole), verify by popcount(xor) <= maxHamming.
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+                         simhash64(col(textCol)).as("sim"))
+    val banded = base.select(
+      col("id"), col("sim"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sim"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing at least one
+    * gram — fully SQL-expressible (the DuckDB oracle runs the same
+    * algebra). Intended for bounded subsets; the LSH variants are the
+    * scale path.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val grams = df.select(col(idCol).cast("long").as("id"),
+                          explode(shingles(col(textCol), n)).as("gram"))
+    val sizes = grams.groupBy("id").agg(countDistinct("gram").as("n_grams"))
+    val a = grams.select(col("id").as("id_a"), col("gram"))
+    val b = grams.select(col("id").as("id_b"), col("gram"))
+    val inter = a.join(b, "gram").filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}
+
+/** Seeded 64-bit hash family for MinHash: h_i(x) = mix64(xxhash64(x) ^
+  * mix64(i)). Pure Catalyst below (xxhash64 is codegen'd), so signature
+  * computation never leaves whole-stage codegen.
+  */
+object SeededHash {
+  def hash_col(c: Column, seed: Int): Column = {
+    // mix the per-function seed in as a literal; the heavy lifting
+    // (xxhash64) is Spark's codegen'd implementation
+    val s = mix64(seed.toLong)
+    xxhash64(c, lit(s))
+  }
+}

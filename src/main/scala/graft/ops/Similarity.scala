@@ -1,0 +1,198 @@
+package graft.ops
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.synthweb.SyntheticWeb.mix64
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>).
+  *
+  * Two paths:
+  *   - [[bruteForceTopK]] — exact cosine top-k. One pass over the corpus
+  *     with the (small) query set broadcast; per-partition bounded heaps
+  *     keep memory at O(queries × k); a final tiny per-query merge picks
+  *     the global top-k. Scales linearly in corpus size with zero
+  *     shuffle of the corpus itself (only Q×k×partitions candidate rows
+  *     move). This is the verification baseline.
+  *   - [[lshTopK]] — random-hyperplane LSH: each vector gets a `tables`
+  *     × `bits`-bit signature; query and corpus rows join on (table,
+  *     bucket); exact cosine re-ranks within buckets. At 100 TB this
+  *     touches only the bucket-colocated fraction of the corpus per
+  *     query, trading recall for a ~2^bits-fold scan reduction.
+  *     Hyperplanes are seeded and deterministic (splitmix64), never
+  *     materialized outside the closure.
+  */
+object Similarity {
+
+  final case class Scored(query_id: Long, neighbor_id: Long, sim: Double)
+
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Exact cosine top-k. `emb` must have (idCol: long-castable,
+    * vecCol: array<float>); queries are the rows whose id is in
+    * queryIds (self-join semantics, query excluded from its own
+    * results). Ties broken by neighbor id for determinism.
+    */
+  def bruteForceTopK(spark: SparkSession, emb: DataFrame, idCol: String,
+                     vecCol: String, queryIds: Seq[Long], k: Int): Dataset[Scored] = {
+    import spark.implicits._
+    val qSet = queryIds.toSet
+    val queries: Array[(Long, Array[Float])] = emb
+      .filter(col(idCol).isin(queryIds.map(Long.box): _*))
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(queries)
+
+    implicit val ord: Ordering[Scored] =
+      Ordering.by((s: Scored) => (-s.sim, s.neighbor_id))
+
+    val partials = emb
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        // one bounded heap per query; head = worst of the kept k
+        // (PriorityQueue dequeues the ord-max, and ord sorts best-first,
+        // so the ord-max IS the worst kept entry)
+        val heaps = qs.map(_ => mutable.PriorityQueue.empty[Scored](ord))
+        it.foreach { case (id, vec) =>
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, qvec) = qs(qi)
+            if (id != qid && !qSet.contains(id)) {
+              val s = Scored(qid, id, cosine(qvec, vec))
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue(s)
+              else if (ord.lt(s, h.head)) { h.dequeue(); h.enqueue(s) }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.flatMap(_.iterator)
+      }
+    partials
+      .groupByKey(_.query_id)
+      .flatMapGroups { (_: Long, it: Iterator[Scored]) =>
+        it.toVector.sorted(ord).take(k)
+      }
+  }
+
+  /** Deterministic random hyperplanes: planes(t)(b)(dim). */
+  private[ops] def hyperplanes(seed: Long, tables: Int, bits: Int,
+                               dim: Int): Array[Array[Array[Float]]] =
+    Array.tabulate(tables, bits, dim) { (t, b, d) =>
+      // map splitmix64 to a symmetric float in [-1, 1)
+      val h = mix64(seed ^ (t.toLong << 40) ^ (b.toLong << 20) ^ d.toLong)
+      (h.toDouble / Long.MaxValue.toDouble).toFloat
+    }
+
+  private[ops] def signature(vec: Array[Float], planes: Array[Array[Float]]): Int = {
+    var sig = 0
+    var b = 0
+    while (b < planes.length) {
+      var dot = 0.0
+      val p = planes(b)
+      var d = 0
+      val n = math.min(vec.length, p.length)
+      while (d < n) { dot += vec(d).toDouble * p(d); d += 1 }
+      if (dot >= 0) sig |= (1 << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** LSH-bucketed ANN top-k: candidates = corpus rows sharing any
+    * (table, bucket) with the query; exact cosine re-rank inside.
+    */
+  def lshTopK(spark: SparkSession, emb: DataFrame, idCol: String,
+              vecCol: String, queryIds: Seq[Long], k: Int,
+              tables: Int = 8, bits: Int = 12, seed: Long = 42L): Dataset[Scored] = {
+    import spark.implicits._
+    val dim = emb.select(size(col(vecCol))).first().getInt(0)
+    val planes = hyperplanes(seed, tables, bits, dim)
+    val bcPlanes = spark.sparkContext.broadcast(planes)
+
+    val sigRows = emb
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val ps = bcPlanes.value
+        it.flatMap { case (id, vec) =>
+          ps.indices.iterator.map(t => (id, vec, t, signature(vec, ps(t))))
+        }
+      }
+      .toDF("id", "vec", "table", "bucket")
+
+    val qSigs = sigRows.filter(col("id").isin(queryIds.map(Long.box): _*))
+      .select(col("id").as("query_id"), col("vec").as("qvec"),
+              col("table"), col("bucket"))
+    val cands = sigRows
+      .join(broadcast(qSigs), Seq("table", "bucket"))
+      .filter(col("id") =!= col("query_id") &&
+        !col("id").isin(queryIds.map(Long.box): _*))
+      .dropDuplicates("query_id", "id")
+
+    val scored = cands.select(col("query_id"), col("id"), col("qvec"), col("vec"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (q, id, qv, v) => Scored(q, id, cosine(qv, v)) }
+
+    implicit val ord: Ordering[Scored] =
+      Ordering.by((s: Scored) => (-s.sim, s.neighbor_id))
+    scored.groupByKey(_.query_id)
+      .flatMapGroups { (_: Long, it: Iterator[Scored]) =>
+        val heap = mutable.PriorityQueue.empty[Scored](ord)
+        it.foreach { s =>
+          if (heap.size < k) heap.enqueue(s)
+          else if (ord.lt(s, heap.head)) { heap.dequeue(); heap.enqueue(s) }
+        }
+        heap.dequeueAll.sorted(ord)
+      }
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
+    * buckets (deterministic seeded planes) + exact verification —
+    * the embedding leg of the dedup family.
+    */
+  def cosineNearDups(spark: SparkSession, emb: DataFrame, idCol: String,
+                     vecCol: String, threshold: Double,
+                     tables: Int = 8, bits: Int = 10,
+                     seed: Long = 7L): DataFrame = {
+    import spark.implicits._
+    val dim = emb.select(size(col(vecCol))).first().getInt(0)
+    val bcPlanes = spark.sparkContext.broadcast(hyperplanes(seed, tables, bits, dim))
+    val sigRows = emb
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val ps = bcPlanes.value
+        it.flatMap { case (id, vec) =>
+          ps.indices.iterator.map(t => (id, vec, t, signature(vec, ps(t))))
+        }
+      }
+      .toDF("id", "vec", "table", "bucket")
+    val a = sigRows.select(col("table"), col("bucket"), col("id").as("id_a"), col("vec").as("va"))
+    val b = sigRows.select(col("table"), col("bucket"), col("id").as("id_b"), col("vec").as("vb"))
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (ia, ib, va, vb) => (ia, ib, math.rint(cosine(va, vb) * 10000) / 10000) }
+      .toDF("id_a", "id_b", "cosine")
+      .filter(col("cosine") >= threshold)
+  }
+}

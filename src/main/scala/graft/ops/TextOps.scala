@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftExprs
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.synthweb.SyntheticWeb.mix64
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language identification, document
+  * fingerprinting. Everything here is either a pure Catalyst column
+  * chain (codegen'd, shuffle-free, pushdown-friendly) or a custom
+  * codegen'd expression — no Scala UDFs in hot paths.
+  */
+object TextOps {
+
+  /** Whitespace token count (0 for blank). */
+  def token_count(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0))
+      .otherwise(size(split(trim(c), "\\s+")))
+
+  /** BPE-ish subword token count: alphabetic runs, digit runs and single
+    * punctuation marks each count as one token — a cheap, deterministic
+    * stand-in for a real tokenizer's token count at corpus scale.
+    */
+  def subword_count(c: Column): Column =
+    size(filter(split(lower(c), "(?<=[^a-z0-9])|(?=[^a-z0-9])"),
+                x => trim(x) =!= ""))
+
+  /** Lowercased word array (alpha-num runs), empty strings removed —
+    * shared tokenization for jaccard/minhash/stopword features.
+    */
+  def words(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), x => x =!= "")
+
+  /** Punctuation character ratio, rounded to 4 decimals. */
+  def punct_ratio(c: Column): Column =
+    round(
+      (length(c) - length(regexp_replace(c, "[\\p{Punct}]", ""))).cast("double")
+        / greatest(length(c), lit(1)).cast("double"),
+      4)
+
+  /** Fraction of words that are English stopwords (tiny fixed list),
+    * rounded to 4 decimals.
+    */
+  def stopword_ratio(c: Column): Column = {
+    val stops = Seq("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
+    val ws = words(c)
+    round(
+      size(filter(ws, w => w.isin(stops.map(lit(_)): _*))).cast("double")
+        / greatest(size(ws), lit(1)).cast("double"),
+      4)
+  }
+
+  /** Mean word length, rounded to 4 decimals. */
+  def mean_word_len(c: Column): Column = {
+    val ws = words(c)
+    round(
+      aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double")
+        / greatest(size(ws), lit(1)).cast("double"),
+      4)
+  }
+
+  /** Composite document quality score in [0,1] (heuristics in the spirit
+    * of C4/Gopher quality filters, public recipes): length band, low
+    * punctuation noise, some-but-not-all stopwords, sane word length.
+    */
+  def quality_score(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / lit(500.0), lit(1.0))
+    val punctScore = greatest(lit(1.0) - punct_ratio(c) * 5.0, lit(0.0))
+    val stopScore = least(stopword_ratio(c) * 5.0, lit(1.0))
+    val wlen = mean_word_len(c)
+    val wlenScore = when(wlen.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.5))
+    round(lenScore * 0.3 + punctScore * 0.3 + stopScore * 0.2 + wlenScore * 0.2, 4)
+  }
+
+  /** Language identification — codegen'd custom expression wrapping the
+    * deterministic n-gram/stopword heuristic [[LangId.detect]].
+    */
+  def lang_id(c: Column): Column =
+    GraftExprs.toColumn(LangIdExpression(GraftExprs.toExpr(c)))
+
+  /** 64-bit rolling polynomial fingerprint of normalized text —
+    * codegen'd custom expression (content-defined, order-sensitive:
+    * unlike a set hash, detects reordered plagiarism-style edits).
+    */
+  def fingerprint64(c: Column): Column =
+    GraftExprs.toColumn(Fingerprint64Expression(GraftExprs.toExpr(c)))
+
+  /** sha-256-based content fingerprint over whitespace-normalized,
+    * lowercased text — the SQL-expressible exact-dedup key (same
+    * normalization is expressible in DuckDB for the oracle).
+    */
+  def content_key(c: Column): Column =
+    sha2(regexp_replace(lower(trim(c)), "\\s+", " "), 256)
+}
+
+/** Deterministic language-ID heuristic: CJK codepoint fraction decides
+  * zh; otherwise per-language marker-stopword hit counts decide among
+  * en/de/es/fr (ties broken in that fixed order); "und" when nothing
+  * matches. Pure function — shared by the expression and tests.
+  */
+object LangId extends Serializable {
+  private val markers: Seq[(String, Set[String])] = Seq(
+    "en" -> Set("the", "and", "of", "is", "to", "in", "that", "it", "with", "for"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "von"),
+    "es" -> Set("el", "la", "los", "las", "que", "es", "en", "un", "una", "por"),
+    "fr" -> Set("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que")
+  )
+
+  def detect(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    var cjk = 0
+    var total = 0
+    text.codePoints().forEach { cp =>
+      if (!Character.isWhitespace(cp)) {
+        total += 1
+        if ((cp >= 0x4e00 && cp <= 0x9fff) || (cp >= 0x3400 && cp <= 0x4dbf)) cjk += 1
+      }
+    }
+    if (total > 0 && cjk.toDouble / total > 0.2) return "zh"
+    val ws = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+    if (ws.isEmpty) return "und"
+    var best = "und"
+    var bestHits = 0
+    markers.foreach { case (lang, set) =>
+      val hits = ws.count(set.contains)
+      if (hits > bestHits) { best = lang; bestHits = hits }
+    }
+    best
+  }
+}
+
+case class LangIdExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(LangId.detect(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.ops.LangId.detect($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** FNV-1a-style 64-bit rolling hash over the whitespace-normalized,
+  * lowercased text (pure function shared with tests).
+  */
+object Fingerprint64 extends Serializable {
+  def apply(text: String): Long = {
+    if (text == null) return 0L
+    val s = text.toLowerCase.trim.replaceAll("\\s+", " ")
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    mix64(h)
+  }
+}
+
+case class Fingerprint64Expression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      Fingerprint64(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.Fingerprint64.apply($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -56,18 +56,44 @@ final class CrawlOracle(cfg: CrawlConfig) {
     var r = 1
     var done = false
     while (!done && r <= cfg.maxRounds) {
-      // robots gate
+      val retries = mutable.ArrayBuffer.empty[FrontierEntry]
+      val pageLinks = mutable.ArrayBuffer.empty[Seq[String]] // per fetched page
+
+      // robots prefetch sub-step (budget-exempt, seq 0; mirrors scheduler)
+      frontier.filter(_.priority == 0).foreach { e =>
+        val fr = fetcher.fetch(e)
+        log += FetchLogEntry(r, fr.host, UrlCanon.hostHash(fr.host), 0,
+                             fr.url, fr.url_hash, fr.status)
+        if (fr.status == 200) {
+          if (!robots.contains(fr.host))
+            robots(fr.host) = Robots.parse(fr.host, fr.body).disallow_prefixes
+          seen(fr.url_hash) = 200
+        } else if (fr.status == 404) {
+          if (!robots.contains(fr.host)) robots(fr.host) = Nil
+          seen(fr.url_hash) = 404
+        } else {
+          if (fr.attempt + 1 <= cfg.maxAttempts)
+            retries += e.copy(attempt = fr.attempt + 1, round = r)
+          else {
+            if (!robots.contains(fr.host)) robots(fr.host) = Nil
+            seen(fr.url_hash) = 599
+          }
+        }
+      }
+      val rest = frontier.filter(_.priority != 0)
+
+      // robots gate (with this round's rules)
       val eligible = mutable.ArrayBuffer.empty[FrontierEntry]
       val held = mutable.ArrayBuffer.empty[FrontierEntry]
-      frontier.foreach { e =>
+      rest.foreach { e =>
         val known = robots.contains(e.host)
         val allowed = !known || Robots.allowed(e.url, robots(e.host))
-        if (known && !allowed && e.priority != 0) () // blocked: dropped
-        else if ((known && allowed) || e.priority == 0) eligible += e
+        if (known && !allowed) () // blocked: dropped
+        else if (known) eligible += e
         else held += e
       }
 
-      // budgets + per-host selection
+      // budgets + per-host selection (seq starts at 1; robots took 0)
       val byHost = eligible.groupBy(_.host)
       val selected = mutable.ArrayBuffer.empty[(FrontierEntry, Int)]
       byHost.toSeq.sortBy(h => UrlCanon.hostHash(h._1)).foreach { case (h, es) =>
@@ -75,40 +101,28 @@ final class CrawlOracle(cfg: CrawlConfig) {
           capacityOf(h), tokens.getOrElse(h, 0.0) + refillOf(h))
         val budget = math.floor(avail).toInt
         es.sorted(entryOrd).take(budget).zipWithIndex.foreach { case (e, i) =>
-          selected += ((e, i))
+          selected += ((e, i + 1))
         }
       }
       val selectedHashes = selected.map(_._1.url_hash).toSet
 
-      // fetch + parse
-      val retries = mutable.ArrayBuffer.empty[FrontierEntry]
-      val pageLinks = mutable.ArrayBuffer.empty[Seq[String]] // per fetched page
-      val newRobots = mutable.Map.empty[String, Seq[String]]
+      // fetch + parse (main phase: non-robots pages only)
       selected.foreach { case (e, seq) =>
         val fr = fetcher.fetch(e)
         log += FetchLogEntry(r, fr.host, UrlCanon.hostHash(fr.host), seq,
                              fr.url, fr.url_hash, fr.status)
-        val kind = SyntheticWeb.kindOf(fr.url)
         if (fr.status == 200) {
-          if (kind == "robots")
-            newRobots(fr.host) = Robots.parse(fr.host, fr.body).disallow_prefixes
-          else {
-            val p = HtmlSpans.parse(fr.url, fr.body)
-            docs(fr.url_hash) = Doc(fr.url_hash, fr.url, fr.host, r, p.spans)
-            pageLinks += p.links
-          }
+          val p = HtmlSpans.parse(fr.url, fr.body)
+          docs(fr.url_hash) = Doc(fr.url_hash, fr.url, fr.host, r, p.spans)
+          pageLinks += p.links
           seen(fr.url_hash) = 200
         } else if (fr.status == 404) {
-          if (kind == "robots") newRobots(fr.host) = Nil
           seen(fr.url_hash) = 404
         } else {
           if (fr.attempt + 1 <= cfg.maxAttempts)
             retries += e.copy(attempt = fr.attempt + 1, round = r)
           else seen(fr.url_hash) = 599
         }
-      }
-      newRobots.foreach { case (h, p) =>
-        if (!robots.contains(h)) robots(h) = p
       }
 
       // candidates — dt = r*1e6 + per-page link index, dedup keeps the
@@ -130,11 +144,11 @@ final class CrawlOracle(cfg: CrawlConfig) {
       }
       val candSeenFree = cands.values.filterNot(c => seen.contains(c.url_hash)).toVector
 
-      // robots.txt entries for newly-discovered hosts
-      val newHosts = candSeenFree.map(_.host).distinct
-        .filterNot(robots.contains).sorted
-      val robotsCand = newHosts.zipWithIndex.map { case (h, i) =>
-        Fetcher.entryOf(s"https://$h/robots.txt", 0, r.toLong * 1000000L + i, 0,
+      // robots.txt entries for newly-discovered hosts (constant dt,
+      // url_hash tiebreak — mirrors the scheduler's distributed variant)
+      val newHosts = candSeenFree.map(_.host).distinct.filterNot(robots.contains)
+      val robotsCand = newHosts.map { h =>
+        Fetcher.entryOf(s"https://$h/robots.txt", 0, r.toLong * 1000000L, 0,
                         r, cfg.salts)
       }.filterNot(c => seen.contains(c.url_hash))
 

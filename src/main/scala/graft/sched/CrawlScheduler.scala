@@ -2,7 +2,7 @@ package graft.sched
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.{Dataset, Encoder, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -28,11 +28,16 @@ final case class CrawlConfig(
     nBuckets: Int = 32, // host-hash buckets for filter shards + lineage
     hostCapacity: Double = 8.0, // politeness token bucket capacity
     hostRefill: Double = 8.0, // tokens refilled per scheduling round
-    bloomBits: Int = 1 << 21,
+    bloomBits: Int = 1 << 21, // TOTAL bloom bits (sharded across buckets)
     bloomHashes: Int = 5,
     compactEvery: Int = 8, // seen-delta compaction cadence
     simulateLatency: Boolean = false
-)
+) {
+  /** Per-bucket bloom shard size; constant across rounds so shards stay
+    * mergeable/incrementable.
+    */
+  def bloomShardBits: Int = math.max(1 << 14, bloomBits / nBuckets)
+}
 
 final case class RoundResult(round: Int, selected: Long, fetchedOk: Long,
                              newUrls: Long, frontierLeft: Long, done: Boolean)
@@ -46,10 +51,11 @@ final case class RoundResult(round: Int, selected: Long, fetchedOk: Long,
   *   phase B: groupByKey(host).flatMapGroups(token bucket, final top-k, seq)
   * ──repartition (round-robin)──▶ fetch (mapPartitions, Fetcher)
   * ──▶ parse (HtmlSpans) ─▶ docs / robots / links
-  * links ─▶ canonicalize ─▶ reduce by url_hash ─▶ bloom tier ─▶ cuckoo tier
-  *       ─▶ exact anti-join vs seen ─▶ exclusion vs frontier+selected
+  * links ─▶ canonicalize ─▶ reduce by url_hash ─▶ bloom-shard tier
+  *       ─▶ cuckoo-shard tier ─▶ exact anti-join vs seen
+  *       ─▶ exclusion vs frontier+selected
   * commit: frontier', seen Δ, docs, metrics, host_state', robots',
-  *         fetch_log, filter shards, bloom — one atomic manifest
+  *         fetch_log, filter shards — one atomic manifest
   * }}}
   *
   * Determinism: selection order is fully defined by
@@ -62,10 +68,18 @@ final case class RoundResult(round: Int, selected: Long, fetchedOk: Long,
   *     spreads a hot host over `salts` groups (the reference's measured
   *     ~17× facet skew, olx_c226/main.go:20, is the motivating case);
   *     phase B sees ≤ salts×budget rows per host.
-  *   - the seen set is never collected: bloom (no shuffle) and sharded
-  *     cuckoo tiers discard definite-new candidates cheaply; only
-  *     possible-positives reach the exact anti-join (shuffle on the
-  *     small survivor set).
+  *   - the seen set is never collected: per-bucket bloom shards (checked
+  *     map-side, no shuffle) and sharded cuckoo filters discard
+  *     definite-new candidates cheaply; only possible-positives reach
+  *     the exact anti-join. Shards are keyed by host_hash bucket — at
+  *     10^10 URLs no single filter needs to broadcast whole; each
+  *     executor holds the buckets co-partitioned with it.
+  *   - driver-side fixed cost per round is capped: all per-round
+  *     counters ride as `Observation` metrics on the commit writes
+  *     (zero extra jobs), and filter maintenance is one distributed
+  *     pass updating cuckoo+bloom shards together. Fat rounds amortize
+  *     the remaining constant — the same argument that makes round
+  *     scheduling viable on a 1000-executor cluster.
   *   - all state tables round-trip through parquet each round, which
   *     truncates lineage (no ever-growing DAG) and is the checkpoint.
   */
@@ -101,7 +115,6 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     hostState.toDS().write.mode("overwrite").parquet(snaps.tablePath(0, "host_state"))
     spark.emptyDataset[RobotsRule].write.mode("overwrite").parquet(snaps.tablePath(0, "robots"))
     spark.emptyDataset[SeenEntry].write.mode("overwrite").parquet(snaps.tablePath(0, "seen_delta"))
-    snaps.writeBloom(0, new BloomFilter(cfg.bloomBits, cfg.bloomHashes).serialize())
     snaps.writeManifest(Snapshots.Manifest(
       round = 0, parentRound = -1,
       tables = Map(
@@ -118,18 +131,62 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
   def runRound(r: Int): RoundResult = {
     val nb = cfg.nBuckets
     val m = snaps.readManifest(r - 1)
+    // state-table write parallelism: sized from last round's row counts
+    // (manifest lineage), NOT from core count — a 32-core session must
+    // not write 32 tiny files per round and re-read them as 32 tasks,
+    // nor funnel a fat round's docs through one task. ~4k rows/file
+    // (docs rows carry span arrays, so this is ~10-20 MB files).
+    val statePar = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      m.counters.getOrElse("frontier", 64L) / 4096L + 1L)).toInt
     val frontier = readT[FrontierEntry](m.tables("frontier"))
     val robots = readT[RobotsRule](m.tables("robots"))
     val hostState = readT[HostState](m.tables("host_state"))
     val seen = readTMulti[SeenEntry](snaps.seenPaths(m))
-    val bloomBc = spark.sparkContext.broadcast(snaps.readBloom(r - 1))
-    val filtersBc = spark.sparkContext.broadcast(
+    // shard maps: bucket -> serialized filter (broadcast once per round)
+    val cuckooBc = spark.sparkContext.broadcast(
       m.buckets.flatMap(b => snaps.readFilter(r - 1, b).map(b -> _)).toMap)
+    val bloomBc = spark.sparkContext.broadcast(
+      m.buckets.flatMap(b => snaps.readBloomShard(r - 1, b).map(b -> _)).toMap)
 
-    // -- robots gate ---------------------------------------------------
-    val gatedDf = frontier
-      .join(robots.withColumnRenamed("host", "r_host"),
-            frontier("host") === col("r_host"), "left")
+    // -- robots prefetch sub-step ----------------------------------------
+    // priority-0 (robots.txt) entries are fetched unconditionally at the
+    // start of the round: a host becomes crawlable the same round it is
+    // discovered, and robots fetches are budget-exempt (at most one tiny
+    // fetch per host — standard crawler practice). They log at seq 0;
+    // budgeted fetches start at seq 1.
+    val par = spark.sparkContext.defaultParallelism
+    val web = cfg.web
+    val simLat = cfg.simulateLatency
+    val maxAtt = cfg.maxAttempts
+    val robotsFetched = frontier.filter(col("priority") === 0).as[FrontierEntry]
+      .repartition(par)
+      .mapPartitions { it =>
+        val f = SimulatedFetcher(web, simLat)
+        it.map(e => (f.fetch(e), 0))
+      }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rest = frontier.filter(col("priority") =!= 0).as[FrontierEntry]
+
+    // rules learned from this round's robots fetches: 200 => parsed;
+    // 404 or retry-exhausted => allow-all (colly's permissive default)
+    val newRobots = robotsFetched.mapPartitions { it =>
+      it.flatMap { case (fr, _) =>
+        if (fr.status == 200)
+          Iterator.single(RobotsRule(fr.host,
+            Robots.parse(fr.host, fr.body).disallow_prefixes))
+        else if (fr.status == 404 || fr.attempt + 1 > maxAtt)
+          Iterator.single(RobotsRule(fr.host, Nil))
+        else Iterator.empty
+      }
+    }
+    val robotsAll = robots.union(newRobots).dropDuplicates("host")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // -- robots gate (non-robots frontier, with this round's rules) ------
+    val gatedDf = rest
+      .join(robotsAll.withColumnRenamed("host", "r_host"),
+            rest("host") === col("r_host"), "left")
       .withColumn("robots_known", col("r_host").isNotNull)
       .withColumn("path", regexp_replace(col("url"), "^[^:/]+://[^/]*", ""))
       .withColumn(
@@ -137,14 +194,15 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
         coalesce(not(exists(col("disallow_prefixes"),
                             p => startswith(col("path"), p))), lit(true)))
     val gated = gatedDf.persist(StorageLevel.MEMORY_AND_DISK)
+    // one small job: blocked count (also warms the robots + gated caches)
     val blockedCnt = gated
-      .filter(col("robots_known") && !col("robots_allowed") && col("priority") =!= 0)
+      .filter(col("robots_known") && !col("robots_allowed"))
       .count()
     val eligible = gated
-      .filter((col("robots_known") && col("robots_allowed")) || col("priority") === 0)
+      .filter(col("robots_known") && col("robots_allowed"))
       .select(frontier.columns.map(col): _*).as[FrontierEntry]
     val held = gated
-      .filter(!col("robots_known") && col("priority") =!= 0)
+      .filter(!col("robots_known"))
       .select(frontier.columns.map(col): _*).as[FrontierEntry]
 
     // -- politeness budgets (token bucket per host) ---------------------
@@ -173,55 +231,36 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
         val all = it0.toVector
         val budget = if (all.isEmpty) 0 else all.head.budget
         all.map(_.e).sorted(entryOrd).take(budget).zipWithIndex
-          .map { case (e, i) => SelectedE(e, i) }.iterator
+          .map { case (e, i) => SelectedE(e, i + 1) }.iterator
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // -- fetch (round-robin repartition: politeness already enforced) ---
-    val par = spark.sparkContext.defaultParallelism
-    val web = cfg.web
-    val simLat = cfg.simulateLatency
-    val fetched = selected
+    val mainFetched = selected
       .repartition(par)
       .mapPartitions { it =>
         val f = SimulatedFetcher(web, simLat)
         it.map(s => (f.fetch(s.e), s.seq))
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val fetched = robotsFetched.union(mainFetched)
 
     // -- parse 200s into the interleaved span model ----------------------
-    val pageOuts = fetched
+    val pageOuts = mainFetched
       .filter(_._1.status == 200)
       .mapPartitions { it =>
         it.map { case (fr, seq) =>
-          val kind = SyntheticWeb.kindOf(fr.url)
-          if (kind == "robots") {
-            val rule = Robots.parse(fr.host, fr.body)
-            PageOut(fr.url, fr.url_hash, fr.host, UrlCanon.hostHash(fr.host),
-                    fr.status, seq, fr.attempt, kind, Nil, Nil,
-                    rule.disallow_prefixes)
-          } else {
-            val p = HtmlSpans.parse(fr.url, fr.body)
-            PageOut(fr.url, fr.url_hash, fr.host, UrlCanon.hostHash(fr.host),
-                    fr.status, seq, fr.attempt, kind, p.spans, p.links, Nil)
-          }
+          val p = HtmlSpans.parse(fr.url, fr.body)
+          PageOut(fr.url, fr.url_hash, fr.host, UrlCanon.hostHash(fr.host),
+                  fr.status, seq, fr.attempt, SyntheticWeb.kindOf(fr.url),
+                  p.spans, p.links, Nil)
         }
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val docs = pageOuts.filter(_.kind != "robots")
-      .map(p => Doc(p.url_hash, p.url, p.host, r, p.spans))
-
-    // robots rules learned this round (404 robots => allow-all rule)
-    val newRobots = pageOuts.filter(_.kind == "robots")
-      .map(p => RobotsRule(p.host, p.robots_prefixes))
-      .union(fetched.filter(t => t._1.status == 404 &&
-               SyntheticWeb.kindOf(t._1.url) == "robots")
-        .map(t => RobotsRule(t._1.host, Nil)))
-    val robotsAll = robots.union(newRobots).dropDuplicates("host")
+    val docs = pageOuts.map(p => Doc(p.url_hash, p.url, p.host, r, p.spans))
 
     // -- retries & seen delta -------------------------------------------
-    val maxAtt = cfg.maxAttempts
     val salts = cfg.salts
     val retries = fetched
       .filter(t => t._1.status != 200 && t._1.status != 404 && t._1.attempt + 1 <= maxAtt)
@@ -253,11 +292,18 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
       .reduceGroups((a, b) => if (entryOrd.lteq(a, b)) a else b)
       .map(_._2)
 
-    // tier 1: broadcast bloom — misses are definitely new
-    val nBuckets = cfg.nBuckets
+    // tier 1: bloom shard of the candidate's bucket, checked MAP-SIDE
+    // (no shuffle): a miss is definitely new; missing shard => maybe
+    val shardBits = cfg.bloomShardBits
     val tiered = candDedup.mapPartitions { it =>
-      val bf = bloomBc.value.map(BloomFilter.deserialize)
-      it.map(c => (c, bf.exists(_.mightContain(c.url_hash))))
+      val shards = mutable.Map.empty[Int, BloomFilter]
+      it.map { c =>
+        val b = bucketOf(c.host_hash, nb)
+        val bf = shards.getOrElseUpdate(b,
+          bloomBc.value.get(b).map(BloomFilter.deserialize)
+            .getOrElse(new BloomFilter(shardBits, 5)))
+        (c, bloomBc.value.contains(b) && bf.mightContain(c.url_hash))
+      }
     }
     val defNew = tiered.filter(!_._2).map(_._1)
     // tier 2: sharded cuckoo — shuffle only possible-positives
@@ -265,7 +311,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     val cuckooChecked = maybe
       .groupByKey(c => bucketOf(c.host_hash, nb))
       .flatMapGroups { (b: Int, it: Iterator[FrontierEntry]) =>
-        val cf = filtersBc.value.get(b).map(CuckooFilter.deserialize)
+        val cf = cuckooBc.value.get(b).map(CuckooFilter.deserialize)
         it.map(c => (c, cf.forall(_.mightContain(c.url_hash))))
       }
     val cuckooNew = cuckooChecked.filter(!_._2).map(_._1)
@@ -278,16 +324,14 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     val candSeenFree = defNew.union(cuckooNew).union(exactNew)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // robots.txt entries for newly-discovered hosts
-    val knownRobotsHosts = robotsAll.select(col("host")).distinct()
-    val newHosts = candSeenFree.select(col("host")).distinct()
-      .join(knownRobotsHosts.withColumnRenamed("host", "k_host"),
+    // robots.txt entries for newly-discovered hosts (distributed; the
+    // constant discovery_time r*1e6 is tie-broken by url_hash)
+    val robotsCand = candSeenFree.select(col("host")).distinct()
+      .join(robotsAll.select(col("host").as("k_host")),
             col("host") === col("k_host"), "left_anti")
-      .as[String].collect().sorted
-    val robotsCand = newHosts.zipWithIndex.map { case (h, i) =>
-      Fetcher.entryOf(s"https://$h/robots.txt", 0, r.toLong * 1000000L + i, 0, r, salts)
-    }.toSeq
-    val robotsCandDs = robotsCand.toDS()
+      .as[String]
+      .map(h => Fetcher.entryOf(s"https://$h/robots.txt", 0,
+                                r.toLong * 1000000L, 0, r, salts))
       .join(seen.select(col("url_hash").as("s_hash")),
             col("url_hash") === col("s_hash"), "left_anti").as[FrontierEntry]
 
@@ -296,7 +340,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
       eligible.join(selected.select(col("e.url_hash").as("sel_hash")),
                     col("url_hash") === col("sel_hash"), "left_anti")
         .as[FrontierEntry])
-    val newCand = candSeenFree.union(robotsCandDs)
+    val newCand = candSeenFree.union(robotsCand)
       .join(remainingFrontier.select(col("url_hash").as("f_hash")),
             col("url_hash") === col("f_hash"), "left_anti").as[FrontierEntry]
       .join(selected.select(col("e.url_hash").as("sel_hash")),
@@ -329,39 +373,51 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
                     fr.url_hash, fr.status)
     }
 
-    // -- metrics per host bucket (per-partition lineage) ------------------
-    val metrics = fetched
-      .map { case (fr, _) => (bucketOf(UrlCanon.hostHash(fr.host), nb), fr.status) }
-      .toDF("bucket", "status")
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("selected"),
-           sum(when(col("status") === 200, 1L).otherwise(0L)).as("fetched_ok"),
-           sum(when(col("status") === 404, 1L).otherwise(0L)).as("fetched_404"),
-           sum(when(col("status") =!= 200 && col("status") =!= 404, 1L)
-             .otherwise(0L)).as("fetched_retryable"))
+    // -- commit (per-round counters ride the writes as Observations) -----
+    val obsDocs = Observation()
+    docs.toDF()
+      .observe(obsDocs, count(lit(1)).as("n"),
+               coalesce(sum(size(col("spans"))), lit(0L)).as("spans"))
+      .coalesce(statePar)
+      .write.mode("overwrite").parquet(snaps.tablePath(r, "docs"))
+    seenDelta.toDF().coalesce(statePar)
+      .write.mode("overwrite").parquet(snaps.tablePath(r, "seen_delta"))
+    val obsFront = Observation()
+    newFrontier.toDF()
+      .observe(obsFront, count(lit(1)).as("n"),
+               coalesce(sum(when(col("round") === r && col("attempt") === 0, 1L)
+                 .otherwise(0L)), lit(0L)).as("new_urls"))
+      .coalesce(statePar)
+      .write.mode("overwrite").parquet(snaps.tablePath(r, "frontier"))
+    robotsAll.coalesce(statePar)
+      .write.mode("overwrite").parquet(snaps.tablePath(r, "robots"))
+    hostStateAll.toDF().coalesce(statePar)
+      .write.mode("overwrite").parquet(snaps.tablePath(r, "host_state"))
+    val obsLog = Observation()
+    fetchLog.toDF()
+      .observe(obsLog, count(lit(1)).as("n"),
+               coalesce(sum(when(col("status") === 200, 1L).otherwise(0L)), lit(0L))
+                 .as("ok"))
+      .coalesce(statePar)
+      .write.mode("overwrite").parquet(snaps.tablePath(r, "fetch_log"))
 
-    // -- commit ----------------------------------------------------------
-    docs.write.mode("overwrite").parquet(snaps.tablePath(r, "docs"))
-    seenDelta.toDF().write.mode("overwrite").parquet(snaps.tablePath(r, "seen_delta"))
-    newFrontier.write.mode("overwrite").parquet(snaps.tablePath(r, "frontier"))
-    robotsAll.write.mode("overwrite").parquet(snaps.tablePath(r, "robots"))
-    hostStateAll.write.mode("overwrite").parquet(snaps.tablePath(r, "host_state"))
-    fetchLog.toDF().write.mode("overwrite").parquet(snaps.tablePath(r, "fetch_log"))
-    metrics.withColumn("round", lit(r)).write.mode("overwrite")
-      .parquet(snaps.tablePath(r, "metrics"))
-
-    // filter shards: incremental insert; overflowed buckets rebuilt from
-    // the exact seen table (rare; scales as O(delta) normally)
+    // filter shards: ONE distributed pass updates cuckoo + bloom shards;
+    // overflowed cuckoos rebuilt from the exact seen table (rare)
     val updates = seenDelta
       .groupByKey(s => bucketOf(s.host_hash, nb))
       .mapGroups { (b: Int, it: Iterator[SeenEntry]) =>
-        val cf = filtersBc.value.get(b).map(CuckooFilter.deserialize)
+        val cf = cuckooBc.value.get(b).map(CuckooFilter.deserialize)
           .getOrElse(CuckooFilter.sized(4096))
+        val bf = bloomBc.value.get(b).map(BloomFilter.deserialize)
+          .getOrElse(new BloomFilter(shardBits, 5))
         var ok = true
-        it.foreach(s => ok &= cf.put(s.url_hash))
-        (b, cf.serialize(), ok)
+        it.foreach { s =>
+          ok &= cf.put(s.url_hash)
+          bf.put(s.url_hash)
+        }
+        (b, cf.serialize(), bf.serialize(), ok)
       }.collect()
-    val failedBuckets = updates.filter(!_._3).map(_._1).toSet
+    val failedBuckets = updates.filter(!_._4).map(_._1).toSet
     val rebuilt: Map[Int, Array[Byte]] =
       if (failedBuckets.isEmpty) Map.empty
       else {
@@ -377,20 +433,15 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
           }.collect().toMap
       }
     val prevBuckets = m.buckets.toSet
-    val touched = updates.map(u => u._1 -> rebuilt.getOrElse(u._1, u._2)).toMap
-    // carry forward untouched shards (hard-link-free: rewrite pointer via copy)
-    val allBuckets = (prevBuckets ++ touched.keySet).toSeq.sorted
+    val touchedCuckoo = updates.map(u => u._1 -> rebuilt.getOrElse(u._1, u._2)).toMap
+    val touchedBloom = updates.map(u => u._1 -> u._3).toMap
+    val allBuckets = (prevBuckets ++ touchedCuckoo.keySet).toSeq.sorted
     allBuckets.foreach { b =>
-      val bytes = touched.getOrElse(b, snaps.readFilter(r - 1, b).get)
-      snaps.writeFilter(r, b, bytes)
+      snaps.writeFilter(r, b,
+        touchedCuckoo.getOrElse(b, snaps.readFilter(r - 1, b).get))
+      snaps.writeBloomShard(r, b,
+        touchedBloom.getOrElse(b, snaps.readBloomShard(r - 1, b).get))
     }
-    // bloom: merge this round's delta into the previous snapshot
-    val bloomDelta = seenDelta.map(_.url_hash)
-      .select(BloomFilter.agg(cfg.bloomBits, cfg.bloomHashes).toColumn)
-      .head()
-    val bloomPrev = snaps.readBloom(r - 1).map(BloomFilter.deserialize)
-      .getOrElse(new BloomFilter(cfg.bloomBits, cfg.bloomHashes))
-    snaps.writeBloom(r, bloomPrev.merge(BloomFilter.deserialize(bloomDelta)).serialize())
 
     // seen compaction
     val deltaRounds = m.seenDeltaRounds :+ r
@@ -401,12 +452,13 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
         (r, Seq.empty[Int])
       } else (m.seenFullRound, deltaRounds)
 
-    val selectedCnt = selected.count()
-    val okCnt = pageOuts.count()
-    val newCnt = newCand.count()
-    val frontierLeft = newFrontier.count()
-    val spansCnt =
-      docs.select(coalesce(sum(size(col("spans"))), lit(0L))).as[Long].head()
+    def obsLong(o: Observation, k: String): Long =
+      o.get(k).asInstanceOf[Long]
+    val selectedCnt = obsLong(obsLog, "n")
+    val okCnt = obsLong(obsLog, "ok")
+    val newCnt = obsLong(obsFront, "new_urls")
+    val frontierLeft = obsLong(obsFront, "n")
+    val spansCnt = obsLong(obsDocs, "spans")
 
     snaps.writeManifest(Snapshots.Manifest(
       round = r, parentRound = r - 1,
@@ -419,12 +471,14 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
       counters = Map(
         "selected" -> selectedCnt, "fetched_ok" -> okCnt,
         "robots_blocked" -> blockedCnt, "new_urls" -> newCnt,
-        "frontier" -> frontierLeft, "spans" -> spansCnt),
+        "frontier" -> frontierLeft, "spans" -> spansCnt,
+        "docs" -> obsLong(obsDocs, "n")),
       done = frontierLeft == 0))
 
-    Seq(gated, selected, fetched, pageOuts, seenDelta, candSeenFree, newFrontier)
+    Seq(gated, selected, mainFetched, robotsFetched, pageOuts, seenDelta,
+        candSeenFree, newFrontier, robotsAll)
       .foreach(_.unpersist(false))
-    bloomBc.destroy(); filtersBc.destroy()
+    cuckooBc.destroy(); bloomBc.destroy()
 
     RoundResult(r, selectedCnt, okCnt, newCnt, frontierLeft, frontierLeft == 0)
   }

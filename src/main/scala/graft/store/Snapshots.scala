@@ -18,7 +18,7 @@ import org.json4s.jackson.JsonMethods
   *   <root>/r00003/{frontier,seen_delta,seen_full,docs,metrics,host_state,
   *                  robots,fetch_log}/  (parquet data files)
   *   <root>/r00003/filters/bucket-0007.bin       (cuckoo shard per host bucket)
-  *   <root>/r00003/bloom.bin                     (merged broadcast bloom)
+  *   <root>/r00003/filters/bloom-0007.bin        (bloom shard per host bucket)
   *   <root>/manifests/m-00003.json               (atomic rename from .tmp)
   *   <root>/LATEST                               (atomic rename from .tmp)
   * }}}
@@ -34,7 +34,8 @@ final class Snapshots(val root: String) {
   def tablePath(round: Int, name: String): String = s"${dir(round)}/$name"
   def filterPath(round: Int, bucket: Int): String =
     f"${dir(round)}/filters/bucket-$bucket%04d.bin"
-  def bloomPath(round: Int): String = s"${dir(round)}/bloom.bin"
+  def bloomShardPath(round: Int, bucket: Int): String =
+    f"${dir(round)}/filters/bloom-$bucket%04d.bin"
   private def manifestPath(round: Int) = f"$root/manifests/m-$round%05d.json"
 
   import Snapshots.Manifest
@@ -104,17 +105,17 @@ final class Snapshots(val root: String) {
     if (Files.exists(p)) Some(Files.readAllBytes(p)) else None
   }
 
-  def writeBloom(round: Int, bytes: Array[Byte]): Unit = {
-    val p = Paths.get(bloomPath(round))
+  def writeBloomShard(round: Int, bucket: Int, bytes: Array[Byte]): Unit = {
+    val p = Paths.get(bloomShardPath(round, bucket))
     Files.createDirectories(p.getParent)
-    val tmp = Paths.get(bloomPath(round) + ".tmp")
+    val tmp = Paths.get(bloomShardPath(round, bucket) + ".tmp")
     Files.write(tmp, bytes)
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
                StandardCopyOption.REPLACE_EXISTING)
   }
 
-  def readBloom(round: Int): Option[Array[Byte]] = {
-    val p = Paths.get(bloomPath(round))
+  def readBloomShard(round: Int, bucket: Int): Option[Array[Byte]] = {
+    val p = Paths.get(bloomShardPath(round, bucket))
     if (Files.exists(p)) Some(Files.readAllBytes(p)) else None
   }
 

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.model.Doc
+import graft.ops.TextOps
+
+/** Structured Streaming surface of the engine.
+  *
+  * The reference's only streaming construct is the micro-batched async
+  * CSV sink: a channel of capacity 128 flushed every 2 seconds
+  * (CsvRecordService, apna/main.go:110-146, ST1 at :142-143). Its
+  * Spark-native analogue is a `writeStream` with
+  * `Trigger.ProcessingTime("2 seconds")` — plus the watermarked
+  * event-time aggregations and custom keyed state the reference lacks
+  * but a production ingest pipeline needs.
+  *
+  * All sources are file streams (parquet), matching the engine's
+  * snapshot layout: a crawl round's committed `docs` directory can be
+  * tailed as a stream by downstream consumers.
+  */
+object Streams {
+
+  import org.apache.spark.sql.Encoders
+
+  val docSchema: StructType = Encoders.product[Doc].schema
+
+  /** Tail a docs directory as a stream, enrich each doc with text
+    * metrics, and micro-batch it to parquet every 2 seconds — the K1
+    * sink re-expressed (channel cap -> maxFilesPerTrigger backpressure,
+    * 2 s timer -> ProcessingTime trigger).
+    */
+  def docsToParquet(spark: SparkSession, srcDir: String, outDir: String,
+                    checkpointDir: String,
+                    trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery = {
+    val docs = spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", 128) // channel-capacity analogue
+      .parquet(srcDir)
+    val enriched = docs
+      .withColumn("full_text",
+        array_join(transform(filter(col("spans"), s => s.getField("kind") === "text"),
+                             s => s.getField("text")), "\n"))
+      .withColumn("n_tokens", TextOps.token_count(col("full_text")))
+      .withColumn("n_media",
+        size(filter(col("spans"), s => s.getField("kind").isin("image", "video"))))
+      .drop("full_text")
+    enriched.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Watermarked event-time windowed counts over an events stream
+    * (engine capability beyond the reference: late data handled by the
+    * watermark instead of being silently appended).
+    */
+  def windowedEventCounts(events: DataFrame,
+                          windowLen: String = "5 minutes",
+                          slide: String = "5 minutes",
+                          watermark: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+              col("n"), col("total_value"))
+
+  final case class HostProgress(host: String, pages: Long, spans: Long,
+                                last_round: Int)
+
+  /** Custom keyed state: per-host crawl progress maintained with
+    * mapGroupsWithState — the stateful-stream analogue of the
+    * reference's global page counters (e.g. totalPage,
+    * apna/main.go:166-169), kept exactly-once per checkpoint.
+    */
+  def hostProgress(docs: Dataset[Doc]): Dataset[HostProgress] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.host)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (host: String, it: Iterator[Doc], state: GroupState[HostProgress]) =>
+          val prev = state.getOption.getOrElse(HostProgress(host, 0L, 0L, 0))
+          var pages = prev.pages
+          var spans = prev.spans
+          var lastRound = prev.last_round
+          it.foreach { d =>
+            pages += 1
+            spans += d.spans.size
+            lastRound = math.max(lastRound, d.round)
+          }
+          val next = HostProgress(host, pages, spans, lastRound)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -32,13 +32,18 @@ final case class WebConfig(
     crossHostLinkPct: Int = 10, // percent of details linking to another host
     robotsHostsPct: Int = 60, // percent of hosts with a Disallow: /private/ rule
     latencyBaseMs: Int = 1,
-    latencyJitterMs: Int = 4
+    latencyJitterMs: Int = 4,
+    paginationFanout: Int = 1, // listing k links to pages k+1..k+fanout
+    seedAllListPages: Boolean = false // seed every listing page directly
 ) {
   def host(h: Int): String = s"host-$h.test"
   def listPages(h: Int): Int =
     if (h == 0) listPagesPerHost * hotHostFactor else listPagesPerHost
   def seedUrls: Seq[String] =
-    (0 until nHosts).map(h => s"https://${host(h)}/list/0")
+    if (seedAllListPages)
+      (0 until nHosts).flatMap(h =>
+        (0 until listPages(h)).map(k => s"https://${host(h)}/list/$k"))
+    else (0 until nHosts).map(h => s"https://${host(h)}/list/0")
   def totalListPages: Long = (0 until nHosts).map(listPages(_).toLong).sum
 }
 
@@ -141,7 +146,7 @@ object SyntheticWeb {
           val p = pct(mix64(rng ^ 13L))
           if (p < cfg.pct404) Page(404, "", latency, 0)
           else if (p < cfg.pct404 + cfg.pct503)
-            Page(503, "", latency, retryableUntilAttempt = 1)
+            Page(503, "", latency, retryableUntilAttempt = 0)
           else Page(200, detailBody(cfg, h, canon, rng), latency, 0)
         }
 
@@ -184,8 +189,11 @@ object SyntheticWeb {
     }
     if (hostHasRobots(cfg, h) && k % 2 == 0)
       sb.append(s"""<a href="/private/vault-$k">do not crawl</a>\n""")
-    if (k + 1 < cfg.listPages(h))
-      sb.append(s"""<a href="/list/${k + 1}">next page</a>\n""")
+    var np = k + 1
+    while (np <= k + cfg.paginationFanout && np < cfg.listPages(h)) {
+      sb.append(s"""<a href="/list/$np">page $np</a>\n""")
+      np += 1
+    }
     sb.append(s"""<img src="/media/list-$h-$k.jpg" alt="banner">\n""")
     sb.append("</body></html>")
     sb.toString

@@ -75,7 +75,8 @@ class CrawlSchedulerSpec extends SparkSuite {
   test("scheduler matches oracle on a 5-host web (robots, 404s, retries)") {
     val cfg = CrawlConfig(
       web = WebConfig(seed = 42, nHosts = 5, listPagesPerHost = 3,
-                      detailsPerList = 6, crossHostLinkPct = 15),
+                      detailsPerList = 6, crossHostLinkPct = 15,
+                      paginationFanout = 2),
       outDir = tmpDir("crawl5-"),
       maxRounds = 40, hostCapacity = 6.0, hostRefill = 6.0)
     assertParity(cfg)
@@ -135,6 +136,7 @@ class CrawlSchedulerSpec extends SparkSuite {
     val perHostRound = spark.read
       .schema(implicitly[org.apache.spark.sql.Encoder[FetchLogEntry]].schema)
       .parquet(snaps.fetchLogPaths(last): _*)
+      .filter(!col("url").endsWith("/robots.txt")) // robots are budget-exempt
       .groupBy(col("round"), col("host")).count()
       .agg(max(col("count"))).as[Long].head()
     assert(perHostRound <= 4L, s"budget exceeded: $perHostRound")

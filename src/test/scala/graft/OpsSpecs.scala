@@ -1,0 +1,230 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, LangId, Multimodal, Similarity, TextOps, Fingerprint64}
+
+class TextOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("token_count edge cases") {
+    val df = Seq("", "   ", "a", "a b", "a  b\n c").toDF("t")
+    val got = df.select(TextOps.token_count(col("t"))).as[Int].collect().toSeq
+    assert(got == Seq(0, 0, 1, 2, 3))
+  }
+
+  test("lang_id detects planted languages") {
+    val samples = Seq(
+      ("the cat and the dog is in the house with it", "en"),
+      ("der hund und die katze ist nicht mit ein mann", "de"),
+      ("el perro y la casa es un lugar que los gatos", "es"),
+      ("le chien est dans une maison pour les chats et", "fr"),
+      ("这是一个中文句子 语言识别 测试 文本", "zh"),
+      ("", "und"),
+      ("12345 67890", "und")
+    )
+    samples.foreach { case (txt, want) =>
+      assert(LangId.detect(txt) == want, s"for: $txt")
+    }
+    // via the Catalyst expression too
+    val got = samples.map(_._1).toDF("t")
+      .select(TextOps.lang_id(col("t"))).as[String].collect().toSeq
+    assert(got == samples.map(_._2))
+  }
+
+  test("fingerprint64: stable, whitespace-normalized, case-insensitive") {
+    assert(Fingerprint64("Hello  World") == Fingerprint64("hello world"))
+    assert(Fingerprint64("hello world") != Fingerprint64("world hello"))
+    val viaExpr = Seq("Hello  World").toDF("t")
+      .select(TextOps.fingerprint64(col("t"))).as[Long].head()
+    assert(viaExpr == Fingerprint64("hello world"))
+  }
+
+  test("quality_score in [0,1] on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val mm = docs.select(min(TextOps.quality_score(col("text"))),
+                         max(TextOps.quality_score(col("text"))))
+      .as[(Double, Double)].head()
+    assert(mm._1 >= 0.0 && mm._2 <= 1.0)
+  }
+}
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  /** Same planted corpus as SparkEntry's q25-q28. */
+  private lazy val corpus = {
+    docs.filter(col("doc_id") < 60).select(col("doc_id").as("id"), col("text"))
+      .union(docs.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 10000).as("id"), col("text")))
+      .union(docs.filter(col("doc_id") >= 30 && col("doc_id") < 60)
+        .select((col("doc_id") + 20000).as("id"),
+                concat(col("text"), lit(" zz qq")).as("text")))
+  }
+
+  test("exact dedup finds exactly the planted duplicate clusters") {
+    val clusters = Dedup.exactClusters(corpus, "id", "text")
+      .filter(col("n_dups") > 1)
+      .select(col("canonical_id"), col("n_dups"))
+      .as[(Long, Long)].collect().toMap
+    assert(clusters.keySet == (0L until 30L).toSet)
+    assert(clusters.values.forall(_ == 2L))
+    val survivors = Dedup.dropExactDups(corpus, "id", "text").count()
+    assert(survivors == corpus.count() - 30)
+  }
+
+  test("minhash LSH finds all planted exact and near duplicates") {
+    val pairs = Dedup.minhashNearDups(corpus, "id", "text",
+                                      shingleN = 3, numHashes = 32,
+                                      rowsPerBand = 4, threshold = 0.5)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    (0L until 30L).foreach(i =>
+      assert(pairs.contains((i, i + 10000)), s"exact dup pair $i missing"))
+    (30L until 60L).foreach(i =>
+      assert(pairs.contains((i, i + 20000)), s"near dup pair $i missing"))
+  }
+
+  test("minhash LSH pairs are a subset of exact-jaccard pairs (no FPs)") {
+    val lsh = Dedup.minhashNearDups(corpus, "id", "text", 3, 32, 4, 0.5)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccardPairs(corpus, "id", "text", 3, 0.5)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), s"LSH emitted non-pairs: ${lsh.diff(exact).take(5)}")
+    assert(lsh.size >= exact.size * 6 / 10, s"LSH recall too low: ${lsh.size}/${exact.size}")
+  }
+
+  test("simhash finds planted duplicates at hamming 0") {
+    val pairs = Dedup.simhashNearDups(corpus, "id", "text", maxHamming = 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .as[(Long, Long, Int)].collect()
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    (0L until 30L).foreach { i =>
+      assert(byPair.get((i, i + 10000)).contains(0), s"simhash missed exact dup $i")
+    }
+    // near dups (2 appended words) stay within the hamming budget mostly
+    val nearFound = (30L until 60L).count(i => byPair.contains((i, i + 20000)))
+    assert(nearFound >= 20, s"simhash near-dup recall too low: $nearFound/30")
+  }
+}
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("typed brute-force top-k equals a driver-side exact computation") {
+    val all = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val queries = (0L until 5L).toSeq
+    val qSet = queries.toSet
+    val want = queries.map { q =>
+      val qv = all.find(_._1 == q).get._2
+      val top = all.filter(t => !qSet.contains(t._1))
+        .map { case (id, v) => (id, Similarity.cosine(qv, v)) }
+        .sortBy(t => (-t._2, t._1)).take(5).map(_._1).toVector
+      q -> top
+    }.toMap
+    val got = Similarity.bruteForceTopK(spark, emb, "vec_id", "embedding", queries, 5)
+      .collect().groupBy(_.query_id)
+      .map { case (q, rs) =>
+        q -> rs.sortBy(r => (-r.sim, r.neighbor_id)).map(_.neighbor_id).toVector
+      }
+    assert(got == want)
+  }
+
+  test("LSH ANN: deterministic, plausible recall vs brute force") {
+    val queries = (0L until 10L).toSeq
+    val brute = Similarity.bruteForceTopK(spark, emb, "vec_id", "embedding", queries, 5)
+      .collect().groupBy(_.query_id).view
+      .mapValues(_.map(_.neighbor_id).toSet).toMap
+    val lsh = Similarity.lshTopK(spark, emb, "vec_id", "embedding", queries, 5,
+                                 tables = 8, bits = 6)
+      .collect().groupBy(_.query_id).view
+      .mapValues(_.map(_.neighbor_id).toSet).toMap
+    val recall = queries.map { q =>
+      brute(q).intersect(lsh.getOrElse(q, Set.empty)).size.toDouble / 5.0
+    }.sum / queries.size
+    assert(recall >= 0.3, s"LSH recall vs brute force too low: $recall")
+    // determinism
+    val lsh2 = Similarity.lshTopK(spark, emb, "vec_id", "embedding", queries, 5,
+                                  tables = 8, bits = 6)
+      .collect().groupBy(_.query_id).view
+      .mapValues(_.map(_.neighbor_id).toSet).toMap
+    assert(lsh == lsh2)
+  }
+
+  test("cosine near-dup finds all planted duplicate vectors") {
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+    val pairs = Similarity.cosineNearDups(spark, emb.union(planted), "vec_id",
+                                          "embedding", threshold = 0.999)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    (0L until 20L).foreach(i =>
+      assert(pairs.contains((i, i + 10000)), s"planted vector dup $i missing"))
+  }
+}
+
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("media table is deterministic and content-complete") {
+    val m1 = Multimodal.syntheticMediaTable(spark, docs, "doc_id")
+    val m2 = Multimodal.syntheticMediaTable(spark, docs, "doc_id")
+    assert(m1.count() == docs.count())
+    val h1 = m1.select(col("media_ref"), sha2(col("bytes"), 256))
+      .as[(String, String)].collect().toMap
+    val h2 = m2.select(col("media_ref"), sha2(col("bytes"), 256))
+      .as[(String, String)].collect().toMap
+    assert(h1 == h2)
+  }
+
+  test("image meta: schema + deterministic stub decode") {
+    val media = Multimodal.syntheticMediaTable(spark, docs, "doc_id")
+    val meta = Multimodal.imageMeta(spark, media)
+    assert(meta.columns.toSeq ==
+      Seq("media_ref", "width", "height", "channels", "n_bytes"))
+    val rows = meta.as[(String, Int, Int, Int, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._2 >= 64 && r._3 >= 64 && r._4 == 3 && r._5 > 0))
+    val again = Multimodal.imageMeta(spark, media).as[(String, Int, Int, Int, Long)]
+      .collect().toSet
+    assert(rows.toSet == again)
+  }
+
+  test("frame sampling: every Nth frame, deterministic hashes") {
+    val media = Multimodal.syntheticMediaTable(spark, docs, "doc_id")
+    val frames = Multimodal.sampleFrames(spark, media, everyN = 7)
+    val byRef = frames.select(col("media_ref"), col("frame_idx"))
+      .as[(String, Int)].collect().groupBy(_._1)
+    assert(byRef.nonEmpty)
+    byRef.values.foreach { fs =>
+      val idxs = fs.map(_._2).sorted.toSeq
+      assert(idxs.head == 0 && idxs.forall(_ % 7 == 0))
+    }
+  }
+}
+
+/** Every declared query runs at sf0.001; oracle coverage is consistent. */
+class QueriesSmokeSpec extends SparkSuite {
+  test("oracleSql keys are a subset of queries keys") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+  test("all queries execute at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val counts = SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, dir).count()
+    }
+    val empties = counts.filter(_._2 == 0).keys.toSeq.sorted
+    // q07/q09 are legitimately small but non-empty; nothing should be empty
+    assert(empties.isEmpty, s"queries with zero rows: $empties")
+  }
+}
