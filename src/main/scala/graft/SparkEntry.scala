@@ -4,7 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Extract, Multimodal, Similarity, TextOps}
+import graft.fetch.SimulatedFetcher
+import graft.model.FrontierEntry
+import graft.ops.{Dedup, Extract, FacetSplit, Multimodal, Similarity, TextOps}
+import graft.parse.HtmlSpans
 import graft.parse.TrimHtml
 import graft.sched.{CrawlConfig, CrawlScheduler}
 import graft.store.Snapshots
@@ -63,6 +66,15 @@ object SparkEntry {
         .select((col("doc_id") + 20000).as("id"),
                 concat(col("text"), lit(" zz qq")).as("text")))
   }
+  /** Two-level taxonomy literal (structure of olx/main.go:11-20;
+    * synthetic content) — shared by the Spark query and the oracle.
+    */
+  private[graft] val taxonomyJson: String =
+    """[{"id":100,"name":"jobs","subs":[{"id":101,"name":"driver"},
+      |{"id":102,"name":"clerk"},{"id":103,"name":"barista"}]},
+      |{"id":200,"name":"services","subs":[{"id":201,"name":"repair"},
+      |{"id":202,"name":"catering"}]}]""".stripMargin.replace("\n", "")
+
   private val dedupCorpusSql =
     """SELECT doc_id AS id, text FROM documents WHERE doc_id < 60
       | UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 30
@@ -351,6 +363,101 @@ object SparkEntry {
       val media = Multimodal.syntheticMediaTable(s, T(s, dir, "documents"), "doc_id")
       Multimodal.sampleFrames(s, media, everyN = 7).orderBy("media_ref", "frame_idx")
     }),
+    // ---------------- sources / unnest / sinks ----------------
+    "q40_taxonomy_unnest" -> ((s, _) => {
+      // S7 embedded JSON literal scan + J5 parent replication
+      // (olx/main.go:11,27-38): from_json on a literal, explode subs
+      val schema = "array<struct<id:int,name:string,subs:array<struct<id:int,name:string>>>>"
+      s.range(1)
+        .select(explode(from_json(lit(taxonomyJson), org.apache.spark.sql.types.DataType
+          .fromDDL(schema).asInstanceOf[org.apache.spark.sql.types.ArrayType]))
+          .as("cat"))
+        .select(col("cat.id").as("parent_id"), col("cat.name").as("parent_name"),
+                explode(col("cat.subs")).as("sub"))
+        .select(col("parent_id"), col("parent_name"),
+                col("sub.id").as("sub_id"), col("sub.name").as("sub_name"))
+        .orderBy("parent_id", "sub_id")
+    }),
+    "q41_csv_roundtrip" -> ((s, dir) => {
+      // S8 CSV scan + K1 CSV sink: write header CSV, read back with an
+      // explicit schema, aggregate — round-trip fidelity vs the oracle
+      // computed on the original parquet
+      val out = java.nio.file.Files.createTempDirectory("csv-rt-").toString
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read.option("header", "true")
+        .schema("doc_id long, lang string, source string, n_chars long")
+        .csv(out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("lang")
+    }),
+    "q42_url_encode" -> ((s, dir) => {
+      // F5 URL query escape (indeed/main.go:119)
+      T(s, dir, "part")
+        .select(col("p_partkey"), url_encode(col("p_name")).as("enc"))
+        .orderBy("p_partkey")
+    }),
+    "q43_next_data_extract" -> ((s, _) => {
+      // P1 full pipeline (apna/main.go:52-89): re-fetch crawled detail
+      // pages, pull script#__NEXT_DATA__, project the nested JSON doc
+      // (incl. F2 unix-ms -> timestamp), flatten to typed columns
+      import s.implicits._
+      val snaps = new Snapshots(CrawlOnce.dir(s))
+      val docs = s.read.parquet(snaps.docsPaths(CrawlOnce.lastRound(s)): _*)
+        .select(col("doc_id"), col("url")).as[(String, String)]
+      val web = CrawlOnce.cfg("unused").web
+      val payloads = docs
+        .filter(_._2.contains("/item/"))
+        .mapPartitions { it =>
+          val f = SimulatedFetcher(web)
+          it.map { case (id, u) =>
+            val body = f.fetch(FrontierEntry(u, id, "", 0L, 0, 2, 0L, 9, 0)).body
+            val script = HtmlSpans.parse(u, body).scripts
+              .find(_._1.get("id").contains("__NEXT_DATA__")).map(_._2).getOrElse("")
+            (id, script)
+          }
+        }.toDF("doc_id", "payload")
+      val jobSchema = org.apache.spark.sql.types.DataType.fromDDL(
+        "struct<props:struct<pageProps:struct<job:struct<id:long,title:string," +
+          "organization:struct<name:string>,min_salary:long,max_salary:long," +
+          "posted_ms:long>>>>").asInstanceOf[org.apache.spark.sql.types.StructType]
+      payloads
+        .withColumn("j", from_json(col("payload"), jobSchema)("props")("pageProps")("job"))
+        .select(col("doc_id"), col("j.id").as("job_id"), col("j.title").as("title"),
+                col("j.organization.name").as("company"),
+                col("j.min_salary").as("min_salary"),
+                col("j.max_salary").as("max_salary"),
+                date_format(Extract.unix_ms_to_ts(col("j.posted_ms")),
+                            "yyyy-MM-dd HH:mm:ss").as("posted_ts"))
+        .filter(col("job_id").isNotNull)
+        .orderBy("doc_id")
+    }),
+    "q44_enrich_join" -> ((s, _) => {
+      // J2/S9 enrichment point-lookup join (olx_c226/phone.go:26-51):
+      // dedupe keys first, per-key simulated API lookup in mapPartitions,
+      // broadcast the small enrichment table back onto the corpus
+      import s.implicits._
+      val snaps = new Snapshots(CrawlOnce.dir(s))
+      val docs = s.read.parquet(snaps.docsPaths(CrawlOnce.lastRound(s)): _*)
+      val lookups = docs.select(col("host")).distinct().as[String]
+        .mapPartitions { it =>
+          it.map(h => (h, f"+62-${math.abs(graft.synthweb.SyntheticWeb.hashOf(77L, h)) % 1000000000L}%09d"))
+        }.toDF("host", "phone")
+      docs.join(broadcast(lookups), Seq("host"), "left")
+        .groupBy(col("host"), col("phone"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("host")
+    }),
+    "q45_facet_split" -> ((s, _) => {
+      // P9/A1 adaptive facet partitioning (olx_c226/main.go:214-232):
+      // iterative split of hot facets until all partitions < threshold
+      val api = FacetSplit.SyntheticFacetApi(seed = 55L)
+      FacetSplit.split(s, Seq(("root", 17099L), ("alt", 420L)), api,
+                       threshold = 1000L)
+        .orderBy("id")
+    }),
     // ---------------- crawl-derived (north-rule pipeline) --------------
     "q50_crawl_docs" -> ((s, _) => {
       entry(s)
@@ -543,6 +650,19 @@ object SparkEntry {
          |JOIN sizes sa ON sa.id=id_a JOIN sizes sb ON sb.id=id_b
          |WHERE i::DOUBLE/(sa.n_grams+sb.n_grams-i) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+    "q40_taxonomy_unnest" ->
+      ("""WITH tax AS (SELECT unnest(from_json('""" + taxonomyJson.replace("'", "''") + """',
+        | '[{"id":"INTEGER","name":"VARCHAR","subs":[{"id":"INTEGER","name":"VARCHAR"}]}]')) AS cat)
+        |SELECT cat.id AS parent_id, cat.name AS parent_name,
+        |       s.id AS sub_id, s.name AS sub_name
+        |FROM tax, LATERAL unnest(cat.subs) AS t(s)
+        |ORDER BY parent_id, sub_id""").stripMargin,
+    "q41_csv_roundtrip" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q42_url_encode" ->
+      """SELECT p_partkey, replace(p_name, ' ', '+') AS enc
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "q33_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id,
         |  CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id<10),
