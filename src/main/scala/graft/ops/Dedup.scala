@@ -56,19 +56,12 @@ object Dedup {
                   i => array_join(slice(ws, i + 1, lit(n)), " "))))
   }
 
-  /** MinHash signature of a shingle array: numHashes independent
-    * hash functions via seeded splitmix over xxhash64 of the shingle.
-    * Row-local (no shuffle); NULL-free arrays assumed.
+  /** MinHash signature of a shingle array: numHashes seeded hash
+    * functions computed in ONE pass by the codegen'd
+    * [[graft.ops.MinHashExpression]]. Row-local (no shuffle).
     */
-  def minhashSignature(shingleArr: Column, numHashes: Int): Column = {
-    val sigs = (0 until numHashes).map { i =>
-      aggregate(
-        transform(shingleArr, s => SeededHash.hash_col(s, i)),
-        lit(Long.MaxValue),
-        (acc, h) => least(acc, h))
-    }
-    array(sigs: _*)
-  }
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    HashOps.minhash_col(shingleArr, numHashes)
 
   /** MinHash+LSH near-duplicate candidate pairs with exact-Jaccard
     * verification. Bands of `rowsPerBand` signature slots are hashed to
@@ -108,20 +101,10 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash over word tokens: each token votes its hash bits
-    * weighted +1/-1; the sign per bit forms the signature. Row-local.
+  /** 64-bit SimHash over word tokens, computed in one pass by the
+    * codegen'd [[graft.ops.SimHash64Expression]]. Row-local.
     */
-  def simhash64(c: Column): Column = {
-    val ws = TextOps.words(c)
-    val hashes = transform(ws, w => xxhash64(w))
-    val bits = (0 until 64).map { b =>
-      val vote = aggregate(
-        hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bits.reduce((x, y) => x.bitwiseOR(y))
-  }
+  def simhash64(c: Column): Column = HashOps.simhash_col(TextOps.words(c))
 
   /** SimHash near-dup pairs: bucket by 4 x 16-bit bands (a pair within
     * hamming distance <=3 of each other shares at least one exact band —
@@ -168,18 +151,5 @@ object Dedup {
           (col("na") + col("nb") - col("inter")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
-}
-
-/** Seeded 64-bit hash family for MinHash: h_i(x) = mix64(xxhash64(x) ^
-  * mix64(i)). Pure Catalyst below (xxhash64 is codegen'd), so signature
-  * computation never leaves whole-stage codegen.
-  */
-object SeededHash {
-  def hash_col(c: Column, seed: Int): Column = {
-    // mix the per-function seed in as a literal; the heavy lifting
-    // (xxhash64) is Spark's codegen'd implementation
-    val s = mix64(seed.toLong)
-    xxhash64(c, lit(s))
   }
 }

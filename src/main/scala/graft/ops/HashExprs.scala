@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftExprs
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.synthweb.SyntheticWeb.mix64
+
+/** Single-pass sketch expressions.
+  *
+  * The composed-Catalyst formulations (64 `aggregate()` bit-votes for
+  * SimHash, `numHashes` transform+aggregate passes for MinHash) re-scan
+  * the token array once per output slot — O(slots × tokens) work per
+  * row. These custom expressions compute the whole sketch in ONE pass
+  * (O(tokens + slots)), stay inside whole-stage codegen via a static
+  * call, and cut the dedup pipeline's signature stage by an order of
+  * magnitude at corpus scale.
+  */
+object HashOps extends Serializable {
+
+  /** FNV-1a over UTF-8 bytes, finished with splitmix64 — the shared
+    * token hash for both sketches.
+    */
+  def tokenHash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    mix64(h)
+  }
+
+  /** One-pass 64-bit SimHash over a string array: each token's hash
+    * votes +1/-1 per bit; sign forms the signature.
+    */
+  def simhash64(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = tokenHash(arr.getUTF8String(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** One-pass MinHash signature: h_i(x) = mix64(tokenHash(x) ^ mix64(i)),
+    * minimum per slot; empty arrays yield Long.MaxValue slots.
+    */
+  def minhash(arr: ArrayData, numHashes: Int): ArrayData = {
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val seeds = new Array[Long](numHashes)
+    var j = 0
+    while (j < numHashes) { seeds(j) = mix64(j.toLong); j += 1 }
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val base = tokenHash(arr.getUTF8String(i))
+      var k = 0
+      while (k < numHashes) {
+        val h = mix64(base ^ seeds(k))
+        if (h < mins(k)) mins(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def simhash_col(tokens: Column): Column =
+    GraftExprs.toColumn(SimHash64Expression(GraftExprs.toExpr(tokens)))
+
+  def minhash_col(tokens: Column, numHashes: Int): Column =
+    GraftExprs.toColumn(MinHashExpression(GraftExprs.toExpr(tokens), numHashes))
+}
+
+case class SimHash64Expression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(HashOps.simhash64(input.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.HashOps.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class MinHashExpression(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.minhash(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.HashOps.minhash($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild, numHashes = numHashes)
+}

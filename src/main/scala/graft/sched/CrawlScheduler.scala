@@ -194,10 +194,8 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
         coalesce(not(exists(col("disallow_prefixes"),
                             p => startswith(col("path"), p))), lit(true)))
     val gated = gatedDf.persist(StorageLevel.MEMORY_AND_DISK)
-    // one small job: blocked count (also warms the robots + gated caches)
-    val blockedCnt = gated
-      .filter(col("robots_known") && !col("robots_allowed"))
-      .count()
+    // (blocked count is derived algebraically from the write-side
+    // Observation metrics below — no standalone job)
     val eligible = gated
       .filter(col("robots_known") && col("robots_allowed"))
       .select(frontier.columns.map(col): _*).as[FrontierEntry]
@@ -374,32 +372,58 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     }
 
     // -- commit (per-round counters ride the writes as Observations) -----
-    val obsDocs = Observation()
-    docs.toDF()
-      .observe(obsDocs, count(lit(1)).as("n"),
-               coalesce(sum(size(col("spans"))), lit(0L)).as("spans"))
+    // fetch_log first: it materializes the fetch caches and its metrics
+    // gate the conditional writes below
+    val obsLog = Observation()
+    fetchLog.toDF()
+      .observe(obsLog,
+               count(lit(1)).as("n"),
+               coalesce(sum(when(col("status") === 200, 1L).otherwise(0L)), lit(0L))
+                 .as("ok"),
+               coalesce(sum(when(col("status") === 404, 1L).otherwise(0L)), lit(0L))
+                 .as("n404"),
+               coalesce(sum(when(col("seq") === 0, 1L).otherwise(0L)), lit(0L))
+                 .as("n_robots"),
+               coalesce(sum(when(col("seq") > 0 && col("status") === 200, 1L)
+                 .otherwise(0L)), lit(0L)).as("ok_main"))
       .coalesce(statePar)
-      .write.mode("overwrite").parquet(snaps.tablePath(r, "docs"))
-    seenDelta.toDF().coalesce(statePar)
+      .write.mode("overwrite").parquet(snaps.tablePath(r, "fetch_log"))
+    def obsL(o: Observation, k: String): Long = o.get(k).asInstanceOf[Long]
+    val okMain = obsL(obsLog, "ok_main")
+    val nRobots = obsL(obsLog, "n_robots")
+
+    val obsDocs = Observation()
+    if (okMain > 0)
+      docs.toDF()
+        .observe(obsDocs, count(lit(1)).as("n"),
+                 coalesce(sum(size(col("spans"))), lit(0L)).as("spans"))
+        .coalesce(statePar)
+        .write.mode("overwrite").parquet(snaps.tablePath(r, "docs"))
+    val obsSeen = Observation()
+    seenDelta.toDF()
+      .observe(obsSeen,
+               coalesce(sum(when(col("status") === 599, 1L).otherwise(0L)), lit(0L))
+                 .as("exhausted"))
+      .coalesce(statePar)
       .write.mode("overwrite").parquet(snaps.tablePath(r, "seen_delta"))
     val obsFront = Observation()
     newFrontier.toDF()
       .observe(obsFront, count(lit(1)).as("n"),
                coalesce(sum(when(col("round") === r && col("attempt") === 0, 1L)
-                 .otherwise(0L)), lit(0L)).as("new_urls"))
+                 .otherwise(0L)), lit(0L)).as("new_urls"),
+               coalesce(sum(when(col("round") === r && col("attempt") > 0, 1L)
+                 .otherwise(0L)), lit(0L)).as("retries"))
       .coalesce(statePar)
       .write.mode("overwrite").parquet(snaps.tablePath(r, "frontier"))
-    robotsAll.coalesce(statePar)
-      .write.mode("overwrite").parquet(snaps.tablePath(r, "robots"))
+    // robots table only changes on rounds that fetched robots.txt
+    val robotsPath =
+      if (nRobots > 0) {
+        robotsAll.coalesce(statePar)
+          .write.mode("overwrite").parquet(snaps.tablePath(r, "robots"))
+        snaps.tablePath(r, "robots")
+      } else m.tables("robots")
     hostStateAll.toDF().coalesce(statePar)
       .write.mode("overwrite").parquet(snaps.tablePath(r, "host_state"))
-    val obsLog = Observation()
-    fetchLog.toDF()
-      .observe(obsLog, count(lit(1)).as("n"),
-               coalesce(sum(when(col("status") === 200, 1L).otherwise(0L)), lit(0L))
-                 .as("ok"))
-      .coalesce(statePar)
-      .write.mode("overwrite").parquet(snaps.tablePath(r, "fetch_log"))
 
     // filter shards: ONE distributed pass updates cuckoo + bloom shards;
     // overflowed cuckoos rebuilt from the exact seen table (rare)
@@ -452,27 +476,33 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
         (r, Seq.empty[Int])
       } else (m.seenFullRound, deltaRounds)
 
-    def obsLong(o: Observation, k: String): Long =
-      o.get(k).asInstanceOf[Long]
-    val selectedCnt = obsLong(obsLog, "n")
-    val okCnt = obsLong(obsLog, "ok")
-    val newCnt = obsLong(obsFront, "new_urls")
-    val frontierLeft = obsLong(obsFront, "n")
-    val spansCnt = obsLong(obsDocs, "spans")
+    val selectedCnt = obsL(obsLog, "n")
+    val okCnt = obsL(obsLog, "ok")
+    val newCnt = obsL(obsFront, "new_urls")
+    val frontierLeft = obsL(obsFront, "n")
+    val retriesCnt = obsL(obsFront, "retries")
+    val spansCnt = if (okMain > 0) obsL(obsDocs, "spans") else 0L
+    val docsCnt = if (okMain > 0) obsL(obsDocs, "n") else 0L
+    // blocked = prev frontier minus robots fetches minus what remained
+    // eligible/held/selected this round — pure algebra over observes
+    val prevFrontier = m.counters.getOrElse("frontier", 0L)
+    val blockedCnt = math.max(0L,
+      prevFrontier - nRobots -
+        (frontierLeft - retriesCnt - newCnt + (selectedCnt - nRobots)))
 
     snaps.writeManifest(Snapshots.Manifest(
       round = r, parentRound = r - 1,
       tables = Map(
         "frontier" -> snaps.tablePath(r, "frontier"),
         "host_state" -> snaps.tablePath(r, "host_state"),
-        "robots" -> snaps.tablePath(r, "robots")),
+        "robots" -> robotsPath),
       seenDeltaRounds = seenDeltaRounds, seenFullRound = seenFullRound,
       buckets = allBuckets,
       counters = Map(
         "selected" -> selectedCnt, "fetched_ok" -> okCnt,
         "robots_blocked" -> blockedCnt, "new_urls" -> newCnt,
         "frontier" -> frontierLeft, "spans" -> spansCnt,
-        "docs" -> obsLong(obsDocs, "n")),
+        "docs" -> docsCnt),
       done = frontierLeft == 0))
 
     Seq(gated, selected, mainFetched, robotsFetched, pageOuts, seenDelta,

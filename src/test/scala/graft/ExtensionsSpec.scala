@@ -1,0 +1,27 @@
+package graft
+
+class ExtensionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("registered SQL functions work end-to-end") {
+    GraftFunctions.register(spark)
+    Seq(("<P>Hello  world</P><script>x</script>", "the cat and the dog is here"))
+      .toDF("html", "text").createOrReplaceTempView("ext_t")
+    val row = spark.sql(
+      """SELECT graft_trim_html(html) AS clean,
+        |       graft_lang_id(text) AS lang,
+        |       graft_fingerprint64(text) AS fp,
+        |       graft_simhash64(split(text, ' ')) AS sh,
+        |       graft_minhash(split(text, ' '), 8) AS mh
+        |FROM ext_t""".stripMargin).head()
+    assert(row.getAs[String]("clean") == "Hello\nworld")
+    assert(row.getAs[String]("lang") == "en")
+    assert(row.getAs[Long]("fp") == graft.ops.Fingerprint64("the cat and the dog is here"))
+    assert(row.getAs[scala.collection.Seq[Long]]("mh").size == 8)
+    // simhash of identical token arrays matches the Column API
+    val viaCol = Seq("the cat and the dog is here").toDF("t")
+      .select(graft.ops.Dedup.simhash64(org.apache.spark.sql.functions.col("t")))
+      .as[Long].head()
+    assert(row.getAs[Long]("sh") == viaCol)
+  }
+}
