@@ -458,6 +458,14 @@ object SparkEntry {
                        threshold = 1000L)
         .orderBy("id")
     }),
+    "q39_media_from_crawl" -> ((s, _) => {
+      // multimodal plumbing over the crawl output: media spans -> opaque
+      // binary payloads (fetch stub) -> partition-local decode stub
+      val snaps = new Snapshots(CrawlOnce.dir(s))
+      val docs = s.read.parquet(snaps.docsPaths(CrawlOnce.lastRound(s)): _*)
+      val media = Multimodal.mediaTableFromDocs(s, docs)
+      Multimodal.imageMeta(s, media).orderBy("media_ref")
+    }),
     // ---------------- crawl-derived (north-rule pipeline) --------------
     "q50_crawl_docs" -> ((s, _) => {
       entry(s)

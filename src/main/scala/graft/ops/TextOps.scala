@@ -28,8 +28,10 @@ object TextOps {
     * stand-in for a real tokenizer's token count at corpus scale.
     */
   def subword_count(c: Column): Column =
-    size(filter(split(lower(c), "(?<=[^a-z0-9])|(?=[^a-z0-9])"),
-                x => trim(x) =!= ""))
+    size(filter(
+      split(lower(c),
+            "(?<=[^a-z0-9])|(?=[^a-z0-9])|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])"),
+      x => trim(x) =!= ""))
 
   /** Lowercased word array (alpha-num runs), empty strings removed —
     * shared tokenization for jaccard/minhash/stopword features.

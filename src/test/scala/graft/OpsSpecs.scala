@@ -13,6 +13,13 @@ class TextOpsSpec extends SparkSuite {
     assert(got == Seq(0, 0, 1, 2, 3))
   }
 
+  test("subword_count: alpha runs, digit runs, punctuation marks") {
+    val df = Seq("hello world", "abc123 x!", "a-b.c", "").toDF("t")
+    val got = df.select(TextOps.subword_count(col("t"))).as[Int].collect().toSeq
+    // "hello","world" | "abc","123","x","!" | "a","-","b",".","c" | none
+    assert(got == Seq(2, 4, 5, 0))
+  }
+
   test("lang_id detects planted languages") {
     val samples = Seq(
       ("the cat and the dog is in the house with it", "en"),
