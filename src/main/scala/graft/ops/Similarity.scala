@@ -117,10 +117,16 @@ object Similarity {
 
   /** LSH-bucketed ANN top-k: candidates = corpus rows sharing any
     * (table, bucket) with the query; exact cosine re-rank inside.
+    *
+    * Multiprobe: each query additionally probes the buckets at hamming
+    * distance 1 from its signature (`probes` controls how many of the
+    * `bits` flips are taken), the standard recall/scan trade — recall
+    * rises like extra tables without re-hashing the corpus.
     */
   def lshTopK(spark: SparkSession, emb: DataFrame, idCol: String,
               vecCol: String, queryIds: Seq[Long], k: Int,
-              tables: Int = 8, bits: Int = 12, seed: Long = 42L): Dataset[Scored] = {
+              tables: Int = 8, bits: Int = 12, seed: Long = 42L,
+              probes: Int = 0): Dataset[Scored] = {
     import spark.implicits._
     val dim = emb.select(size(col(vecCol))).first().getInt(0)
     val planes = hyperplanes(seed, tables, bits, dim)
@@ -137,9 +143,17 @@ object Similarity {
       }
       .toDF("id", "vec", "table", "bucket")
 
+    val nProbes = math.min(math.max(probes, 0), bits)
     val qSigs = sigRows.filter(col("id").isin(queryIds.map(Long.box): _*))
       .select(col("id").as("query_id"), col("vec").as("qvec"),
               col("table"), col("bucket"))
+      .as[(Long, Array[Float], Int, Int)]
+      .flatMap { case (q, v, t, b) =>
+        // exact bucket + hamming-1 probes on the first nProbes bits
+        (b +: (0 until nProbes).map(i => b ^ (1 << i))).distinct
+          .map(pb => (q, v, t, pb))
+      }
+      .toDF("query_id", "qvec", "table", "bucket")
     val cands = sigRows
       .join(broadcast(qSigs), Seq("table", "bucket"))
       .filter(col("id") =!= col("query_id") &&

@@ -155,6 +155,16 @@ class SimilaritySpec extends SparkSuite {
       brute(q).intersect(lsh.getOrElse(q, Set.empty)).size.toDouble / 5.0
     }.sum / queries.size
     assert(recall >= 0.3, s"LSH recall vs brute force too low: $recall")
+    // multiprobe (hamming-1 buckets) must not lose recall, should gain
+    val lshMp = Similarity.lshTopK(spark, emb, "vec_id", "embedding", queries, 5,
+                                   tables = 8, bits = 6, probes = 6)
+      .collect().groupBy(_.query_id).view
+      .mapValues(_.map(_.neighbor_id).toSet).toMap
+    val recallMp = queries.map { q =>
+      brute(q).intersect(lshMp.getOrElse(q, Set.empty)).size.toDouble / 5.0
+    }.sum / queries.size
+    assert(recallMp >= recall, s"multiprobe lost recall: $recallMp < $recall")
+    assert(recallMp >= 0.5, s"multiprobe recall too low: $recallMp")
     // determinism
     val lsh2 = Similarity.lshTopK(spark, emb, "vec_id", "embedding", queries, 5,
                                   tables = 8, bits = 6)
