@@ -74,6 +74,9 @@ object Bench {
     } finally s.stop()
   }
 
+  private def fmt(v: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -105,14 +108,14 @@ object Bench {
     val pps32 = pages32 / sec32
     val eff = (pps32 / pps8) / 4.0
 
-    val qs = qTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = qTimes.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
     val total = qTimes.filter(_._2 >= 0).map(_._2).sum
     println(
-      s"""{"metric":"crawl_pages_per_sec_32c","value":${f"$pps32%.1f"},"unit":"pages/sec",""" +
-        s""""queries":$qs,"sf":"$sfDir","queries_total_sec":${f"$total%.3f"},""" +
-        s""""crawl":{"pages":$pages32,"sec_8":${f"$sec8%.2f"},"sec_32":${f"$sec32%.2f"},""" +
-        s""""pps_8":${f"$pps8%.1f"},"pps_32":${f"$pps32%.1f"},""" +
-        s""""scaling_efficiency":${f"$eff%.3f"}}}""")
+      s"""{"metric":"crawl_pages_per_sec_32c","value":${fmt(pps32, 1)},"unit":"pages/sec",""" +
+        s""""queries":$qs,"sf":"$sfDir","queries_total_sec":${fmt(total, 3)},""" +
+        s""""crawl":{"pages":$pages32,"sec_8":${fmt(sec8, 2)},"sec_32":${fmt(sec32, 2)},""" +
+        s""""pps_8":${fmt(pps8, 1)},"pps_32":${fmt(pps32, 1)},""" +
+        s""""scaling_efficiency":${fmt(eff, 3)}}}""")
   }
 }

@@ -48,17 +48,19 @@ object UrlCanon {
     val query =
       if (queryPart.isEmpty) ""
       else {
+        // bare-ness tracked per param (a bare key that is a suffix of
+        // another key must stay bare)
         val params = queryPart
           .split("&")
           .filter(_.nonEmpty)
           .map { kv =>
             val j = kv.indexOf('=')
-            if (j >= 0) (kv.substring(0, j), kv.substring(j + 1))
-            else (kv, "")
+            if (j >= 0) (kv.substring(0, j), kv.substring(j + 1), true)
+            else (kv, "", false)
           }
           .sortBy(p => (p._1, p._2))
         "?" + params
-          .map { case (k, v) => if (v.isEmpty && !queryPart.contains(k + "=")) k else s"$k=$v" }
+          .map { case (k, v, hadEq) => if (hadEq) s"$k=$v" else k }
           .mkString("&")
       }
     schemeHost + path + query
@@ -139,28 +141,4 @@ object UrlCanon {
   /** sha-256 hex of a column (matches [[sha256Hex]]). */
   def sha256HexCol(c: Column): Column = sha2(c, 256)
 
-  /** Catalyst best-effort canonicalization for URLs WITHOUT query strings
-    * (query-param sorting needs the typed [[canonicalize]]): lowercases
-    * scheme+authority, strips fragment and default port and trailing
-    * slash. Used where inputs are known query-free (e.g. the synthetic
-    * web's link space).
-    */
-  def canonNoQueryCol(u: Column): Column = {
-    val noFrag = regexp_replace(u, "#.*$", "")
-    val lowered = concat(
-      lower(regexp_extract(noFrag, "^([^:/]+://[^/]*)", 1)),
-      regexp_extract(noFrag, "^[^:/]+://[^/]*(.*)$", 1)
-    )
-    val noPort = regexp_replace(
-      regexp_replace(lowered, "^(https://[^/]*):443(/|$)", "$1$2"),
-      "^(http://[^/]*):80(/|$)",
-      "$1$2"
-    )
-    val slashed =
-      when(regexp_extract(noPort, "^[^:/]+://[^/]*$", 0) =!= "", concat(noPort, lit("/")))
-        .otherwise(noPort)
-    when(length(slashed) > length(regexp_extract(slashed, "^([^:/]+://[^/]*)", 1)) + 1,
-         regexp_replace(slashed, "/$", ""))
-      .otherwise(slashed)
-  }
 }

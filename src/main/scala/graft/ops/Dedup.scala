@@ -96,8 +96,9 @@ object Dedup {
     cand
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jaccard", round(col("inter") / greatest(col("uni"), lit(1.0)), 4))
-      .filter(col("jaccard") >= threshold)
+      .withColumn("jaccard_raw", col("inter") / greatest(col("uni"), lit(1.0)))
+      .filter(col("jaccard_raw") >= threshold) // filter BEFORE rounding
+      .withColumn("jaccard", round(col("jaccard_raw"), 4))
       .select("id_a", "id_b", "jaccard")
   }
 
@@ -146,10 +147,12 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
-      .withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double"), 4))
-      .filter(col("jaccard") >= threshold)
+      .withColumn("jaccard_raw",
+        col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard_raw") >= threshold) // matches the SQL oracle:
+      // threshold applies to the unrounded value, rounding is output-only
+      .withColumn("jaccard", round(col("jaccard_raw"), 4))
       .select("id_a", "id_b", "jaccard")
   }
 }

@@ -65,11 +65,14 @@ object HashOps extends Serializable {
   /** One-pass MinHash signature: h_i(x) = mix64(tokenHash(x) ^ mix64(i)),
     * minimum per slot; empty arrays yield Long.MaxValue slots.
     */
+  private val seedCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  private def seedsFor(numHashes: Int): Array[Long] =
+    seedCache.computeIfAbsent(numHashes, n => Array.tabulate(n)(j => mix64(j.toLong)))
+
   def minhash(arr: ArrayData, numHashes: Int): ArrayData = {
     val mins = Array.fill(numHashes)(Long.MaxValue)
-    val seeds = new Array[Long](numHashes)
-    var j = 0
-    while (j < numHashes) { seeds(j) = mix64(j.toLong); j += 1 }
+    val seeds = seedsFor(numHashes)
     val n = arr.numElements()
     var i = 0
     while (i < n) {

@@ -124,6 +124,7 @@ object Multimodal {
     */
   def sampleFrames(spark: SparkSession, media: DataFrame, everyN: Int,
                    codec: Codec = FakeCodec): DataFrame = {
+    require(everyN > 0, s"everyN must be positive, got $everyN")
     import spark.implicits._
     media.filter(col("kind") === "video")
       .select(col("media_ref"), col("bytes"))

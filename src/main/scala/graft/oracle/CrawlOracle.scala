@@ -156,9 +156,11 @@ final class CrawlOracle(cfg: CrawlConfig) {
       val remaining = held.toVector ++
         eligible.filterNot(e => selectedHashes.contains(e.url_hash))
       val remainingHashes = remaining.map(_.url_hash).toSet
+      val retryHashes = retries.map(_.url_hash).toSet
       val newCand = (candSeenFree ++ robotsCand)
         .filterNot(c => remainingHashes.contains(c.url_hash))
         .filterNot(c => selectedHashes.contains(c.url_hash))
+        .filterNot(c => retryHashes.contains(c.url_hash))
       frontier = remaining ++ retries ++ newCand
 
       // token update (all known hosts refill; selected counts drain)

@@ -293,14 +293,17 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     // tier 1: bloom shard of the candidate's bucket, checked MAP-SIDE
     // (no shuffle): a miss is definitely new; missing shard => maybe
     val shardBits = cfg.bloomShardBits
+    val bloomK = cfg.bloomHashes
     val tiered = candDedup.mapPartitions { it =>
       val shards = mutable.Map.empty[Int, BloomFilter]
       it.map { c =>
         val b = bucketOf(c.host_hash, nb)
-        val bf = shards.getOrElseUpdate(b,
-          bloomBc.value.get(b).map(BloomFilter.deserialize)
-            .getOrElse(new BloomFilter(shardBits, 5)))
-        (c, bloomBc.value.contains(b) && bf.mightContain(c.url_hash))
+        val bf = shards.get(b).orElse {
+          val f = bloomBc.value.get(b).map(BloomFilter.deserialize)
+          f.foreach(shards.update(b, _)); f
+        }
+        // conservative: missing shard => maybe seen (exact tier resolves)
+        (c, bf.forall(_.mightContain(c.url_hash)))
       }
     }
     val defNew = tiered.filter(!_._2).map(_._1)
@@ -343,6 +346,10 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
             col("url_hash") === col("f_hash"), "left_anti").as[FrontierEntry]
       .join(selected.select(col("e.url_hash").as("sel_hash")),
             col("url_hash") === col("sel_hash"), "left_anti").as[FrontierEntry]
+      // and vs retries: a retried robots.txt (budget-exempt, so NOT in
+      // `selected`) must not also re-enter as a fresh robotsCand entry
+      .join(retries.select(col("url_hash").as("r_hash")),
+            col("url_hash") === col("r_hash"), "left_anti").as[FrontierEntry]
 
     val newFrontier = remainingFrontier.union(retries).union(newCand)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -433,7 +440,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
         val cf = cuckooBc.value.get(b).map(CuckooFilter.deserialize)
           .getOrElse(CuckooFilter.sized(4096))
         val bf = bloomBc.value.get(b).map(BloomFilter.deserialize)
-          .getOrElse(new BloomFilter(shardBits, 5))
+          .getOrElse(new BloomFilter(shardBits, bloomK))
         var ok = true
         it.foreach { s =>
           ok &= cf.put(s.url_hash)
@@ -459,12 +466,17 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     val prevBuckets = m.buckets.toSet
     val touchedCuckoo = updates.map(u => u._1 -> rebuilt.getOrElse(u._1, u._2)).toMap
     val touchedBloom = updates.map(u => u._1 -> u._3).toMap
-    val allBuckets = (prevBuckets ++ touchedCuckoo.keySet).toSeq.sorted
-    allBuckets.foreach { b =>
-      snaps.writeFilter(r, b,
-        touchedCuckoo.getOrElse(b, snaps.readFilter(r - 1, b).get))
-      snaps.writeBloomShard(r, b,
-        touchedBloom.getOrElse(b, snaps.readBloomShard(r - 1, b).get))
+    // carry forward untouched shards; a missing prior shard file is
+    // dropped from the manifest (readers then treat the bucket
+    // conservatively: bloom says maybe, cuckoo says maybe)
+    val allBuckets = (prevBuckets ++ touchedCuckoo.keySet).toSeq.sorted.filter { b =>
+      val cu = touchedCuckoo.get(b).orElse(snaps.readFilter(r - 1, b))
+      val bl = touchedBloom.get(b).orElse(snaps.readBloomShard(r - 1, b))
+      (cu, bl) match {
+        case (Some(c), Some(bb)) =>
+          snaps.writeFilter(r, b, c); snaps.writeBloomShard(r, b, bb); true
+        case _ => false
+      }
     }
 
     // seen compaction

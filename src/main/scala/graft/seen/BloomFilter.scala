@@ -75,7 +75,8 @@ object BloomFilter {
   /** Size for expected n items at target false-positive rate p. */
   def sized(expected: Long, fpp: Double): BloomFilter = {
     val m0 = math.ceil(-expected * math.log(fpp) / (math.log(2) * math.log(2)))
-    val m = (((m0.toLong.max(64L) + 63) / 64) * 64).min(Int.MaxValue / 2).toInt
+    // cap must stay a multiple of 64 (1<<30 bits = 128 MB per filter)
+    val m = (((m0.toLong.max(64L) + 63) / 64) * 64).min(1L << 30).toInt
     val k = math.max(1, math.round((m.toDouble / expected.max(1)) * math.log(2)).toInt)
     new BloomFilter(m, k)
   }

@@ -34,7 +34,8 @@ final case class WebConfig(
     latencyBaseMs: Int = 1,
     latencyJitterMs: Int = 4,
     paginationFanout: Int = 1, // listing k links to pages k+1..k+fanout
-    seedAllListPages: Boolean = false // seed every listing page directly
+    seedAllListPages: Boolean = false, // seed every listing page directly
+    pctRobots503: Int = 0 // percent of robots.txt that 503 once first
 ) {
   def host(h: Int): String = s"host-$h.test"
   def listPages(h: Int): Int =
@@ -133,7 +134,9 @@ object SyntheticWeb {
         val body =
           if (hostHasRobots(cfg, h)) "User-agent: *\nDisallow: /private/\n"
           else "User-agent: *\nDisallow:\n"
-        Page(200, body, latency, 0)
+        if (pct(mix64(rng ^ 17L)) < cfg.pctRobots503)
+          Page(503, body, latency, retryableUntilAttempt = 0)
+        else Page(200, body, latency, 0)
 
       case "listing" =>
         val k = canon.substring(canon.lastIndexOf('/') + 1).toIntOption.getOrElse(-1)

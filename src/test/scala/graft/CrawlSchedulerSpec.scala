@@ -92,6 +92,27 @@ class CrawlSchedulerSpec extends SparkSuite {
     assertParity(cfg)
   }
 
+  test("scheduler matches oracle when robots.txt fetches fail retryably") {
+    // exercises the retry-vs-robotsCand duplicate exclusion: a host's
+    // robots 503s while other pages keep discovering that host's URLs
+    val cfg = CrawlConfig(
+      web = WebConfig(seed = 19, nHosts = 5, listPagesPerHost = 2,
+                      detailsPerList = 5, crossHostLinkPct = 40,
+                      pctRobots503 = 60),
+      outDir = tmpDir("crawlrb-"),
+      maxRounds = 50, hostCapacity = 5.0, hostRefill = 5.0)
+    assertParity(cfg)
+    // frontier uniqueness held: no duplicate (round, host, seq=0) rows
+    val snaps = new Snapshots(cfg.outDir)
+    val last = snaps.latestRound.get
+    val dup = spark.read
+      .schema(implicitly[org.apache.spark.sql.Encoder[FetchLogEntry]].schema)
+      .parquet(snaps.fetchLogPaths(last): _*)
+      .groupBy(col("round"), col("host"), col("seq")).count()
+      .filter(col("count") > 1).count()
+    assert(dup == 0, s"duplicate fetch-log (round,host,seq) rows: $dup")
+  }
+
   test("resume from checkpoint is bit-identical to uninterrupted run") {
     val web = WebConfig(seed = 11, nHosts = 3, listPagesPerHost = 3,
                         detailsPerList = 5)

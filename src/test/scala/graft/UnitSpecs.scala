@@ -15,6 +15,11 @@ class CanonSpec extends SparkSuite {
     assert(UrlCanon.canonicalize("https://h.test/x?b=2&a=1") == "https://h.test/x?a=1&b=2")
     assert(UrlCanon.canonicalize("https://h.test") == "https://h.test/")
     assert(UrlCanon.canonicalize("https://h.test:8443/x") == "https://h.test:8443/x")
+    // bare params stay bare, even when another key has them as a suffix
+    assert(UrlCanon.canonicalize("https://h.test/p?flag&xflag=1") ==
+      "https://h.test/p?flag&xflag=1")
+    assert(UrlCanon.canonicalize("https://h.test/p?a&a=1") ==
+      "https://h.test/p?a&a=1")
   }
   test("canonicalize is idempotent") {
     val urls = Seq("https://A.b:443/p/?z=9&a=1#f", "http://x.y:80//",
