@@ -340,7 +340,8 @@ object SparkEntry {
     }),
     "q35_ann_lsh" -> ((s, dir) => {
       Similarity.lshTopK(s, T(s, dir, "embeddings"), "vec_id", "embedding",
-                         (0L until 10L).toSeq, 5, tables = 8, bits = 10)
+                         (0L until 10L).toSeq, 5, tables = 8, bits = 10,
+                         probes = 4)
         .toDF()
         .withColumn("sim", round(col("sim"), 4))
         .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
