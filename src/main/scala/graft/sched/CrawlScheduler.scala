@@ -69,17 +69,26 @@ final case class RoundResult(round: Int, selected: Long, fetchedOk: Long,
   *     ~17× facet skew, olx_c226/main.go:20, is the motivating case);
   *     phase B sees ≤ salts×budget rows per host.
   *   - the seen set is never collected: per-bucket bloom shards (checked
-  *     map-side, no shuffle) and sharded cuckoo filters discard
-  *     definite-new candidates cheaply; only possible-positives reach
-  *     the exact anti-join. Shards are keyed by host_hash bucket — at
-  *     10^10 URLs no single filter needs to broadcast whole; each
-  *     executor holds the buckets co-partitioned with it.
+  *     map-side, no shuffle, loaded lazily per executor from the
+  *     snapshot store via [[FilterShardCache]]) and sharded cuckoo
+  *     filters discard definite-new candidates cheaply; only
+  *     possible-positives reach the exact anti-join. Shards are keyed
+  *     by host_hash bucket — at 10^10 URLs no filter bytes ever move
+  *     through the driver or a whole-map broadcast: each task reads
+  *     exactly the bucket shards it touches, and shard maintenance
+  *     writes each updated bucket's files from the executor that owns
+  *     the group. Untouched buckets stay referenced at their
+  *     last-written round in the manifest (no copy-forward).
   *   - driver-side fixed cost per round is capped: all per-round
   *     counters ride as `Observation` metrics on the commit writes
-  *     (zero extra jobs), and filter maintenance is one distributed
-  *     pass updating cuckoo+bloom shards together. Fat rounds amortize
-  *     the remaining constant — the same argument that makes round
+  *     (zero extra jobs); the independent commit writes of one round
+  *     run as concurrent Spark jobs so the round's fixed cost is the
+  *     longest single write, not the sum. Fat rounds amortize the
+  *     remaining constant — the same argument that makes round
   *     scheduling viable on a 1000-executor cluster.
+  *   - a round whose frontier holds no robots.txt entries (tracked in
+  *     the manifest counters) skips the robots-prefetch sub-step's jobs
+  *     entirely — in steady state only discovery rounds pay it.
   *   - all state tables round-trip through parquet each round, which
   *     truncates lineage (no ever-growing DAG) and is the checkpoint.
   */
@@ -121,8 +130,11 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
         "frontier" -> snaps.tablePath(0, "frontier"),
         "host_state" -> snaps.tablePath(0, "host_state"),
         "robots" -> snaps.tablePath(0, "robots")),
-      seenDeltaRounds = Seq(0), seenFullRound = -1, buckets = Nil,
-      counters = Map("frontier" -> frontier.size.toLong), done = false))
+      seenDeltaRounds = Seq(0), seenFullRound = -1, filterRounds = Map.empty,
+      counters = Map(
+        "frontier" -> frontier.size.toLong,
+        "frontier_pri0" -> frontier.count(_.priority == 0).toLong),
+      done = false))
   }
 
   // ------------------------------------------------------------------
@@ -143,45 +155,55 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     val robots = readT[RobotsRule](m.tables("robots"))
     val hostState = readT[HostState](m.tables("host_state"))
     val seen = readTMulti[SeenEntry](snaps.seenPaths(m))
-    // shard maps: bucket -> serialized filter (broadcast once per round)
-    val cuckooBc = spark.sparkContext.broadcast(
-      m.buckets.flatMap(b => snaps.readFilter(r - 1, b).map(b -> _)).toMap)
-    val bloomBc = spark.sparkContext.broadcast(
-      m.buckets.flatMap(b => snaps.readBloomShard(r - 1, b).map(b -> _)).toMap)
+    // shard locations: bucket -> round whose files are current. Tasks
+    // read exactly the bucket shards they touch from the snapshot store;
+    // no filter bytes move through the driver or a broadcast.
+    val filterRounds = m.filterRounds
+    val root = cfg.outDir
 
     // -- robots prefetch sub-step ----------------------------------------
     // priority-0 (robots.txt) entries are fetched unconditionally at the
     // start of the round: a host becomes crawlable the same round it is
     // discovered, and robots fetches are budget-exempt (at most one tiny
     // fetch per host — standard crawler practice). They log at seq 0;
-    // budgeted fetches start at seq 1.
+    // budgeted fetches start at seq 1. Rounds whose frontier provably
+    // holds no priority-0 entries (manifest counter) skip the sub-step's
+    // jobs entirely — a pure no-op elision, identical results.
     val par = spark.sparkContext.defaultParallelism
     val web = cfg.web
     val simLat = cfg.simulateLatency
     val maxAtt = cfg.maxAttempts
-    val robotsFetched = frontier.filter(col("priority") === 0).as[FrontierEntry]
-      .repartition(par)
-      .mapPartitions { it =>
-        val f = SimulatedFetcher(web, simLat)
-        it.map(e => (f.fetch(e), 0))
-      }
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val rest = frontier.filter(col("priority") =!= 0).as[FrontierEntry]
+    val hasPri0 = !m.counters.get("frontier_pri0").contains(0L)
+    val robotsFetchedOpt =
+      if (!hasPri0) None
+      else Some(frontier.filter(col("priority") === 0).as[FrontierEntry]
+        .repartition(par)
+        .mapPartitions { it =>
+          val f = SimulatedFetcher(web, simLat)
+          it.map(e => (f.fetch(e), 0))
+        }
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val rest =
+      if (hasPri0) frontier.filter(col("priority") =!= 0).as[FrontierEntry]
+      else frontier
 
     // rules learned from this round's robots fetches: 200 => parsed;
     // 404 or retry-exhausted => allow-all (colly's permissive default)
-    val newRobots = robotsFetched.mapPartitions { it =>
-      it.flatMap { case (fr, _) =>
-        if (fr.status == 200)
-          Iterator.single(RobotsRule(fr.host,
-            Robots.parse(fr.host, fr.body).disallow_prefixes))
-        else if (fr.status == 404 || fr.attempt + 1 > maxAtt)
-          Iterator.single(RobotsRule(fr.host, Nil))
-        else Iterator.empty
-      }
-    }
-    val robotsAll = robots.union(newRobots).dropDuplicates("host")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val robotsAll = (robotsFetchedOpt match {
+      case None => robots
+      case Some(robotsFetched) =>
+        val newRobots = robotsFetched.mapPartitions { it =>
+          it.flatMap { case (fr, _) =>
+            if (fr.status == 200)
+              Iterator.single(RobotsRule(fr.host,
+                Robots.parse(fr.host, fr.body).disallow_prefixes))
+            else if (fr.status == 404 || fr.attempt + 1 > maxAtt)
+              Iterator.single(RobotsRule(fr.host, Nil))
+            else Iterator.empty
+          }
+        }
+        robots.union(newRobots).dropDuplicates("host")
+    }).persist(StorageLevel.MEMORY_AND_DISK)
 
     // -- robots gate (non-robots frontier, with this round's rules) ------
     val gatedDf = rest
@@ -241,7 +263,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
         it.map(s => (f.fetch(s.e), s.seq))
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val fetched = robotsFetched.union(mainFetched)
+    val fetched = robotsFetchedOpt.map(_.union(mainFetched)).getOrElse(mainFetched)
 
     // -- parse 200s into the interleaved span model ----------------------
     val pageOuts = mainFetched
@@ -291,28 +313,30 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
       .map(_._2)
 
     // tier 1: bloom shard of the candidate's bucket, checked MAP-SIDE
-    // (no shuffle): a miss is definitely new; missing shard => maybe
+    // (no shuffle): a miss is definitely new; missing shard => maybe.
+    // Shards load lazily per executor (FilterShardCache) from the
+    // snapshot store — only buckets this task actually touches.
     val shardBits = cfg.bloomShardBits
     val bloomK = cfg.bloomHashes
     val tiered = candDedup.mapPartitions { it =>
-      val shards = mutable.Map.empty[Int, BloomFilter]
       it.map { c =>
         val b = bucketOf(c.host_hash, nb)
-        val bf = shards.get(b).orElse {
-          val f = bloomBc.value.get(b).map(BloomFilter.deserialize)
-          f.foreach(shards.update(b, _)); f
-        }
+        val bf = filterRounds.get(b)
+          .flatMap(fr => FilterShardCache.bloom(root, fr, b))
         // conservative: missing shard => maybe seen (exact tier resolves)
         (c, bf.forall(_.mightContain(c.url_hash)))
       }
     }
     val defNew = tiered.filter(!_._2).map(_._1)
-    // tier 2: sharded cuckoo — shuffle only possible-positives
+    // tier 2: sharded cuckoo — shuffle only possible-positives; each
+    // group task loads exactly its own bucket's shard
     val maybe = tiered.filter(_._2).map(_._1)
     val cuckooChecked = maybe
       .groupByKey(c => bucketOf(c.host_hash, nb))
       .flatMapGroups { (b: Int, it: Iterator[FrontierEntry]) =>
-        val cf = cuckooBc.value.get(b).map(CuckooFilter.deserialize)
+        val cf = filterRounds.get(b)
+          .flatMap(fr => Snapshots.readBytesAt(Snapshots.filterPathAt(root, fr, b)))
+          .map(CuckooFilter.deserialize)
         it.map(c => (c, cf.forall(_.mightContain(c.url_hash))))
       }
     val cuckooNew = cuckooChecked.filter(!_._2).map(_._1)
@@ -380,7 +404,10 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
 
     // -- commit (per-round counters ride the writes as Observations) -----
     // fetch_log first: it materializes the fetch caches and its metrics
-    // gate the conditional writes below
+    // gate the conditional writes below. The remaining commit writes are
+    // all independent of each other, so they run as CONCURRENT Spark
+    // jobs — the round's fixed commit cost is the longest single write,
+    // not the sum of six sequential job launches.
     val obsLog = Observation()
     fetchLog.toDF()
       .observe(obsLog,
@@ -399,92 +426,121 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     val okMain = obsL(obsLog, "ok_main")
     val nRobots = obsL(obsLog, "n_robots")
 
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = commitEc
+
     val obsDocs = Observation()
-    if (okMain > 0)
-      docs.toDF()
-        .observe(obsDocs, count(lit(1)).as("n"),
-                 coalesce(sum(size(col("spans"))), lit(0L)).as("spans"))
-        .coalesce(statePar)
-        .write.mode("overwrite").parquet(snaps.tablePath(r, "docs"))
+    val docsF = Future {
+      if (okMain > 0)
+        docs.toDF()
+          .observe(obsDocs, count(lit(1)).as("n"),
+                   coalesce(sum(size(col("spans"))), lit(0L)).as("spans"))
+          .coalesce(statePar)
+          .write.mode("overwrite").parquet(snaps.tablePath(r, "docs"))
+    }
     val obsSeen = Observation()
-    seenDelta.toDF()
-      .observe(obsSeen,
-               coalesce(sum(when(col("status") === 599, 1L).otherwise(0L)), lit(0L))
-                 .as("exhausted"))
-      .coalesce(statePar)
-      .write.mode("overwrite").parquet(snaps.tablePath(r, "seen_delta"))
+    val seenF = Future {
+      seenDelta.toDF()
+        .observe(obsSeen,
+                 coalesce(sum(when(col("status") === 599, 1L).otherwise(0L)), lit(0L))
+                   .as("exhausted"))
+        .coalesce(statePar)
+        .write.mode("overwrite").parquet(snaps.tablePath(r, "seen_delta"))
+    }
     val obsFront = Observation()
-    newFrontier.toDF()
-      .observe(obsFront, count(lit(1)).as("n"),
-               coalesce(sum(when(col("round") === r && col("attempt") === 0, 1L)
-                 .otherwise(0L)), lit(0L)).as("new_urls"),
-               coalesce(sum(when(col("round") === r && col("attempt") > 0, 1L)
-                 .otherwise(0L)), lit(0L)).as("retries"))
-      .coalesce(statePar)
-      .write.mode("overwrite").parquet(snaps.tablePath(r, "frontier"))
+    val frontF = Future {
+      newFrontier.toDF()
+        .observe(obsFront, count(lit(1)).as("n"),
+                 coalesce(sum(when(col("round") === r && col("attempt") === 0, 1L)
+                   .otherwise(0L)), lit(0L)).as("new_urls"),
+                 coalesce(sum(when(col("round") === r && col("attempt") > 0, 1L)
+                   .otherwise(0L)), lit(0L)).as("retries"),
+                 coalesce(sum(when(col("priority") === 0, 1L).otherwise(0L)),
+                          lit(0L)).as("n_pri0"))
+        .coalesce(statePar)
+        .write.mode("overwrite").parquet(snaps.tablePath(r, "frontier"))
+    }
     // robots table only changes on rounds that fetched robots.txt
-    val robotsPath =
+    val robotsF = Future {
       if (nRobots > 0) {
         robotsAll.coalesce(statePar)
           .write.mode("overwrite").parquet(snaps.tablePath(r, "robots"))
         snaps.tablePath(r, "robots")
       } else m.tables("robots")
-    hostStateAll.toDF().coalesce(statePar)
-      .write.mode("overwrite").parquet(snaps.tablePath(r, "host_state"))
+    }
+    val hostF = Future {
+      hostStateAll.toDF().coalesce(statePar)
+        .write.mode("overwrite").parquet(snaps.tablePath(r, "host_state"))
+    }
 
-    // filter shards: ONE distributed pass updates cuckoo + bloom shards;
-    // overflowed cuckoos rebuilt from the exact seen table (rare)
-    val updates = seenDelta
-      .groupByKey(s => bucketOf(s.host_hash, nb))
-      .mapGroups { (b: Int, it: Iterator[SeenEntry]) =>
-        val cf = cuckooBc.value.get(b).map(CuckooFilter.deserialize)
-          .getOrElse(CuckooFilter.sized(4096))
-        val bf = bloomBc.value.get(b).map(BloomFilter.deserialize)
-          .getOrElse(new BloomFilter(shardBits, bloomK))
-        var ok = true
-        it.foreach { s =>
-          ok &= cf.put(s.url_hash)
-          bf.put(s.url_hash)
-        }
-        (b, cf.serialize(), bf.serialize(), ok)
-      }.collect()
-    val failedBuckets = updates.filter(!_._4).map(_._1).toSet
-    val rebuilt: Map[Int, Array[Byte]] =
-      if (failedBuckets.isEmpty) Map.empty
-      else {
-        val seenAll = readTMulti[SeenEntry](
-          snaps.seenPaths(m) :+ snaps.tablePath(r, "seen_delta"))
-        seenAll.filter(s => failedBuckets.contains(bucketOf(s.host_hash, nb)))
+    // filter shards: ONE distributed pass updates cuckoo + bloom shards,
+    // each group task writing ITS OWN bucket's files to the snapshot
+    // store (shared storage on a real cluster; atomic per-file rename
+    // makes task retries safe). Only (bucket, ok) booleans reach the
+    // driver. Overflowed cuckoos are rebuilt from the exact seen table
+    // (rare); a bucket whose rebuild also overflows is omitted from the
+    // manifest so readers fall back to the conservative maybe-seen path.
+    val filtersF = Future {
+      val updates = seenDelta
+        .groupByKey(s => bucketOf(s.host_hash, nb))
+        .mapGroups { (b: Int, it: Iterator[SeenEntry]) =>
+          val cf = filterRounds.get(b)
+            .flatMap(fr => Snapshots.readBytesAt(Snapshots.filterPathAt(root, fr, b)))
+            .map(CuckooFilter.deserialize)
+            .getOrElse(CuckooFilter.sized(4096))
+          val bf = filterRounds.get(b)
+            .flatMap(fr => Snapshots.readBytesAt(Snapshots.bloomShardPathAt(root, fr, b)))
+            .map(BloomFilter.deserialize)
+            .getOrElse(new BloomFilter(shardBits, bloomK))
+          var ok = true
+          it.foreach { s =>
+            ok &= cf.put(s.url_hash)
+            bf.put(s.url_hash)
+          }
+          Snapshots.writeBytesAt(Snapshots.bloomShardPathAt(root, r, b), bf.serialize())
+          if (ok)
+            Snapshots.writeBytesAt(Snapshots.filterPathAt(root, r, b), cf.serialize())
+          (b, ok)
+        }.collect()
+      val failedBuckets = updates.filter(!_._2).map(_._1).toSet
+      val rebuiltOk: Map[Int, Boolean] =
+        if (failedBuckets.isEmpty) Map.empty
+        else seen.union(seenDelta)
+          .filter(s => failedBuckets.contains(bucketOf(s.host_hash, nb)))
           .groupByKey(s => bucketOf(s.host_hash, nb))
           .mapGroups { (b: Int, it: Iterator[SeenEntry]) =>
             val hashes = it.map(_.url_hash).toArray
             val cf = CuckooFilter.sized(hashes.length.toLong * 2)
-            hashes.foreach(cf.put)
-            (b, cf.serialize())
+            var ok = true
+            hashes.foreach(h => ok &= cf.put(h))
+            if (ok)
+              Snapshots.writeBytesAt(Snapshots.filterPathAt(root, r, b), cf.serialize())
+            (b, ok)
           }.collect().toMap
-      }
-    val prevBuckets = m.buckets.toSet
-    val touchedCuckoo = updates.map(u => u._1 -> rebuilt.getOrElse(u._1, u._2)).toMap
-    val touchedBloom = updates.map(u => u._1 -> u._3).toMap
-    // carry forward untouched shards; a missing prior shard file is
-    // dropped from the manifest (readers then treat the bucket
-    // conservatively: bloom says maybe, cuckoo says maybe)
-    val allBuckets = (prevBuckets ++ touchedCuckoo.keySet).toSeq.sorted.filter { b =>
-      val cu = touchedCuckoo.get(b).orElse(snaps.readFilter(r - 1, b))
-      val bl = touchedBloom.get(b).orElse(snaps.readBloomShard(r - 1, b))
-      (cu, bl) match {
-        case (Some(c), Some(bb)) =>
-          snaps.writeFilter(r, b, c); snaps.writeBloomShard(r, b, bb); true
-        case _ => false
-      }
+      val touchedOk = updates
+        .map(u => u._1 -> (u._2 || rebuiltOk.getOrElse(u._1, false))).toMap
+      // untouched buckets keep referencing their last-written round's
+      // files (no copy-forward); touched-and-ok move to round r; failed
+      // buckets drop out (conservative: bloom maybe, cuckoo maybe)
+      (filterRounds -- touchedOk.keys) ++
+        touchedOk.collect { case (b, true) => b -> r }
     }
 
-    // seen compaction
+    Await.result(docsF, Duration.Inf)
+    Await.result(seenF, Duration.Inf)
+    Await.result(frontF, Duration.Inf)
+    Await.result(hostF, Duration.Inf)
+    val robotsPath = Await.result(robotsF, Duration.Inf)
+    val newFilterRounds = Await.result(filtersF, Duration.Inf)
+
+    // seen compaction (from the in-memory union — the persisted
+    // seenDelta dataset holds exactly what the seen_delta write wrote)
     val deltaRounds = m.seenDeltaRounds :+ r
     val (seenFullRound, seenDeltaRounds) =
       if (deltaRounds.size >= cfg.compactEvery) {
-        val all = readTMulti[SeenEntry](snaps.seenPaths(m) :+ snaps.tablePath(r, "seen_delta"))
-        all.write.mode("overwrite").parquet(snaps.tablePath(r, "seen_full"))
+        seen.union(seenDelta)
+          .write.mode("overwrite").parquet(snaps.tablePath(r, "seen_full"))
         (r, Seq.empty[Int])
       } else (m.seenFullRound, deltaRounds)
 
@@ -509,18 +565,17 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
         "host_state" -> snaps.tablePath(r, "host_state"),
         "robots" -> robotsPath),
       seenDeltaRounds = seenDeltaRounds, seenFullRound = seenFullRound,
-      buckets = allBuckets,
+      filterRounds = newFilterRounds,
       counters = Map(
         "selected" -> selectedCnt, "fetched_ok" -> okCnt,
         "robots_blocked" -> blockedCnt, "new_urls" -> newCnt,
-        "frontier" -> frontierLeft, "spans" -> spansCnt,
-        "docs" -> docsCnt),
+        "frontier" -> frontierLeft, "frontier_pri0" -> obsL(obsFront, "n_pri0"),
+        "spans" -> spansCnt, "docs" -> docsCnt),
       done = frontierLeft == 0))
 
-    Seq(gated, selected, mainFetched, robotsFetched, pageOuts, seenDelta,
-        candSeenFree, newFrontier, robotsAll)
+    (Seq(gated, selected, mainFetched, pageOuts, seenDelta,
+         candSeenFree, newFrontier, robotsAll) ++ robotsFetchedOpt)
       .foreach(_.unpersist(false))
-    cuckooBc.destroy(); bloomBc.destroy()
 
     RoundResult(r, selectedCnt, okCnt, newCnt, frontierLeft, frontierLeft == 0)
   }
@@ -546,6 +601,18 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
 }
 
 object CrawlScheduler {
+  /** Thread pool for concurrent commit-write jobs (daemon threads: the
+    * pool must never pin a JVM shutdown). Spark supports concurrent
+    * job submission from multiple threads of one session.
+    */
+  lazy val commitEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newCachedThreadPool(r0 => {
+        val t = new Thread(r0, "graft-commit")
+        t.setDaemon(true)
+        t
+      }))
+
   final case class WithBudget(e: FrontierEntry, budget: Int)
   final case class SelectedE(e: FrontierEntry, seq: Int)
   final case class PageOut(url: String, url_hash: String, host: String,

@@ -33,9 +33,9 @@ final class Snapshots(val root: String) {
   private def dir(round: Int) = f"$root/r$round%05d"
   def tablePath(round: Int, name: String): String = s"${dir(round)}/$name"
   def filterPath(round: Int, bucket: Int): String =
-    f"${dir(round)}/filters/bucket-$bucket%04d.bin"
+    Snapshots.filterPathAt(root, round, bucket)
   def bloomShardPath(round: Int, bucket: Int): String =
-    f"${dir(round)}/filters/bloom-$bucket%04d.bin"
+    Snapshots.bloomShardPathAt(root, round, bucket)
   private def manifestPath(round: Int) = f"$root/manifests/m-$round%05d.json"
 
   import Snapshots.Manifest
@@ -48,7 +48,11 @@ final class Snapshots(val root: String) {
       "tables" -> JObject(m.tables.toList.map { case (k, v) => k -> JString(v) }),
       "seenDeltaRounds" -> JArray(m.seenDeltaRounds.map(r => JInt(r)).toList),
       "seenFullRound" -> JInt(m.seenFullRound),
-      "buckets" -> JArray(m.buckets.map(b => JInt(b)).toList),
+      // bucket -> round whose shard files are current (untouched shards
+      // reference their last-written round's files; nothing is copied
+      // forward, so a round's commit cost is O(touched buckets))
+      "filterRounds" -> JObject(m.filterRounds.toList.sortBy(_._1)
+        .map { case (b, fr) => b.toString -> JInt(fr) }),
       "counters" -> JObject(m.counters.toList.map { case (k, v) => k -> JLong(v) }),
       "done" -> JBool(m.done)
     )
@@ -76,7 +80,8 @@ final class Snapshots(val root: String) {
       tables = (j \ "tables").extract[Map[String, String]],
       seenDeltaRounds = (j \ "seenDeltaRounds").extract[Seq[Int]],
       seenFullRound = (j \ "seenFullRound").extract[Int],
-      buckets = (j \ "buckets").extract[Seq[Int]],
+      filterRounds = (j \ "filterRounds").extract[Map[String, Int]]
+        .map { case (b, fr) => b.toInt -> fr },
       counters = (j \ "counters").extract[Map[String, Long]],
       done = (j \ "done").extract[Boolean]
     )
@@ -91,33 +96,17 @@ final class Snapshots(val root: String) {
     base ++ m.seenDeltaRounds.map(r => tablePath(r, "seen_delta"))
   }
 
-  def writeFilter(round: Int, bucket: Int, bytes: Array[Byte]): Unit = {
-    val p = Paths.get(filterPath(round, bucket))
-    Files.createDirectories(p.getParent)
-    val tmp = Paths.get(filterPath(round, bucket) + ".tmp")
-    Files.write(tmp, bytes)
-    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
-               StandardCopyOption.REPLACE_EXISTING)
-  }
+  def writeFilter(round: Int, bucket: Int, bytes: Array[Byte]): Unit =
+    Snapshots.writeBytesAt(filterPath(round, bucket), bytes)
 
-  def readFilter(round: Int, bucket: Int): Option[Array[Byte]] = {
-    val p = Paths.get(filterPath(round, bucket))
-    if (Files.exists(p)) Some(Files.readAllBytes(p)) else None
-  }
+  def readFilter(round: Int, bucket: Int): Option[Array[Byte]] =
+    Snapshots.readBytesAt(filterPath(round, bucket))
 
-  def writeBloomShard(round: Int, bucket: Int, bytes: Array[Byte]): Unit = {
-    val p = Paths.get(bloomShardPath(round, bucket))
-    Files.createDirectories(p.getParent)
-    val tmp = Paths.get(bloomShardPath(round, bucket) + ".tmp")
-    Files.write(tmp, bytes)
-    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
-               StandardCopyOption.REPLACE_EXISTING)
-  }
+  def writeBloomShard(round: Int, bucket: Int, bytes: Array[Byte]): Unit =
+    Snapshots.writeBytesAt(bloomShardPath(round, bucket), bytes)
 
-  def readBloomShard(round: Int, bucket: Int): Option[Array[Byte]] = {
-    val p = Paths.get(bloomShardPath(round, bucket))
-    if (Files.exists(p)) Some(Files.readAllBytes(p)) else None
-  }
+  def readBloomShard(round: Int, bucket: Int): Option[Array[Byte]] =
+    Snapshots.readBytesAt(bloomShardPath(round, bucket))
 
   /** All docs table paths up to and including `round` (docs append per
     * round; the union is the full corpus).
@@ -135,14 +124,38 @@ final class Snapshots(val root: String) {
       .filter(p => Files.exists(Paths.get(p)))
 }
 
+/** Static path/byte IO usable from inside executor tasks (shard
+  * maintenance writes its own bucket's files executor-side — the driver
+  * never transports filter bytes). On a real cluster `root` is shared
+  * storage (S3/HDFS); per-file atomic rename makes task retries safe.
+  */
 object Snapshots {
+  def filterPathAt(root: String, round: Int, bucket: Int): String =
+    f"$root/r$round%05d/filters/bucket-$bucket%04d.bin"
+  def bloomShardPathAt(root: String, round: Int, bucket: Int): String =
+    f"$root/r$round%05d/filters/bloom-$bucket%04d.bin"
+
+  def writeBytesAt(path: String, bytes: Array[Byte]): Unit = {
+    val p = Paths.get(path)
+    Files.createDirectories(p.getParent)
+    val tmp = Paths.get(path + ".tmp-" + Thread.currentThread().getId)
+    Files.write(tmp, bytes)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+               StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readBytesAt(path: String): Option[Array[Byte]] = {
+    val p = Paths.get(path)
+    if (Files.exists(p)) Some(Files.readAllBytes(p)) else None
+  }
+
   final case class Manifest(
       round: Int,
       parentRound: Int,
       tables: Map[String, String],
       seenDeltaRounds: Seq[Int], // rounds whose seen_delta must be unioned
       seenFullRound: Int, // -1 = none; else base compaction round
-      buckets: Seq[Int], // host-hash buckets with filter shards
+      filterRounds: Map[Int, Int], // bucket -> round of its current shards
       counters: Map[String, Long],
       done: Boolean
   )
