@@ -68,32 +68,36 @@ object Dedup {
     * buckets; pairs sharing any bucket are verified with exact Jaccard
     * over shingle sets and kept when >= threshold.
     *
+    * Scale shape: the banded exchange carries (band, bucket, id) rows
+    * ONLY — shingle arrays never replicate bands× through the shuffle;
+    * they are joined back exactly once per surviving candidate pair.
+    * Buckets are capped at `maxBucket` rows ([[LshPairs.cappedIdPairs]])
+    * so a near-identical-heavy corpus cannot blow one task up
+    * quadratically; drops are counted in a named accumulator.
+    *
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, numHashes: Int = 32,
-                      rowsPerBand: Int = 4, threshold: Double = 0.8): DataFrame = {
+                      rowsPerBand: Int = 4, threshold: Double = 0.8,
+                      maxBucket: Int = 1024): DataFrame = {
     val bands = numHashes / rowsPerBand
-    val base = df.select(col(idCol).cast("long").as("id"),
-                         shingles(col(textCol), shingleN).as("sh"))
+    val shingled = df.select(col(idCol).cast("long").as("id"),
+                             shingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
+
+    val banded = shingled
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(
+        col("id"),
+        posexplode(
+          transform(sequence(lit(0), lit(bands - 1)),
+                    b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
+          .as(Seq("band", "bucket")))
 
-    val banded = base.select(
-      col("id"), col("sh"),
-      posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-                  b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
-        .as(Seq("band", "bucket")))
-
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    val cand = a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
-      .dropDuplicates("id_a", "id_b")
-
-    cand
+    LshPairs.cappedIdPairs(banded, maxBucket)
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard_raw", col("inter") / greatest(col("uni"), lit(1.0)))
@@ -109,22 +113,21 @@ object Dedup {
 
   /** SimHash near-dup pairs: bucket by 4 x 16-bit bands (a pair within
     * hamming distance <=3 of each other shares at least one exact band —
-    * pigeonhole), verify by popcount(xor) <= maxHamming.
+    * pigeonhole), verify by popcount(xor) <= maxHamming. Buckets capped
+    * like [[minhashNearDups]]; signatures joined back per pair.
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3, maxBucket: Int = 1024): DataFrame = {
     val base = df.select(col(idCol).cast("long").as("id"),
                          simhash64(col(textCol)).as("sim"))
     val banded = base.select(
-      col("id"), col("sim"),
+      col("id"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sim"), b * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sim").as("sim_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    LshPairs.cappedIdPairs(banded, maxBucket)
+      .join(base.select(col("id").as("id_a"), col("sim").as("sim_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("sim").as("sim_b")), "id_b")
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

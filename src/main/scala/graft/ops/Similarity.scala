@@ -22,8 +22,15 @@ import graft.synthweb.SyntheticWeb.mix64
   *     bucket); exact cosine re-ranks within buckets. At 100 TB this
   *     touches only the bucket-colocated fraction of the corpus per
   *     query, trading recall for a ~2^bits-fold scan reduction.
-  *     Hyperplanes are seeded and deterministic (splitmix64), never
-  *     materialized outside the closure.
+  *     Hyperplane components are a pure seeded function of
+  *     (seed, table, bit, dim) generated on the fly inside the task —
+  *     no broadcast, no driver-side action, no dimension probe.
+  *
+  * Query-exclusion semantics (both paths): ALL ids in `queryIds` are
+  * excluded from candidate neighbors — a query is never returned as
+  * another query's neighbor. This keeps the query/corpus roles disjoint
+  * (self-join semantics); pass a query's id outside `queryIds` via a
+  * unioned corpus row if query-to-query neighbors are wanted.
   */
 object Similarity {
 
@@ -42,8 +49,10 @@ object Similarity {
 
   /** Exact cosine top-k. `emb` must have (idCol: long-castable,
     * vecCol: array<float>); queries are the rows whose id is in
-    * queryIds (self-join semantics, query excluded from its own
-    * results). Ties broken by neighbor id for determinism.
+    * queryIds. ALL query ids are excluded from candidate neighbors
+    * (see the object doc: query/corpus roles are disjoint — a query is
+    * never another query's neighbor). Ties broken by neighbor id for
+    * determinism.
     */
   def bruteForceTopK(spark: SparkSession, emb: DataFrame, idCol: String,
                      vecCol: String, queryIds: Seq[Long], k: Int): Dataset[Scored] = {
@@ -91,24 +100,28 @@ object Similarity {
       }
   }
 
-  /** Deterministic random hyperplanes: planes(t)(b)(dim). */
-  private[ops] def hyperplanes(seed: Long, tables: Int, bits: Int,
-                               dim: Int): Array[Array[Array[Float]]] =
-    Array.tabulate(tables, bits, dim) { (t, b, d) =>
-      // map splitmix64 to a symmetric float in [-1, 1)
-      val h = mix64(seed ^ (t.toLong << 40) ^ (b.toLong << 20) ^ d.toLong)
-      (h.toDouble / Long.MaxValue.toDouble).toFloat
-    }
+  /** Deterministic hyperplane component for (seed, table, bit, dim) —
+    * splitmix64 mapped to a symmetric float in [-1, 1). A pure function,
+    * so signatures need no materialized plane arrays, no broadcast and
+    * no up-front dimension probe.
+    */
+  private[ops] def planeComponent(seed: Long, t: Int, b: Int, d: Int): Float = {
+    val h = mix64(seed ^ (t.toLong << 40) ^ (b.toLong << 20) ^ d.toLong)
+    (h.toDouble / Long.MaxValue.toDouble).toFloat
+  }
 
-  private[ops] def signature(vec: Array[Float], planes: Array[Array[Float]]): Int = {
+  /** `bits`-bit random-hyperplane signature of `vec` in table `t`. */
+  private[ops] def signatureAt(vec: Array[Float], seed: Long, t: Int,
+                               bits: Int): Int = {
     var sig = 0
     var b = 0
-    while (b < planes.length) {
+    while (b < bits) {
       var dot = 0.0
-      val p = planes(b)
       var d = 0
-      val n = math.min(vec.length, p.length)
-      while (d < n) { dot += vec(d).toDouble * p(d); d += 1 }
+      while (d < vec.length) {
+        dot += vec(d).toDouble * planeComponent(seed, t, b, d)
+        d += 1
+      }
       if (dot >= 0) sig |= (1 << b)
       b += 1
     }
@@ -128,17 +141,13 @@ object Similarity {
               tables: Int = 8, bits: Int = 12, seed: Long = 42L,
               probes: Int = 0): Dataset[Scored] = {
     import spark.implicits._
-    val dim = emb.select(size(col(vecCol))).first().getInt(0)
-    val planes = hyperplanes(seed, tables, bits, dim)
-    val bcPlanes = spark.sparkContext.broadcast(planes)
-
     val sigRows = emb
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
-        val ps = bcPlanes.value
         it.flatMap { case (id, vec) =>
-          ps.indices.iterator.map(t => (id, vec, t, signature(vec, ps(t))))
+          (0 until tables).iterator
+            .map(t => (id, vec, t, signatureAt(vec, seed, t, bits)))
         }
       }
       .toDF("id", "vec", "table", "bucket")
@@ -180,29 +189,30 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
     * buckets (deterministic seeded planes) + exact verification —
     * the embedding leg of the dedup family.
+    *
+    * Scale shape: the (table, bucket) exchange carries ids only —
+    * embeddings join back once per surviving candidate pair — and every
+    * bucket is capped at `maxBucket` rows ([[LshPairs.cappedIdPairs]])
+    * so a duplicate-heavy corpus cannot produce a quadratic task.
     */
   def cosineNearDups(spark: SparkSession, emb: DataFrame, idCol: String,
                      vecCol: String, threshold: Double,
                      tables: Int = 8, bits: Int = 10,
-                     seed: Long = 7L): DataFrame = {
+                     seed: Long = 7L, maxBucket: Int = 1024): DataFrame = {
     import spark.implicits._
-    val dim = emb.select(size(col(vecCol))).first().getInt(0)
-    val bcPlanes = spark.sparkContext.broadcast(hyperplanes(seed, tables, bits, dim))
-    val sigRows = emb
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val base = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val banded = base
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
-        val ps = bcPlanes.value
         it.flatMap { case (id, vec) =>
-          ps.indices.iterator.map(t => (id, vec, t, signature(vec, ps(t))))
+          (0 until tables).iterator
+            .map(t => (t, signatureAt(vec, seed, t, bits).toLong, id))
         }
       }
-      .toDF("id", "vec", "table", "bucket")
-    val a = sigRows.select(col("table"), col("bucket"), col("id").as("id_a"), col("vec").as("va"))
-    val b = sigRows.select(col("table"), col("bucket"), col("id").as("id_b"), col("vec").as("vb"))
-    a.join(b, Seq("table", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .toDF("band", "bucket", "id")
+    LshPairs.cappedIdPairs(banded, maxBucket)
+      .join(base.select(col("id").as("id_a"), col("vec").as("va")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("vec").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"), col("va"), col("vb"))
       .as[(Long, Long, Array[Float], Array[Float])]
       .map { case (ia, ib, va, vb) => (ia, ib, math.rint(cosine(va, vb) * 10000) / 10000) }

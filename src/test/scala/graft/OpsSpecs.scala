@@ -102,6 +102,59 @@ class DedupSpec extends SparkSuite {
     assert(lsh.size >= exact.size * 6 / 10, s"LSH recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("cappedIdPairs: caps buckets, counts drops, keeps smallest ids") {
+    val banded = Seq(
+      // bucket with 5 ids, cap 3 -> pairs among {1,2,3} only, 2 dropped
+      (0, 10L, 5L), (0, 10L, 3L), (0, 10L, 1L), (0, 10L, 4L), (0, 10L, 2L),
+      // second band re-pairs (1,5): survives via its other band
+      (1, 20L, 1L), (1, 20L, 5L)
+    ).toDF("band", "bucket", "id")
+    val acc = spark.sparkContext.longAccumulator("test_dropped")
+    val pairs = graft.ops.LshPairs.cappedIdPairs(banded, cap = 3, acc = Some(acc))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 5L)))
+    assert(acc.value == 2L, s"dropped count: ${acc.value}")
+  }
+
+  test("worst case: near-identical corpus completes with capped buckets") {
+    // 400 copies of one document — the pathological all-in-one-bucket
+    // input; uncapped this is 400² pairs in one task per band
+    val clones = (0L until 400L)
+      .map(i => (i, "the same warehouse operator text repeated for dedup"))
+      .toDF("id", "text")
+    val acc = spark.sparkContext.longAccumulator("worst_dropped")
+    val banded = clones.select(col("id"), lit(0).as("band"), lit(0L).as("bucket"))
+    val capped = graft.ops.LshPairs.cappedIdPairs(
+      banded.select("band", "bucket", "id"), cap = 32, acc = Some(acc))
+    assert(capped.count() == 32L * 31 / 2)
+    assert(acc.value == 400L - 32L)
+    // the full operators stay bounded too (and still verify exactly)
+    val mh = Dedup.minhashNearDups(clones, "id", "text", 3, 32, 4, 0.5,
+                                   maxBucket = 32).count()
+    assert(mh == 32L * 31 / 2, s"minhash pair count: $mh")
+    val sh = Dedup.simhashNearDups(clones, "id", "text", 3, maxBucket = 32).count()
+    assert(sh == 32L * 31 / 2, s"simhash pair count: $sh")
+  }
+
+  test("banded exchange carries ids only — no shingle arrays shuffle") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val df = Dedup.minhashNearDups(corpus, "id", "text", 3, 32, 4, 0.5)
+    val plan: SparkPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p                        => p
+    }
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, "expected at least one shuffle in the LSH plan")
+    exchanges.foreach { e =>
+      val fat = e.output.filter(_.dataType == ArrayType(StringType))
+      assert(fat.isEmpty,
+             s"exchange shuffles shingle arrays: ${fat.map(_.name)}\n$e")
+    }
+  }
+
   test("simhash finds planted duplicates at hamming 0") {
     val pairs = Dedup.simhashNearDups(corpus, "id", "text", maxHamming = 3)
       .select(col("id_a"), col("id_b"), col("hamming"))
