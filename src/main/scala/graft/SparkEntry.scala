@@ -25,9 +25,10 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** One small deterministic crawl per JVM, shared by the crawl-derived
-    * queries and `entry` (outDir cached).
+    * queries and `entry` (outDir cached). cfg is shared with the
+    * sequential oracle dumps ([[graft.oracle.SeqOracles]]).
     */
-  private object CrawlOnce {
+  private[graft] object CrawlOnce {
     private val cache = scala.collection.concurrent.TrieMap[String, String]()
     val cfg: String => CrawlConfig = out =>
       CrawlConfig(
@@ -57,7 +58,7 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // planted-duplicate corpora (identical construction in the SQL oracle)
   // ------------------------------------------------------------------
-  private def dedupCorpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def dedupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = T(s, dir, "documents")
     d.filter(col("doc_id") < 60).select(col("doc_id").as("id"), col("text"))
       .union(d.filter(col("doc_id") < 30)
@@ -498,6 +499,37 @@ object SparkEntry {
     })
   )
 
+  /** Exact n-gram Jaccard pair SQL (threshold 0.5) — the oracle of BOTH
+    * q26 (which computes exactly this algebra) and q27 (whose MinHash
+    * LSH must achieve full recall with zero false positives on the
+    * planted corpus: the exact-Jaccard verification step makes its
+    * output the exact pair set whenever no true pair is missed, so a
+    * hash-exact match here pins LSH recall at 1.0 on this input).
+    */
+  private val jaccardPairsSql: String =
+    s"""WITH corpus AS ($dedupCorpusSql),
+       |words AS (SELECT id,
+       |  list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+       |              x -> x <> '') AS ws FROM corpus),
+       |grams AS (
+       |  SELECT DISTINCT id, array_to_string(ws[i:i+2],' ') AS gram
+       |  FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) g
+       |  WHERE len(ws) >= 3),
+       |sizes AS (SELECT id, count(*) AS n_grams FROM grams GROUP BY 1),
+       |inter AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+       |  FROM grams a JOIN grams b USING (gram) WHERE a.id < b.id
+       |  GROUP BY 1,2)
+       |SELECT id_a, id_b,
+       |  round(i::DOUBLE/(sa.n_grams+sb.n_grams-i),4) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.id=id_a JOIN sizes sb ON sb.id=id_b
+       |WHERE i::DOUBLE/(sa.n_grams+sb.n_grams-i) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  private def dumpSql(name: String, orderBy: String): String =
+    graft.oracle.SeqOracles.dumpSql(name, orderBy)
+
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -639,26 +671,85 @@ object SparkEntry {
          |SELECT min(id) AS canonical_id, count(*) AS n_dups
          |FROM keyed GROUP BY ck HAVING count(*)>1
          |ORDER BY canonical_id""".stripMargin,
-    "q26_ngram_jaccard" ->
-      s"""WITH corpus AS ($dedupCorpusSql),
-         |words AS (SELECT id,
-         |  list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
-         |              x -> x <> '') AS ws FROM corpus),
-         |grams AS (
-         |  SELECT DISTINCT id, array_to_string(ws[i:i+2],' ') AS gram
-         |  FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) g
-         |  WHERE len(ws) >= 3),
-         |sizes AS (SELECT id, count(*) AS n_grams FROM grams GROUP BY 1),
-         |inter AS (
-         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
-         |  FROM grams a JOIN grams b USING (gram) WHERE a.id < b.id
-         |  GROUP BY 1,2)
-         |SELECT id_a, id_b,
-         |  round(i::DOUBLE/(sa.n_grams+sb.n_grams-i),4) AS jaccard
-         |FROM inter
-         |JOIN sizes sa ON sa.id=id_a JOIN sizes sb ON sb.id=id_b
-         |WHERE i::DOUBLE/(sa.n_grams+sb.n_grams-i) >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin,
+    "q26_ngram_jaccard" -> jaccardPairsSql,
+    "q27_minhash_lsh" -> jaccardPairsSql,
+    "q28_simhash" -> dumpSql("q28_simhash", "id_a, id_b"),
+    "q31_langid" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}]+'),
+        |                x -> x <> '') AS ws,
+        |    length(regexp_replace(text, '\s+', '', 'g')) AS total_chars,
+        |    length(regexp_replace(text,
+        |      '[^\x{4e00}-\x{9fff}\x{3400}-\x{4dbf}]', '', 'g')) AS cjk
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, ws, total_chars, cjk,
+        |    len(list_filter(ws, x -> x IN
+        |      ('the','and','of','is','to','in','that','it','with','for'))) AS h_en,
+        |    len(list_filter(ws, x -> x IN
+        |      ('der','die','das','und','ist','nicht','mit','ein','zu','von'))) AS h_de,
+        |    len(list_filter(ws, x -> x IN
+        |      ('el','la','los','las','que','es','en','un','una','por'))) AS h_es,
+        |    len(list_filter(ws, x -> x IN
+        |      ('le','la','les','et','est','un','une','dans','pour','que'))) AS h_fr
+        |  FROM w)
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN total_chars > 0 AND cjk::DOUBLE / total_chars > 0.2 THEN 'zh'
+        |    WHEN len(ws) = 0 OR greatest(h_en,h_de,h_es,h_fr) = 0 THEN 'und'
+        |    WHEN h_en = greatest(h_en,h_de,h_es,h_fr) THEN 'en'
+        |    WHEN h_de = greatest(h_de,h_es,h_fr) THEN 'de'
+        |    WHEN h_es = greatest(h_es,h_fr) THEN 'es'
+        |    ELSE 'fr'
+        |  END AS lang_pred
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "q32_fingerprint" -> dumpSql("q32_fingerprint", "doc_id"),
+    "q34_ann_brute_typed" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |  CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id<10),
+        |c AS (SELECT vec_id AS neighbor_id,
+        |  CAST(embedding AS DOUBLE[]) AS nv FROM embeddings WHERE vec_id>=10),
+        |sims AS (
+        |  SELECT query_id, neighbor_id,
+        |   list_dot_product(qv,nv)
+        |     / (sqrt(list_dot_product(qv,qv))*sqrt(list_dot_product(nv,nv)))
+        |     AS sim_raw
+        |  FROM c CROSS JOIN q),
+        |ranked AS (SELECT query_id, neighbor_id, sim_raw,
+        |  row_number() OVER (PARTITION BY query_id
+        |                     ORDER BY sim_raw DESC, neighbor_id) AS rnk
+        |  FROM sims)
+        |SELECT query_id, neighbor_id, round(sim_raw,4) AS sim
+        |FROM ranked WHERE rnk<=5
+        |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin,
+    "q35_ann_lsh" -> dumpSql("q35_ann_lsh", "query_id, sim DESC, neighbor_id"),
+    "q36_embedding_neardup" ->
+      // planted ground truth: every vec_id<20 is duplicated at +10000
+      // with an identical embedding (cosine exactly 1.0 after rounding);
+      // a hash-exact match pins recall at 1.0 AND zero false positives
+      """SELECT vec_id AS id_a, vec_id + 10000 AS id_b, 1.0 AS cosine
+        |FROM embeddings WHERE vec_id < 20 ORDER BY id_a""".stripMargin,
+    "q37_image_meta" -> dumpSql("q37_image_meta", "media_ref"),
+    "q38_frame_sample" -> dumpSql("q38_frame_sample", "media_ref, frame_idx"),
+    "q39_media_from_crawl" -> dumpSql("q39_media_from_crawl", "media_ref"),
+    "q43_next_data_extract" -> dumpSql("q43_next_data_extract", "doc_id"),
+    "q44_enrich_join" -> dumpSql("q44_enrich_join", "host"),
+    "q45_facet_split" -> dumpSql("q45_facet_split", "id"),
+    "q50_crawl_docs" -> dumpSql("q50_crawl_docs", "doc_id"),
+    "q51_crawl_fetch_log" -> dumpSql("q51_crawl_fetch_log", "\"round\", host_hash, seq"),
+    "q52_crawl_spans" -> dumpSql("q52_crawl_spans", "doc_id, \"offset\""),
+    "q53_crawl_metrics" ->
+      s"""SELECT "round", ((host_hash % 32) + 32) % 32 AS bucket,
+         | count(*) AS fetched,
+         | CAST(sum(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS fetched_ok,
+         | CAST(sum(CASE WHEN status = 404 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS fetched_404,
+         | CAST(sum(CASE WHEN status <> 200 AND status <> 404 THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS fetched_retryable
+         |FROM read_parquet('${graft.oracle.SeqOracles.root}/q51_crawl_fetch_log/*.parquet')
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q40_taxonomy_unnest" ->
       ("""WITH tax AS (SELECT unnest(from_json('""" + taxonomyJson.replace("'", "''") + """',
         | '[{"id":"INTEGER","name":"VARCHAR","subs":[{"id":"INTEGER","name":"VARCHAR"}]}]')) AS cat)

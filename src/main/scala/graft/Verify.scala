@@ -22,6 +22,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // expected tables for the non-SQL-expressible queries: sequential
+    // oracle recomputations, read back by oracleSql via read_parquet
+    graft.oracle.SeqOracles.writeAll(spark, sfDir)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -110,9 +110,11 @@ object Similarity {
     (h.toDouble / Long.MaxValue.toDouble).toFloat
   }
 
-  /** `bits`-bit random-hyperplane signature of `vec` in table `t`. */
-  private[ops] def signatureAt(vec: Array[Float], seed: Long, t: Int,
-                               bits: Int): Int = {
+  /** `bits`-bit random-hyperplane signature of `vec` in table `t`
+    * (shared with the sequential ANN oracle in graft.oracle).
+    */
+  private[graft] def signatureAt(vec: Array[Float], seed: Long, t: Int,
+                                 bits: Int): Int = {
     var sig = 0
     var b = 0
     while (b < bits) {

@@ -1,0 +1,327 @@
+package graft.oracle
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.unsafe.types.UTF8String
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.fetch.{Fetcher, SimulatedFetcher}
+import graft.model.{FetchLogEntry, FrontierEntry}
+import graft.ops.{FacetSplit, Fingerprint64, HashOps, Multimodal, Similarity}
+import graft.parse.HtmlSpans
+import graft.synthweb.SyntheticWeb.{hashOf, mix64}
+
+/** Sequential, single-threaded oracle recomputations for the driver's
+  * DuckDB correctness gate.
+  *
+  * Queries whose semantics DuckDB cannot express natively (the crawl
+  * pipeline, custom sketch/ANN expressions, stubbed multimodal decode)
+  * are oracled by an INDEPENDENT sequential computation: plain Scala
+  * loops over collected inputs, sharing only the primitive pure
+  * functions under test's contract (token/plane hashes, the codec stub,
+  * the synthetic web). [[graft.Verify]] calls [[writeAll]] after the
+  * query dump; each expected table lands as one parquet file under
+  * `/tmp/graft_oracle/<query>/`, and the corresponding
+  * `SparkEntry.oracleSql` entry reads it back with DuckDB's
+  * `read_parquet` — so the driver's row/schema/hash compare runs
+  * between the distributed result and the sequential recomputation,
+  * through a third engine.
+  *
+  * `OracleDumpSpec` asserts schema and row equality between every dump
+  * and its Spark query in-suite, so a drift fails `sbt test` before it
+  * fails the driver gate.
+  */
+object SeqOracles {
+
+  val root = "/tmp/graft_oracle"
+
+  /** DuckDB SQL reading a dumped expected table back in a fixed order. */
+  def dumpSql(name: String, orderBy: String): String =
+    s"SELECT * FROM read_parquet('$root/$name/*.parquet') ORDER BY $orderBy"
+
+  private def write(spark: SparkSession, name: String, df: DataFrame): Unit =
+    df.coalesce(1).write.mode("overwrite").parquet(s"$root/$name")
+
+  private def round4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** TextOps.words tokenization, sequentially. */
+  private def tokens(text: String): Array[String] =
+    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+
+  // ------------------------------------------------------------------
+  // row shapes (must mirror the Spark queries' output schemas exactly;
+  // OracleDumpSpec pins the equality)
+  // ------------------------------------------------------------------
+  final case class Q50Row(doc_id: String, url: String, host: String,
+                          round: Int, n_spans: Int)
+  final case class Q52Row(doc_id: String, offset: Int, kind: String,
+                          text: String, media_ref: String)
+  final case class Q28Row(id_a: Long, id_b: Long, hamming: Int)
+  final case class Q32Row(doc_id: Long, fp64: Long, quality: Double)
+  final case class Q35Row(query_id: Long, neighbor_id: Long, sim: Double)
+  final case class Q43Row(doc_id: String, job_id: Long, title: String,
+                          company: String, min_salary: Long,
+                          max_salary: Long, posted_ts: String)
+  final case class Q44Row(host: String, phone: String, n_docs: Long)
+  final case class Q45Row(id: String, count: Long, depth: Int, settled: Boolean)
+
+  // ------------------------------------------------------------------
+  // crawl-derived (q50-q52 dumps; q53 aggregates q51's dump in SQL)
+  // ------------------------------------------------------------------
+  private def crawlDumps(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val cfg = graft.SparkEntry.CrawlOnce.cfg("oracle-unused")
+    val o = new CrawlOracle(cfg).run()
+
+    val q50 = o.docs.values.toSeq
+      .map(d => Q50Row(d.doc_id, d.url, d.host, d.round, d.spans.size))
+      .sortBy(_.doc_id)
+    write(spark, "q50_crawl_docs", q50.toDF())
+
+    val q51: Seq[FetchLogEntry] =
+      o.fetchLog.sortBy(e => (e.round, e.host_hash, e.seq))
+    write(spark, "q51_crawl_fetch_log", q51.toDF())
+
+    val q52 = o.docs.values.toSeq
+      .flatMap(d => d.spans.map(s =>
+        Q52Row(d.doc_id, s.offset, s.kind, s.text, s.media_ref)))
+      .sortBy(r => (r.doc_id, r.offset))
+    write(spark, "q52_crawl_spans", q52.toDF())
+
+    // q39: media refs from the oracle's docs -> stub payload -> codec
+    val q39 = o.docs.values.toSeq
+      .flatMap(_.spans.filter(s => s.kind == "image" || s.kind == "video"))
+      .map(s => (s.media_ref, s.kind)).distinct
+      .filter(_._2 == "image")
+      .map { case (ref, _) =>
+        val bytes = refPayload(ref)
+        val (w, h, ch) = Multimodal.FakeCodec.imageMeta(bytes)
+        Multimodal.ImageMeta(ref, w, h, ch, bytes.length.toLong)
+      }
+      .sortBy(_.media_ref)
+    write(spark, "q39_media_from_crawl", q39.toDF())
+
+    // q43: sequential re-fetch of the oracle's detail pages, tokenizer
+    // parse, driver-side JSON extraction (json4s, not Spark's from_json)
+    val fetcher = SimulatedFetcher(cfg.web)
+    implicit val fmts: Formats = DefaultFormats
+    val tsFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    val q43 = o.docs.values.toSeq
+      .filter(_.url.contains("/item/"))
+      .flatMap { d =>
+        val body = fetcher.fetch(
+          FrontierEntry(d.url, d.doc_id, "", 0L, 0, 2, 0L, 9, 0)).body
+        HtmlSpans.parse(d.url, body).scripts
+          .find(_._1.get("id").contains("__NEXT_DATA__")).map(_._2)
+          .flatMap { script =>
+            val job = JsonMethods.parse(script) \ "props" \ "pageProps" \ "job"
+            (job \ "id").toOption.map { _ =>
+              val postedMs = (job \ "posted_ms").extract[Long]
+              Q43Row(d.doc_id, (job \ "id").extract[Long],
+                     (job \ "title").extract[String],
+                     (job \ "organization" \ "name").extract[String],
+                     (job \ "min_salary").extract[Long],
+                     (job \ "max_salary").extract[Long],
+                     tsFmt.format(java.time.Instant.ofEpochSecond(postedMs / 1000)))
+            }
+          }
+      }
+      .sortBy(_.doc_id)
+    write(spark, "q43_next_data_extract", q43.toDF())
+
+    // q44: host -> deterministic phone lookup + doc counts
+    val q44 = o.docs.values.toSeq.groupBy(_.host).toSeq
+      .map { case (h, ds) =>
+        Q44Row(h, f"+62-${math.abs(hashOf(77L, h)) % 1000000000L}%09d",
+               ds.size.toLong)
+      }
+      .sortBy(_.host)
+    write(spark, "q44_enrich_join", q44.toDF())
+  }
+
+  /** The fetch-bytes stub of Multimodal.mediaTableFromDocs, sequentially. */
+  private def refPayload(ref: String): Array[Byte] = {
+    var x = mix64(ref.hashCode.toLong)
+    val n = 64 + (math.abs(x) % 193L).toInt
+    val bytes = new Array[Byte](n)
+    var i = 0
+    while (i < n) { x = mix64(x); bytes(i) = (x & 0xff).toByte; i += 1 }
+    bytes
+  }
+
+  /** The id-keyed stub of Multimodal.syntheticMediaTable, sequentially. */
+  private def idMedia(id: Long): (String, String, Array[Byte]) = {
+    val kind = if (id % 3 == 0) "video" else "image"
+    val ext = if (kind == "video") "mp4" else "jpg"
+    val ref = s"https://media.test/m-$id.$ext"
+    var x = mix64(id ^ 0x5eedL)
+    val n = 64 + (math.abs(x) % 193L).toInt
+    val bytes = new Array[Byte](n)
+    var i = 0
+    while (i < n) { x = mix64(x); bytes(i) = (x & 0xff).toByte; i += 1 }
+    (ref, kind, bytes)
+  }
+
+  // ------------------------------------------------------------------
+  // testdata-derived dumps
+  // ------------------------------------------------------------------
+  private def simhash64Seq(ws: Array[String]): Long = {
+    val votes = new Array[Int](64)
+    ws.foreach { w =>
+      val h = HashOps.tokenHash(UTF8String.fromString(w))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  private def q28Dump(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    // all-pairs hamming over the planted corpus: for maxHamming=3 the
+    // 4x16-bit pigeonhole banding is EXACT, so the banded operator must
+    // equal this full quadratic scan
+    val rows = graft.SparkEntry.dedupCorpus(spark, dir)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val sigs = rows.map { case (id, text) => (id, simhash64Seq(tokens(text))) }
+    val pairs = for {
+      i <- sigs.indices.iterator
+      j <- (i + 1) until sigs.length
+      h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if h <= 3
+    } yield Q28Row(sigs(i)._1, sigs(j)._1, h)
+    write(spark, "q28_simhash",
+          pairs.toVector.sortBy(p => (p.id_a, p.id_b)).toDF())
+  }
+
+  /** Independent sequential recomputation of TextOps.quality_score
+    * (same published formula, plain Scala ops, same intermediate
+    * rounding points).
+    */
+  private def qualitySeq(text: String): Double = {
+    val stops = Set("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
+    val len = text.length
+    val lenScore = math.min(len / 500.0, 1.0)
+    val punct = text.count(ch => """!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~""".contains(ch))
+    val punctScore = math.max(1.0 - round4(punct.toDouble / math.max(len, 1)) * 5.0, 0.0)
+    val ws = tokens(text)
+    val nw = math.max(ws.length, 1)
+    val stopScore = math.min(round4(ws.count(stops).toDouble / nw) * 5.0, 1.0)
+    val meanWlen = round4(ws.map(_.length.toLong).sum.toDouble / nw)
+    val wlenScore = if (meanWlen >= 3.0 && meanWlen <= 10.0) 1.0 else 0.5
+    round4(lenScore * 0.3 + punctScore * 0.3 + stopScore * 0.2 + wlenScore * 0.2)
+  }
+
+  private def q32Dump(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val out = rows.map { case (id, text) =>
+      Q32Row(id, Fingerprint64(text), qualitySeq(text))
+    }
+    write(spark, "q32_fingerprint", out.toSeq.toDF())
+  }
+
+  /** Sequential LSH ANN with the same (tables=8, bits=10, probes=4,
+    * k=5) parameters as q35: plain loops over the collected embedding
+    * table, sharing only the plane-hash and cosine primitives.
+    */
+  private def q35Dump(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    val (tables, bits, probes, k, seed) = (8, 10, 4, 5, 42L)
+    val all = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val queryIds = (0L until 10L).toSet
+    val sigs: Map[Long, Array[Int]] = all.map { case (id, v) =>
+      id -> Array.tabulate(tables)(t => Similarity.signatureAt(v, seed, t, bits))
+    }.toMap
+    val vecs = all.toMap
+    val out = all.filter(t => queryIds.contains(t._1)).sortBy(_._1).flatMap {
+      case (q, qv) =>
+        val probeSets: Array[Set[Int]] = Array.tabulate(tables) { t =>
+          val b = sigs(q)(t)
+          (b +: (0 until probes).map(i => b ^ (1 << i))).toSet
+        }
+        val cands = all.iterator
+          .filter(c => !queryIds.contains(c._1))
+          .filter(c => (0 until tables).exists(t => probeSets(t).contains(sigs(c._1)(t))))
+          .map(c => (c._1, Similarity.cosine(qv, vecs(c._1))))
+          .toVector
+        cands.sortBy(c => (-c._2, c._1)).take(k)
+          .map { case (id, sim) => Q35Row(q, id, round4(sim)) }
+    }
+    val sorted = out.sortBy(r => (r.query_id, -r.sim, r.neighbor_id))
+    write(spark, "q35_ann_lsh", sorted.toSeq.toDF())
+  }
+
+  private def q37q38Dump(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").as[Long].collect().sorted
+    val media = ids.map(idMedia)
+    val q37 = media.filter(_._2 == "image").map { case (ref, _, bytes) =>
+      val (w, h, ch) = Multimodal.FakeCodec.imageMeta(bytes)
+      Multimodal.ImageMeta(ref, w, h, ch, bytes.length.toLong)
+    }.sortBy(_.media_ref)
+    write(spark, "q37_image_meta", q37.toSeq.toDF())
+    val q38 = media.filter(_._2 == "video").flatMap { case (ref, _, bytes) =>
+      val n = Multimodal.FakeCodec.frameCount(bytes)
+      (0 until n by 7).map(i =>
+        Multimodal.FrameSample(ref, i, Multimodal.FakeCodec.frameHash(bytes, i)))
+    }.sortBy(f => (f.media_ref, f.frame_idx))
+    write(spark, "q38_frame_sample", q38.toSeq.toDF())
+  }
+
+  /** Sequential replay of the facet-split fixpoint with q45's inputs. */
+  private def q45Dump(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val api = FacetSplit.SyntheticFacetApi(seed = 55L)
+    val thr = 1000L
+    var frontier = Vector(Q45Row("root", 17099L, 0, settled = false),
+                          Q45Row("alt", 420L, 0, settled = false))
+    var leaves = Vector.empty[Q45Row]
+    var iter = 0
+    var hotLeft = true
+    while (hotLeft && iter < 8) {
+      leaves ++= frontier.filter(f => f.count < thr || f.settled)
+      val hot = frontier.filter(f => f.count >= thr && !f.settled)
+      if (hot.isEmpty) { frontier = Vector.empty; hotLeft = false }
+      else {
+        frontier = hot.flatMap { f =>
+          val cs = api.childrenOf(f.id, f.count)
+          if (cs.isEmpty) Vector(f.copy(settled = true))
+          else cs.toVector.map { case (cid, cc) =>
+            Q45Row(cid, cc, f.depth + 1, settled = false)
+          }
+        }
+        iter += 1
+      }
+    }
+    write(spark, "q45_facet_split", (leaves ++ frontier).sortBy(_.id).toDF())
+  }
+
+  /** Write every expected table. Individual failures are isolated: the
+    * affected query's oracle read fails, the rest stay green.
+    */
+  def writeAll(spark: SparkSession, dir: String): Unit = {
+    def guarded(name: String)(body: => Unit): Unit =
+      try body
+      catch { case e: Throwable =>
+        System.err.println(s"[seq-oracle] $name failed: ${e.getMessage}")
+      }
+    guarded("crawl")(crawlDumps(spark))
+    guarded("q28")(q28Dump(spark, dir))
+    guarded("q32")(q32Dump(spark, dir))
+    guarded("q35")(q35Dump(spark, dir))
+    guarded("q37q38")(q37q38Dump(spark, dir))
+    guarded("q45")(q45Dump(spark))
+  }
+}
