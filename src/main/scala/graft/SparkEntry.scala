@@ -7,8 +7,8 @@ import org.apache.spark.sql.functions._
 import graft.fetch.SimulatedFetcher
 import graft.model.FrontierEntry
 import graft.ops.{Dedup, Extract, FacetSplit, Multimodal, Similarity, TextOps}
-import graft.parse.HtmlSpans
-import graft.parse.TrimHtml
+import graft.parse.{CssSelect, HtmlSpans, TrimHtml}
+import graft.sources.CursorSource
 import graft.sched.{CrawlConfig, CrawlScheduler}
 import graft.store.Snapshots
 import graft.synthweb.WebConfig
@@ -468,6 +468,82 @@ object SparkEntry {
       val media = Multimodal.mediaTableFromDocs(s, docs)
       Multimodal.imageMeta(s, media).orderBy("media_ref")
     }),
+    "q46_css_extract" -> ((s, dir) => {
+      // P5 CSS-selector projection (topkarir/main.go:55-79): #id text,
+      // descendant chains, attr fetch, positional Contents() i==2/i==4,
+      // :nth-of-type(2..4) — over topkarir-shaped pages rendered from
+      // the part table so the oracle can reconstruct every field
+      val html = format_string(
+        "<div id=\"detail_job\"><h1 id=\"title-comprof\"> %s </h1>" +
+          "<div id=\"detail-comprof\"><a href=\"https://corp.test/%s\">site</a>," +
+          "<span>%s</span>,<span>grp-%d</span></div>" +
+          "<div id=\"comp-detail\"><div class=\"jobdesc\"><div class=\"desc\">%s</div></div></div>" +
+          "<div class=\"detail\"><div>hdr</div><div>%s</div><div>%s</div><div>%d</div></div></div>",
+        col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+        col("p_type"), col("p_brand"), col("p_name"), col("p_size"))
+      T(s, dir, "part")
+        .select(col("p_partkey"), html.as("page"))
+        .select(col("p_partkey"),
+                CssSelect.css_text(col("page"), "#title-comprof").as("name"),
+                CssSelect.css_attr(col("page"), "#detail-comprof a", "href").as("website"),
+                CssSelect.css_contents_text(col("page"), "#detail-comprof", 2).as("address"),
+                CssSelect.css_contents_text(col("page"), "#detail-comprof", 4).as("label"),
+                CssSelect.css_text(col("page"), "#comp-detail .jobdesc .desc").as("descr"),
+                CssSelect.css_text(col("page"), ".detail div:nth-of-type(2)").as("addr1"),
+                CssSelect.css_text(col("page"), ".detail div:nth-of-type(3)").as("addr2"),
+                CssSelect.css_text(col("page"), ".detail div:nth-of-type(4)").as("addr3"))
+        .orderBy("p_partkey")
+    }),
+    "q47_cursor_chain" -> ((s, _) => {
+      // S5 opaque sequential cursor paging (olx_c226/main.go:183-184):
+      // page k+1's URL exists only in page k's response; facets
+      // parallelize, each chain walks sequentially in its task
+      val pages = Map("alpha" -> 4, "beta" -> 1, "delta" -> 3, "gamma" -> 7)
+      val api = CursorSource.SyntheticCursorApi(seed = 99L, pages, itemsPerPage = 5)
+      CursorSource.scan(s, pages.keys.toSeq.sorted, api)
+        .toDF()
+        .orderBy("facet", "id")
+    }),
+    "q48_json_array_paths" -> ((s, dir) => {
+      // P2 array-index gjson paths (jobstreet/main.go:160-164:
+      // jobFunctionValue.0.name, location.0.location)
+      val payload = format_string(
+        "{\"jobFunctionValue\":[{\"name\":\"%s\"},{\"name\":\"%s\"}]," +
+          "\"location\":[{\"location\":\"loc-%d\"}]}",
+        col("source"), col("lang"), col("doc_id"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), payload.as("payload"))
+        .select(col("doc_id"),
+                Extract.json_get(col("payload"), "$.jobFunctionValue[0].name").as("category1"),
+                Extract.json_get(col("payload"), "$.jobFunctionValue[1].name").as("category2"),
+                Extract.json_get(col("payload"), "$.location[0].location").as("location"))
+        .orderBy("doc_id")
+    }),
+    "q49_keyword_grid" -> ((s, dir) => {
+      // S11 seed-keyword source + indeed's category x page grid seeding
+      // (indeed/category.go:11-23, indeed/main.go:111-122): the
+      // autocomplete response is modeled as the distinct-keyword table
+      val kws = T(s, dir, "part")
+        .select(trim(element_at(split(col("p_type"), " "), 1)).as("keyword"))
+        .distinct()
+      kws.crossJoin(s.range(0, 61).select(col("id").as("page")))
+        .select(col("keyword"), col("page"),
+                format_string("https://jobs.test/search?q=%s&start=%d",
+                              url_encode(col("keyword")), col("page") * lit(15))
+                  .as("url"))
+        .orderBy("keyword", "page")
+    }),
+    "q54_completeness" -> ((s, dir) => {
+      // P10 completeness gate (jobstreet/main.go len(res)==29 pattern):
+      // only records with the full field arity pass the sink gate
+      T(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("fields"))
+        .filter(size(col("fields")) >= 20)
+        .select(col("doc_id"),
+                size(col("fields")).cast("long").as("n_fields"),
+                element_at(col("fields"), 20).as("f20"))
+        .orderBy("doc_id")
+    }),
     // ---------------- crawl-derived (north-rule pipeline) --------------
     "q50_crawl_docs" -> ((s, _) => {
       entry(s)
@@ -736,6 +812,38 @@ object SparkEntry {
     "q43_next_data_extract" -> dumpSql("q43_next_data_extract", "doc_id"),
     "q44_enrich_join" -> dumpSql("q44_enrich_join", "host"),
     "q45_facet_split" -> dumpSql("q45_facet_split", "id"),
+    "q46_css_extract" ->
+      """SELECT p_partkey, p_name AS name,
+        | 'https://corp.test/' || p_brand AS website,
+        | p_type AS address, 'grp-' || p_size AS label, p_type AS descr,
+        | p_brand AS addr1, p_name AS addr2, CAST(p_size AS VARCHAR) AS addr3
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q47_cursor_chain" ->
+      """WITH f(facet, pages) AS
+        |  (VALUES ('alpha', 4), ('beta', 1), ('delta', 3), ('gamma', 7)),
+        |p AS (SELECT facet, unnest(generate_series(0, pages-1)) AS page_no FROM f),
+        |i AS (SELECT facet, page_no, unnest(generate_series(0, 4)) AS k FROM p)
+        |SELECT facet, page_no, page_no*5+k AS id,
+        |  facet || '#' || (page_no*5+k) AS title
+        |FROM i ORDER BY facet, id""".stripMargin,
+    "q48_json_array_paths" ->
+      """SELECT doc_id, source AS category1, lang AS category2,
+        | 'loc-' || doc_id AS location
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q49_keyword_grid" ->
+      """WITH k AS (SELECT DISTINCT trim(split_part(p_type,' ',1)) AS keyword
+        |           FROM part),
+        |g AS (SELECT unnest(generate_series(0,60)) AS page)
+        |SELECT keyword, page,
+        | 'https://jobs.test/search?q=' || keyword || '&start=' ||
+        |   CAST(page*15 AS VARCHAR) AS url
+        |FROM k, g ORDER BY keyword, page""".stripMargin,
+    "q54_completeness" ->
+      """WITH w AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(text), '\s+') AS fields FROM documents)
+        |SELECT doc_id, CAST(len(fields) AS BIGINT) AS n_fields,
+        |  fields[20] AS f20
+        |FROM w WHERE len(fields) >= 20 ORDER BY doc_id""".stripMargin,
     "q50_crawl_docs" -> dumpSql("q50_crawl_docs", "doc_id"),
     "q51_crawl_fetch_log" -> dumpSql("q51_crawl_fetch_log", "\"round\", host_hash, seq"),
     "q52_crawl_spans" -> dumpSql("q52_crawl_spans", "doc_id, \"offset\""),

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.parse.CssSelect
+import graft.sinks.{CsvSink, JdbcSink, ParquetSink}
+import graft.sources.CursorSource
+
+/** P5 selector engine against a topkarir-shaped fixture
+  * (topkarir/main.go:43,55-79 — the selectors are the reference's own).
+  */
+class CssSelectSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val page =
+    """<html><body>
+      |<div class="job-card"><div class="footer"><center>
+      |  <a class="lightblue" data-url="https://t.test/detil/x-1">go</a>
+      |</center></div></div>
+      |<div id="detail_job">
+      |  <h1 id="title-comprof"> PT Example Corp </h1>
+      |  <div id="detail-comprof"><a href="https://example.test">site</a>,
+      |<span>Jl. Sudirman 1</span>,<span>Konsultan IT</span></div>
+      |  <div id="comp-detail"><div class="jobdesc"><div class="desc">builds things</div></div></div>
+      |  <div class="detail"><div>hdr</div><div>addr one</div><div>addr two</div><div>addr three</div></div>
+      |</div></body></html>""".stripMargin
+
+  test("reference selectors: #id, descendant, attr, nth-of-type, Contents()") {
+    assert(CssSelect.extractText(page, "#title-comprof") == "PT Example Corp")
+    assert(CssSelect.extractAttr(page, "#detail-comprof a", "href") ==
+      "https://example.test")
+    assert(CssSelect.extractAttr(page, ".job-card .footer center a.lightblue",
+                                 "data-url") == "https://t.test/detil/x-1")
+    assert(CssSelect.extractText(page, "#comp-detail .jobdesc .desc") ==
+      "builds things")
+    assert(CssSelect.extractText(page, ".detail div:nth-of-type(2)") == "addr one")
+    assert(CssSelect.extractText(page, ".detail div:nth-of-type(3)") == "addr two")
+    assert(CssSelect.extractText(page, ".detail div:nth-of-type(4)") == "addr three")
+    // goquery Contents() mixed-node positional access (main.go:61-69):
+    // children of #detail-comprof = [a, text, span, text, span]
+    assert(CssSelect.extractContentsText(page, "#detail-comprof", 2) ==
+      "Jl. Sudirman 1")
+    assert(CssSelect.extractContentsText(page, "#detail-comprof", 4) ==
+      "Konsultan IT")
+    // misses are empty, not null/throwing
+    assert(CssSelect.extractText(page, "#nope .x") == "")
+    assert(CssSelect.extractAttr(page, "#title-comprof", "href") == "")
+  }
+
+  test("column operators run codegen'd over a DataFrame") {
+    val got = Seq(page).toDF("html")
+      .select(CssSelect.css_text(col("html"), "#title-comprof").as("t"),
+              CssSelect.css_attr(col("html"), "#detail-comprof a", "href").as("a"),
+              CssSelect.css_contents_text(col("html"), "#detail-comprof", 2).as("c"))
+      .as[(String, String, String)].head()
+    assert(got == (("PT Example Corp", "https://example.test", "Jl. Sudirman 1")))
+  }
+
+  test("malformed input: stray close tags, unclosed elements, void tags") {
+    val dom = CssSelect.parseDom(
+      "<div><p>a</b><img src=\"x.jpg\"><p>b</div></span>")
+    assert(CssSelect.select(dom, "img").head.attrs("src") == "x.jpg")
+    assert(CssSelect.select(dom, "div p").nonEmpty)
+  }
+}
+
+/** S5 opaque cursor chain: the next page is reachable ONLY through the
+  * previous response (olx_c226/main.go:183-184).
+  */
+class CursorSourceSpec extends SparkSuite {
+
+  private val pages = Map("alpha" -> 4, "beta" -> 1, "gamma" -> 7)
+  private val api = CursorSource.SyntheticCursorApi(99L, pages, itemsPerPage = 3)
+
+  test("scan drains every chain exactly; chain is the only route") {
+    val got = CursorSource.scan(spark, pages.keys.toSeq.sorted, api).collect()
+    // every page of every facet reached, nothing else
+    assert(got.length == pages.values.sum * 3)
+    pages.foreach { case (f, n) =>
+      val ids = got.filter(_.facet == f).map(_.id).sorted.toSeq
+      assert(ids == (0L until n * 3L), s"facet $f incomplete: $ids")
+    }
+    // a guessed/forged cursor yields nothing: the chain IS the route
+    assert(api.fetch("https://api.test/search?facet=alpha&cursor=0000000000000001")
+      .items.isEmpty)
+    // parity with a sequential driver-side walk
+    val seq = pages.keys.toSeq.sorted.flatMap { f =>
+      Iterator.unfold(api.startUrl(f)) { url =>
+        if (url.isEmpty) None
+        else { val p = api.fetch(url); Some((p.items, p.next_url)) }
+      }.flatten.toVector
+    }.toSet
+    assert(got.toSet == seq)
+  }
+}
+
+/** K2 JDBC sink capability: option plumbing + the sandbox-exercised
+  * parquet path (driver jar absent by design — BASELINE.md).
+  */
+class SinksSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("jdbc sink carries the reference pool/batch settings") {
+    val sink = JdbcSink("jdbc:mysql://db.test:3306/colly", "jobs_apna",
+                        "loader", "pw")
+    val o = sink.options
+    assert(o("batchsize") == "128") // channel cap (apna/main.go:119)
+    assert(o("numPartitions") == "10") // pool idle cap (db/mysql.go:17)
+    assert(o("isolationLevel") == "READ_COMMITTED")
+    assert(o("dbtable") == "jobs_apna")
+    assert(o("driver") == "com.mysql.cj.jdbc.Driver")
+  }
+
+  test("jdbc write reaches the jdbc layer (fails on the absent driver)") {
+    val sink = JdbcSink("jdbc:mysql://db.test:3306/colly", "t", "u", "p")
+    val e = intercept[Throwable] {
+      sink.write(Seq((1, "a")).toDF("id", "v"))
+    }
+    val msg = (e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+    assert(msg.contains("com.mysql.cj.jdbc.Driver") || msg.contains("driver"),
+           s"unexpected failure: $msg")
+  }
+
+  test("parquet and csv sinks round-trip") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val p = tmpDir("sink-parquet-")
+    ParquetSink(p, mode = "overwrite").write(df)
+    assert(spark.read.parquet(p).count() == 2)
+    val c = tmpDir("sink-csv-")
+    CsvSink(c, header = true, mode = "overwrite").write(df)
+    assert(spark.read.option("header", "true").csv(c).count() == 2)
+  }
+}
