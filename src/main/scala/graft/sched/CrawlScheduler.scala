@@ -580,6 +580,99 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     RoundResult(r, selectedCnt, okCnt, newCnt, frontierLeft, frontierLeft == 0)
   }
 
+  /** Administrative revocation — the scenario cuckoo deletability exists
+    * for (CuckooFilter.scala:18-19): a host relaxes its robots rules or
+    * content is invalidated, and previously-seen URLs must become
+    * re-crawlable. Removes `urls` from the exact seen table AND from
+    * their buckets' cuckoo shards, so a re-discovered link short-circuits
+    * tier 2 as definitely-new (the bloom tier cannot delete; its stale
+    * positives just route through the cuckoo check). Optionally reseeds
+    * crawl entry points (e.g. the listing pages that link the revoked
+    * URLs). Commits a new snapshot round; `run()` resumes from it.
+    *
+    * Driver-side O(|urls|) by design: revocations are administrative-
+    * scale (a robots change affects one host), unlike per-round shard
+    * maintenance, which stays executor-side. Known trade: deleting a
+    * fingerprint another URL collides with (same 16-bit fp + bucket)
+    * can cause one spurious re-fetch of that URL — a liveness cost;
+    * the exact seen table stays authoritative for dedup exactness.
+    */
+  def revoke(urls: Seq[String], reseed: Seq[String] = Nil): Int = {
+    import spark.implicits._
+    val latest = snaps.latestRound.getOrElse(
+      throw new IllegalStateException("no crawl to revoke from"))
+    val m = snaps.readManifest(latest)
+    val r = latest + 1
+    val nb = cfg.nBuckets
+    val root = cfg.outDir
+    val revoked: Seq[(String, Long)] = urls.map { u =>
+      val canon = UrlCanon.canonicalize(u)
+      (UrlCanon.urlHash(canon), UrlCanon.hostHash(UrlCanon.hostOf(canon)))
+    }
+    val revokedHashes = revoked.map(_._1).toSet
+
+    // 1. exact seen table: compact minus the revoked rows
+    val seen = readTMulti[SeenEntry](snaps.seenPaths(m))
+    seen.filter(!col("url_hash").isin(revokedHashes.toSeq: _*))
+      .write.mode("overwrite").parquet(snaps.tablePath(r, "seen_full"))
+
+    // 2. cuckoo shards of affected buckets: delete fingerprints, write at
+    // r; the bucket's bloom shard rides forward so the manifest's single
+    // (bucket -> round) reference stays consistent for both tiers
+    val updatedBuckets = revoked.groupBy(t => bucketOf(t._2, nb)).flatMap {
+      case (b, hs) =>
+        m.filterRounds.get(b).map { fr =>
+          Snapshots.readBytesAt(Snapshots.filterPathAt(root, fr, b)).foreach { bytes =>
+            val cf = CuckooFilter.deserialize(bytes)
+            hs.foreach { case (h, _) => cf.remove(h) }
+            Snapshots.writeBytesAt(Snapshots.filterPathAt(root, r, b), cf.serialize())
+          }
+          Snapshots.readBytesAt(Snapshots.bloomShardPathAt(root, fr, b)).foreach(
+            bb => Snapshots.writeBytesAt(Snapshots.bloomShardPathAt(root, r, b), bb))
+          b -> r
+        }
+    }
+
+    // 3. frontier: carry forward plus the reseed entry points
+    val reseedEntries = reseed.zipWithIndex.map { case (u, i) =>
+      Fetcher.entryOf(u, SyntheticWeb.priorityOf(u), r.toLong * 1000000L + i,
+                      0, r, cfg.salts)
+    }
+    val newFrontier = readT[FrontierEntry](m.tables("frontier"))
+      .union(reseedEntries.toDS())
+      .dropDuplicates("url_hash")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    newFrontier.write.mode("overwrite").parquet(snaps.tablePath(r, "frontier"))
+    val frontierCnt = newFrontier.count()
+    val pri0Cnt = newFrontier.filter(col("priority") === 0).count()
+
+    // 4. host state rows for any new reseed hosts
+    val hostState = readT[HostState](m.tables("host_state"))
+    val capD = cfg.hostCapacity
+    val refD = cfg.hostRefill
+    val newHosts = newFrontier.map(_.host).distinct()
+      .join(hostState.select(col("host").as("h_host")),
+            col("value") === col("h_host"), "left_anti")
+      .as[String]
+      .map(h => HostState(h, UrlCanon.hostHash(h), 0.0, capD, refD))
+    hostState.union(newHosts)
+      .write.mode("overwrite").parquet(snaps.tablePath(r, "host_state"))
+    newFrontier.unpersist(false)
+
+    snaps.writeManifest(Snapshots.Manifest(
+      round = r, parentRound = latest,
+      tables = Map(
+        "frontier" -> snaps.tablePath(r, "frontier"),
+        "host_state" -> snaps.tablePath(r, "host_state"),
+        "robots" -> m.tables("robots")),
+      seenDeltaRounds = Nil, seenFullRound = r,
+      filterRounds = m.filterRounds ++ updatedBuckets,
+      counters = Map("frontier" -> frontierCnt, "frontier_pri0" -> pri0Cnt,
+                     "revoked" -> revokedHashes.size.toLong),
+      done = frontierCnt == 0))
+    r
+  }
+
   /** Run from scratch (or resume if a manifest exists) until the frontier
     * drains or maxRounds. Returns the last round executed.
     */

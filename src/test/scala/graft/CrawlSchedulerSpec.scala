@@ -146,6 +146,56 @@ class CrawlSchedulerSpec extends SparkSuite {
     assert(seenOf(sa, lastA) == seenOf(sb, lastB))
   }
 
+  test("revocation: cuckoo deletion lets a re-discovered URL re-fetch") {
+    import graft.seen.{BloomFilter, CuckooFilter}
+    import graft.canon.UrlCanon
+    import graft.store.Snapshots
+    val web = WebConfig(seed = 23, nHosts = 2, listPagesPerHost = 2,
+                        detailsPerList = 4, pct404 = 0, pct503 = 0,
+                        crossHostLinkPct = 0)
+    val cfg = CrawlConfig(web = web, outDir = tmpDir("crawlrevoke-"),
+                          maxRounds = 60, hostCapacity = 8.0, hostRefill = 8.0)
+    val sched = new CrawlScheduler(spark, cfg)
+    sched.run()
+
+    val listing = "https://host-0.test/list/0"
+    val revokedUrl = graft.synthweb.SyntheticWeb.detailUrl(web, 0, 0, 1)
+    val siblingUrl = graft.synthweb.SyntheticWeb.detailUrl(web, 0, 0, 2)
+    def hashOf(u: String) = UrlCanon.urlHash(UrlCanon.canonicalize(u))
+
+    val r = sched.revoke(Seq(revokedUrl), reseed = Seq(listing))
+    // the cuckoo shard no longer matches the revoked URL, while the
+    // bloom shard still (stale-)matches: the re-fetch MUST come through
+    // the tier-2 definitely-new path
+    val snaps = new Snapshots(cfg.outDir)
+    val m = snaps.readManifest(r)
+    val bucket = CrawlScheduler.bucketOf(UrlCanon.hostHash("host-0.test"),
+                                         cfg.nBuckets)
+    val fr = m.filterRounds(bucket)
+    val cf = CuckooFilter.deserialize(snaps.readFilter(fr, bucket).get)
+    assert(!cf.mightContain(hashOf(revokedUrl)), "cuckoo should have deleted")
+    assert(cf.mightContain(hashOf(siblingUrl)), "sibling must stay")
+    val bf = BloomFilter.deserialize(snaps.readBloomShard(fr, bucket).get)
+    assert(bf.mightContain(hashOf(revokedUrl)), "bloom cannot delete (stale ok)")
+
+    val last = sched.run()
+    val log = spark.read
+      .schema(implicitly[org.apache.spark.sql.Encoder[FetchLogEntry]].schema)
+      .parquet(snaps.fetchLogPaths(last): _*)
+      .as[FetchLogEntry].collect()
+    // revoked URL fetched twice (original + re-crawl), sibling only once
+    assert(log.count(_.url == revokedUrl) == 2,
+           s"revoked URL fetches: ${log.filter(_.url == revokedUrl).toSeq}")
+    assert(log.count(_.url == siblingUrl) == 1)
+    assert(log.count(_.url == listing) == 2) // reseeded listing re-fetched
+    // seen set is whole again (revoked URL re-marked seen exactly once)
+    val seen = spark.read
+      .schema(implicitly[org.apache.spark.sql.Encoder[SeenEntry]].schema)
+      .parquet(snaps.seenPaths(snaps.readManifest(last)): _*)
+      .as[SeenEntry].collect()
+    assert(seen.count(_.url_hash == hashOf(revokedUrl)) == 1)
+  }
+
   test("politeness budget is never exceeded per host per round") {
     val cfg = CrawlConfig(
       web = WebConfig(seed = 3, nHosts = 3, listPagesPerHost = 2, detailsPerList = 8),
