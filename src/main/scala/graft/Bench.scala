@@ -102,19 +102,18 @@ object Bench {
     s.stop()
 
     // part 2: crawl scaling run (N vs 4N cores on identical input).
-    // best-of-2 per level: single-JVM wall times vary ~10-15% run to run
-    // (GC/JIT/task-placement noise); both raw times are reported.
-    def bestOf2(cores: Int): (Long, Double, Double) = {
-      val (p1, s1) = crawlRun(cores)
-      System.gc()
-      val (_, s2) = crawlRun(cores)
-      (p1, math.min(s1, s2), math.max(s1, s2))
+    // SYMMETRIC protocol — median-of-3 at BOTH core counts, every run a
+    // fresh warmed session — so neither level is favored and single-JVM
+    // noise (GC/JIT/task placement, ~10% at 32 cores) is damped the
+    // same way on numerator and denominator. All raw times reported.
+    def medianOf3(cores: Int): (Long, Double, Seq[Double]) = {
+      val runs = (1 to 3).map { _ => System.gc(); crawlRun(cores) }
+      val times = runs.map(_._2)
+      (runs.head._1, times.sorted.apply(1), times)
     }
-    // 8-core wall time is stable run-to-run (fetch-dominated); the
-    // 32-core run carries the variance, so only it gets two attempts
-    val (pages8, sec8) = crawlRun(8)
-    val sec8b = sec8
-    val (pages32, sec32, sec32b) = bestOf2(32)
+    val (pages8, sec8, runs8) = medianOf3(8)
+    val (pages32, sec32, runs32) = medianOf3(32)
+    require(pages8 == pages32, s"workload drift: $pages8 vs $pages32 pages")
     val pps8 = pages8 / sec8
     val pps32 = pages32 / sec32
     val eff = (pps32 / pps8) / 4.0
@@ -122,11 +121,12 @@ object Bench {
     val qs = qTimes.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
     val total = qTimes.filter(_._2 >= 0).map(_._2).sum
+    def arr(xs: Seq[Double]) = xs.map(fmt(_, 2)).mkString("[", ",", "]")
     println(
       s"""{"metric":"crawl_pages_per_sec_32c","value":${fmt(pps32, 1)},"unit":"pages/sec",""" +
         s""""queries":$qs,"sf":"$sfDir","queries_total_sec":${fmt(total, 3)},""" +
         s""""crawl":{"pages":$pages32,"sec_8":${fmt(sec8, 2)},"sec_32":${fmt(sec32, 2)},""" +
-        s""""sec_8_worst":${fmt(sec8b, 2)},"sec_32_worst":${fmt(sec32b, 2)},""" +
+        s""""sec_8_runs":${arr(runs8)},"sec_32_runs":${arr(runs32)},""" +
         s""""pps_8":${fmt(pps8, 1)},"pps_32":${fmt(pps32, 1)},""" +
         s""""scaling_efficiency":${fmt(eff, 3)}}}""")
   }

@@ -8,7 +8,7 @@ import graft.fetch.SimulatedFetcher
 import graft.model.FrontierEntry
 import graft.ops.{Dedup, Extract, FacetSplit, Multimodal, Similarity, TextOps}
 import graft.parse.{CssSelect, HtmlSpans, TrimHtml}
-import graft.sources.CursorSource
+import graft.sources.{CursorSource, GraphQlSource}
 import graft.sched.{CrawlConfig, CrawlScheduler}
 import graft.store.Snapshots
 import graft.synthweb.WebConfig
@@ -533,6 +533,38 @@ object SparkEntry {
                   .as("url"))
         .orderBy("keyword", "page")
     }),
+    "q55_html_file_scan" -> ((s, dir) => {
+      // S6 local HTML file scan: pages persisted to disk, re-scanned via
+      // wholetext read, selector-projected back to typed columns
+      val out = java.nio.file.Files.createTempDirectory("html-scan-").toString
+      T(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .collect() // 25 fixture files; writing them is driver-side by nature
+        .foreach { r =>
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$out/nation-${r.get(0)}.html"),
+            s"""<html><body><div id="nation" data-key="${r.get(0)}">""" +
+              s"""<h1 id="name">${r.getString(1)}</h1>""" +
+              s"""<p class="region">region ${r.get(2)}</p></div></body></html>""")
+        }
+      s.read.option("wholetext", "true").text(out)
+        .select(CssSelect.css_attr(col("value"), "#nation", "data-key")
+                  .cast("long").as("n_key"),
+                CssSelect.css_text(col("value"), "#nation #name").as("name"),
+                CssSelect.css_text(col("value"), "#nation .region").as("region"))
+        .orderBy("n_key")
+    }),
+    "q56_graphql_paged" -> ((s, _) => {
+      // S2 GraphQL POST paged scan (kitalulus/main.go:95-151): total
+      // probe -> distributed page grid -> templated POST per page ->
+      // from_json + explode. total=123 with limit=5 exercises the
+      // partial last page
+      val template =
+        """{"query":"query jobs($page:Int,$limit:Int){jobs(page:$page,limit:$limit){total items{id title company}}}","variables":{"page":%PAGE%,"limit":%LIMIT%}}"""
+      GraphQlSource.pagedScan(s, "https://gql.test/graphql", template,
+                              limit = 5, GraphQlSource.SyntheticGqlApi(123))
+        .orderBy("id")
+    }),
     "q54_completeness" -> ((s, dir) => {
       // P10 completeness gate (jobstreet/main.go len(res)==29 pattern):
       // only records with the full field arity pass the sink gate
@@ -838,6 +870,15 @@ object SparkEntry {
         | 'https://jobs.test/search?q=' || keyword || '&start=' ||
         |   CAST(page*15 AS VARCHAR) AS url
         |FROM k, g ORDER BY keyword, page""".stripMargin,
+    "q55_html_file_scan" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_key, n_name AS name,
+        | 'region ' || n_regionkey AS region
+        |FROM nation ORDER BY n_key""".stripMargin,
+    "q56_graphql_paged" ->
+      """WITH i AS (SELECT unnest(generate_series(0, 122)) AS id)
+        |SELECT id // 5 AS page, id, 'job-' || id AS title,
+        |  'co-' || (id % 7) AS company
+        |FROM i ORDER BY id""".stripMargin,
     "q54_completeness" ->
       """WITH w AS (SELECT doc_id,
         |  regexp_split_to_array(trim(text), '\s+') AS fields FROM documents)

@@ -94,6 +94,37 @@ class CursorSourceSpec extends SparkSuite {
   }
 }
 
+/** S2 GraphQL POST paged scan: probe sizes the grid, pages distribute,
+  * the last partial page is exact (kitalulus/main.go:95-151 shape).
+  */
+class GraphQlSourceSpec extends SparkSuite {
+  import graft.sources.GraphQlSource
+
+  private val template =
+    """{"query":"q","variables":{"page":%PAGE%,"limit":%LIMIT%}}"""
+
+  test("total probe + page grid + partial last page") {
+    val api = GraphQlSource.SyntheticGqlApi(total = 23)
+    val got = GraphQlSource
+      .pagedScan(spark, "https://gql.test/graphql", template, limit = 5, api)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .sortBy(_._2)
+    assert(got.length == 23) // 4 full pages + a 3-item partial page
+    assert(got.map(_._2).toSeq == (0L until 23L))
+    got.foreach { case (page, id, title, company) =>
+      assert(page == id / 5)
+      assert(title == s"job-$id" && company == s"co-${id % 7}")
+    }
+  }
+
+  test("body templating substitutes both variables") {
+    val b = GraphQlSource.body(template, 7L, 5)
+    assert(b.contains("\"page\":7") && b.contains("\"limit\":5"))
+    assert(!b.contains("%PAGE%") && !b.contains("%LIMIT%"))
+  }
+}
+
 /** K2 JDBC sink capability: option plumbing + the sandbox-exercised
   * parquet path (driver jar absent by design — BASELINE.md).
   */
