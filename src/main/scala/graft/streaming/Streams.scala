@@ -73,6 +73,52 @@ object Streams {
       .select(col("window.start").as("win_start"), col("event_type"),
               col("n"), col("total_value"))
 
+  final case class FetchEvent(host: String, ts: java.sql.Timestamp, status: Int)
+  final case class HostSession(host: String, n_fetches: Long, n_ok: Long,
+                               first_ts: java.sql.Timestamp,
+                               last_ts: java.sql.Timestamp)
+
+  /** Event-time session windows per host via flatMapGroupsWithState: a
+    * host's fetch burst closes after `gapSeconds` of event-time silence
+    * (watermark-driven timeout), emitting one session row — the
+    * streaming form of per-host crawl activity reporting. Append-mode,
+    * exactly-once per checkpoint; state is O(1) per live host.
+    */
+  def hostSessions(spark: SparkSession, events: Dataset[FetchEvent],
+                   gapSeconds: Int): Dataset[HostSession] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", s"$gapSeconds seconds")
+      .groupByKey(_.host)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (host: String, it: Iterator[FetchEvent], state: GroupState[HostSession]) =>
+          if (state.hasTimedOut) {
+            val done = state.get
+            state.remove()
+            Iterator.single(done)
+          } else {
+            var s = state.getOption.getOrElse(
+              HostSession(host, 0L, 0L, null, null))
+            it.foreach { e =>
+              val first =
+                if (s.first_ts == null || e.ts.before(s.first_ts)) e.ts
+                else s.first_ts
+              val last =
+                if (s.last_ts == null || e.ts.after(s.last_ts)) e.ts
+                else s.last_ts
+              s = HostSession(host, s.n_fetches + 1,
+                              s.n_ok + (if (e.status == 200) 1L else 0L),
+                              first, last)
+            }
+            state.update(s)
+            // close the session gapSeconds of EVENT time after its last
+            // fetch: fires once the watermark passes that point
+            state.setTimeoutTimestamp(s.last_ts.getTime + gapSeconds * 1000L)
+            Iterator.empty
+          }
+      }
+  }
+
   final case class HostProgress(host: String, pages: Long, spans: Long,
                                 last_round: Int)
 

@@ -55,6 +55,64 @@ class StreamingSpec extends SparkSuite {
       Seq("win_start", "event_type", "n", "total_value"))
   }
 
+  test("watermark drops late rows in true stream mode (windowed counts)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = Streams.windowedEventCounts(
+      in.toDF().toDF("ts", "event_type", "value"),
+      windowLen = "5 minutes", slide = "5 minutes", watermark = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("wincounts")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(1), "click", 1.0), (ts(2), "click", 2.0))
+      q.processAllAvailable()
+      // advance watermark past window [0,5) end: 30 - 10 = 20 > 5
+      in.addData((ts(30), "view", 1.0))
+      q.processAllAvailable()
+      // LATE row inside the finalized window: must be dropped
+      in.addData((ts(1), "click", 100.0))
+      q.processAllAvailable()
+      in.addData((ts(60), "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("wincounts")
+        .filter(col("event_type") === "click").collect()
+      assert(rows.length == 1, s"window rows: ${rows.toSeq}")
+      assert(rows.head.getAs[Long]("n") == 2, "late row leaked into the window")
+      assert(rows.head.getAs[Double]("total_value") == 3.0)
+    } finally q.stop()
+  }
+
+  test("session windows close on event-time gap (flatMapGroupsWithState)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams.FetchEvent
+    implicit val sq = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val in = MemoryStream[FetchEvent]
+    val sessions = Streams.hostSessions(spark, in.toDS(), gapSeconds = 60)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // t=100/110 (not t=0: an event AT the initial watermark would be
+      // filtered as late)
+      in.addData(FetchEvent("h1", ts(100), 200), FetchEvent("h1", ts(110), 404))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0) // session still open
+      // event-time advances far past h1's gap -> its session closes
+      in.addData(FetchEvent("h2", ts(700), 200))
+      q.processAllAvailable()
+      in.addData(FetchEvent("h2", ts(1300), 200))
+      q.processAllAvailable()
+      val h1 = spark.table("sessions")
+        .filter(col("host") === "h1")
+        .as[graft.streaming.Streams.HostSession].collect()
+      assert(h1.length == 1, s"sessions: ${spark.table("sessions").collect().toSeq}")
+      assert(h1.head.n_fetches == 2 && h1.head.n_ok == 1)
+      assert(h1.head.first_ts == ts(100) && h1.head.last_ts == ts(110))
+    } finally q.stop()
+  }
+
   test("stateful host progress accumulates per key") {
     val ds = sampleDocs(30).toDS()
     val prog = Streams.hostProgress(ds).collect().map(p => p.host -> p).toMap
