@@ -4,8 +4,10 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
+import org.apache.spark.unsafe.types.UTF8String
+
 import graft.ops.{Fingerprint64Expression, LangIdExpression, MinHashExpression, SimHash64Expression}
-import graft.parse.TrimHtmlExpression
+import graft.parse.{CssExtractExpression, TrimHtmlExpression}
 
 /** SQL surface for the engine's custom Catalyst expressions.
   *
@@ -20,10 +22,23 @@ import graft.parse.TrimHtmlExpression
   *   graft_fingerprint64(text)      -> bigint
   *   graft_simhash64(tokens array)  -> bigint
   *   graft_minhash(tokens array, k) -> array<bigint>
+  *   graft_css_text(html, selector) -> string   (P5 selector engine)
+  *   graft_css_attr(html, selector, attr) -> string
   */
 object GraftFunctions {
 
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(v: UTF8String, _) => v.toString
+    case other =>
+      throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+  }
+
   private[graft] val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_css_text" -> ((args: Seq[Expression]) =>
+      CssExtractExpression(args.head, strLit(args(1), "selector"), "text", "", 0)),
+    "graft_css_attr" -> ((args: Seq[Expression]) =>
+      CssExtractExpression(args.head, strLit(args(1), "selector"), "attr",
+                           strLit(args(2), "attr"), 0)),
     "graft_trim_html" -> ((args: Seq[Expression]) => TrimHtmlExpression(args.head)),
     "graft_lang_id" -> ((args: Seq[Expression]) => LangIdExpression(args.head)),
     "graft_fingerprint64" -> ((args: Seq[Expression]) => Fingerprint64Expression(args.head)),

@@ -24,4 +24,21 @@ class ExtensionsSpec extends SparkSuite {
       .as[Long].head()
     assert(row.getAs[Long]("sh") == viaCol)
   }
+
+  test("css selector functions work from SQL") {
+    GraftFunctions.register(spark)
+    Seq("""<div id="x"><a href="https://t.test">go</a><p class="c">hi</p></div>""")
+      .toDF("html").createOrReplaceTempView("ext_css")
+    val row = spark.sql(
+      """SELECT graft_css_text(html, '#x .c') AS t,
+        |       graft_css_attr(html, '#x a', 'href') AS a
+        |FROM ext_css""".stripMargin).head()
+    assert(row.getAs[String]("t") == "hi")
+    assert(row.getAs[String]("a") == "https://t.test")
+    // selector must be a literal (it parameterizes the expression)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_css_text(html, html) FROM ext_css").head()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
 }
