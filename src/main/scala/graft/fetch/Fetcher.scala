@@ -17,6 +17,31 @@ trait Fetcher extends Serializable {
   def fetch(entry: FrontierEntry): FetchResult
 }
 
+/** ST4 transport limits, carried as configuration on the fetch
+  * boundary. Defaults mirror the reference's HTTP client settings:
+  * 30 s request timeout (60 s for olx — olx_c226/main.go:66), 10-30 s
+  * TLS handshake window, 100 max idle connections, 30 s keep-alive
+  * (apna/main.go:33-45; olx_c226/main.go:65-77). A real HTTP fetcher
+  * consumes these verbatim when constructing its per-partition client;
+  * [[SimulatedFetcher]] has no network to apply them to.
+  */
+final case class TransportConfig(
+    requestTimeoutSec: Int = 30, // apna/main.go:44 (olx: 60)
+    tlsHandshakeTimeoutSec: Int = 10, // apna/main.go:42 (olx: 30)
+    maxIdleConns: Int = 100, // apna/main.go:38
+    keepAliveSec: Int = 30, // apna/main.go:36
+    userAgents: Seq[String] = TransportConfig.defaultUserAgents)
+
+object TransportConfig {
+  /** Deterministic UA table for [[graft.ops.Extract.ua_pick]] rotation
+    * (ST5; replayable, unlike the reference's RNG pick).
+    */
+  val defaultUserAgents: Seq[String] = Seq(
+    "graft-crawler/1.0 (+https://graft.test/bot)",
+    "graft-crawler/1.0 (+https://graft.test/bot; fetch-pool-b)",
+    "graft-crawler/1.0 (+https://graft.test/bot; fetch-pool-c)")
+}
+
 /** Deterministic fetcher over [[graft.synthweb.SyntheticWeb]].
   *
   * @param simulateLatency when true, sleeps the page's seeded latency —

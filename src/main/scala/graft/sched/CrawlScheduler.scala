@@ -11,7 +11,7 @@ import graft.fetch.{Fetcher, SimulatedFetcher}
 import graft.model._
 import graft.parse.HtmlSpans
 import graft.polite.Robots
-import graft.seen.{BloomFilter, CuckooFilter}
+import graft.seen.{BloomFilter, CuckooFilter, SeenIndex}
 import graft.store.Snapshots
 import graft.synthweb.{SyntheticWeb, WebConfig}
 
@@ -52,7 +52,9 @@ final case class RoundResult(round: Int, selected: Long, fetchedOk: Long,
   * ──repartition (round-robin)──▶ fetch (mapPartitions, Fetcher)
   * ──▶ parse (HtmlSpans) ─▶ docs / robots / links
   * links ─▶ canonicalize ─▶ reduce by url_hash ─▶ bloom-shard tier
-  *       ─▶ cuckoo-shard tier ─▶ exact anti-join vs seen
+  *       ─▶ one bucket-keyed pass: cuckoo-shard tier ─▶ exact
+  *          per-bucket seen index (SeenIndex — the 10^10-row seen
+  *          table never shuffles)
   *       ─▶ exclusion vs frontier+selected
   * commit: frontier', seen Δ, docs, metrics, host_state', robots',
   *         fetch_log, filter shards — one atomic manifest
@@ -72,7 +74,10 @@ final case class RoundResult(round: Int, selected: Long, fetchedOk: Long,
   *     map-side, no shuffle, loaded lazily per executor from the
   *     snapshot store via [[FilterShardCache]]) and sharded cuckoo
   *     filters discard definite-new candidates cheaply; only
-  *     possible-positives reach the exact anti-join. Shards are keyed
+  *     possible-positives reach the exact per-bucket seen index, loaded
+  *     the same way — the seen TABLE itself is storage-only state (it
+  *     feeds compaction, rebuilds and audits) and never crosses a
+  *     shuffle during a round. Shards are keyed
   *     by host_hash bucket — at 10^10 URLs no filter bytes ever move
   *     through the driver or a whole-map broadcast: each task reads
   *     exactly the bucket shards it touches, and shard maintenance
@@ -131,6 +136,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
         "host_state" -> snaps.tablePath(0, "host_state"),
         "robots" -> snaps.tablePath(0, "robots")),
       seenDeltaRounds = Seq(0), seenFullRound = -1, filterRounds = Map.empty,
+      seenIndexRounds = Map.empty,
       counters = Map(
         "frontier" -> frontier.size.toLong,
         "frontier_pri0" -> frontier.count(_.priority == 0).toLong),
@@ -328,25 +334,32 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
       }
     }
     val defNew = tiered.filter(!_._2).map(_._1)
-    // tier 2: sharded cuckoo — shuffle only possible-positives; each
-    // group task loads exactly its own bucket's shard
+    // tiers 2+3 in ONE bucket-keyed pass: possible-positives shuffle
+    // once; the group task loads its bucket's cuckoo shard (cheap
+    // probabilistic reject) and — only if any candidate survives it —
+    // the bucket's EXACT seen index ([[graft.seen.SeenIndex]]). The
+    // persisted 10^10-row seen table itself never moves through a
+    // shuffle: this replaces the old per-round left_anti join against
+    // it, whose seen-side exchange was the last O(|seen|)-per-round
+    // cost in the round loop.
+    val seenIdxRounds = m.seenIndexRounds
     val maybe = tiered.filter(_._2).map(_._1)
-    val cuckooChecked = maybe
+    val exactNew = maybe
       .groupByKey(c => bucketOf(c.host_hash, nb))
       .flatMapGroups { (b: Int, it: Iterator[FrontierEntry]) =>
         val cf = filterRounds.get(b)
           .flatMap(fr => Snapshots.readBytesAt(Snapshots.filterPathAt(root, fr, b)))
           .map(CuckooFilter.deserialize)
-        it.map(c => (c, cf.forall(_.mightContain(c.url_hash))))
+        // a missing index means this bucket has never had a seen entry
+        // (every seen row passes through maintenance) — empty IS exact
+        lazy val idx = seenIdxRounds.get(b)
+          .flatMap(ir => Snapshots.readBytesAt(Snapshots.seenIndexPathAt(root, ir, b)))
+          .map(SeenIndex.deserialize)
+          .getOrElse(SeenIndex.empty)
+        it.filter(c =>
+          !cf.forall(_.mightContain(c.url_hash)) || !idx.contains(c.url_hash))
       }
-    val cuckooNew = cuckooChecked.filter(!_._2).map(_._1)
-    // tier 3: exact reconciliation against the persisted seen table
-    val stillMaybe = cuckooChecked.filter(_._2).map(_._1)
-    val exactNew = stillMaybe
-      .join(seen.select(col("url_hash").as("s_hash")),
-            col("url_hash") === col("s_hash"), "left_anti")
-      .as[FrontierEntry]
-    val candSeenFree = defNew.union(cuckooNew).union(exactNew)
+    val candSeenFree = defNew.union(exactNew)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // robots.txt entries for newly-discovered hosts (distributed; the
@@ -494,13 +507,23 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
             .map(BloomFilter.deserialize)
             .getOrElse(new BloomFilter(shardBits, bloomK))
           var ok = true
+          val deltaHashes = mutable.ArrayBuffer.empty[String]
           it.foreach { s =>
             ok &= cf.put(s.url_hash)
             bf.put(s.url_hash)
+            deltaHashes += s.url_hash
           }
           Snapshots.writeBytesAt(Snapshots.bloomShardPathAt(root, r, b), bf.serialize())
           if (ok)
             Snapshots.writeBytesAt(Snapshots.filterPathAt(root, r, b), cf.serialize())
+          // the exact per-bucket index updates UNCONDITIONALLY (tier 3
+          // correctness does not ride on cuckoo occupancy)
+          val idx = seenIdxRounds.get(b)
+            .flatMap(ir => Snapshots.readBytesAt(Snapshots.seenIndexPathAt(root, ir, b)))
+            .map(SeenIndex.deserialize)
+            .getOrElse(SeenIndex.empty)
+          Snapshots.writeBytesAt(Snapshots.seenIndexPathAt(root, r, b),
+                                 idx.updated(deltaHashes).serialize())
           (b, ok)
         }.collect()
       val failedBuckets = updates.filter(!_._2).map(_._1).toSet
@@ -523,8 +546,10 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
       // untouched buckets keep referencing their last-written round's
       // files (no copy-forward); touched-and-ok move to round r; failed
       // buckets drop out (conservative: bloom maybe, cuckoo maybe)
-      (filterRounds -- touchedOk.keys) ++
+      val newFilterRounds = (filterRounds -- touchedOk.keys) ++
         touchedOk.collect { case (b, true) => b -> r }
+      val newSeenIndexRounds = seenIdxRounds ++ updates.map(_._1 -> r)
+      (newFilterRounds, newSeenIndexRounds)
     }
 
     Await.result(docsF, Duration.Inf)
@@ -532,7 +557,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     Await.result(frontF, Duration.Inf)
     Await.result(hostF, Duration.Inf)
     val robotsPath = Await.result(robotsF, Duration.Inf)
-    val newFilterRounds = Await.result(filtersF, Duration.Inf)
+    val (newFilterRounds, newSeenIndexRounds) = Await.result(filtersF, Duration.Inf)
 
     // seen compaction (from the in-memory union — the persisted
     // seenDelta dataset holds exactly what the seen_delta write wrote)
@@ -565,7 +590,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
         "host_state" -> snaps.tablePath(r, "host_state"),
         "robots" -> robotsPath),
       seenDeltaRounds = seenDeltaRounds, seenFullRound = seenFullRound,
-      filterRounds = newFilterRounds,
+      filterRounds = newFilterRounds, seenIndexRounds = newSeenIndexRounds,
       counters = Map(
         "selected" -> selectedCnt, "fetched_ok" -> okCnt,
         "robots_blocked" -> blockedCnt, "new_urls" -> newCnt,
@@ -619,7 +644,8 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     // 2. cuckoo shards of affected buckets: delete fingerprints, write at
     // r; the bucket's bloom shard rides forward so the manifest's single
     // (bucket -> round) reference stays consistent for both tiers
-    val updatedBuckets = revoked.groupBy(t => bucketOf(t._2, nb)).flatMap {
+    val byBucket = revoked.groupBy(t => bucketOf(t._2, nb))
+    val updatedBuckets = byBucket.flatMap {
       case (b, hs) =>
         m.filterRounds.get(b).map { fr =>
           Snapshots.readBytesAt(Snapshots.filterPathAt(root, fr, b)).foreach { bytes =>
@@ -629,6 +655,20 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
           }
           Snapshots.readBytesAt(Snapshots.bloomShardPathAt(root, fr, b)).foreach(
             bb => Snapshots.writeBytesAt(Snapshots.bloomShardPathAt(root, r, b), bb))
+          b -> r
+        }
+    }
+    // 2b. the exact per-bucket seen indexes drop the revoked hashes too
+    // (tier 3 must agree with the rewritten seen table)
+    val updatedIdxBuckets = byBucket.flatMap {
+      case (b, hs) =>
+        m.seenIndexRounds.get(b).map { ir =>
+          Snapshots.readBytesAt(Snapshots.seenIndexPathAt(root, ir, b)).foreach {
+            bytes =>
+              val idx = SeenIndex.deserialize(bytes).updated(Nil, hs.map(_._1))
+              Snapshots.writeBytesAt(Snapshots.seenIndexPathAt(root, r, b),
+                                     idx.serialize())
+          }
           b -> r
         }
     }
@@ -667,6 +707,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
         "robots" -> m.tables("robots")),
       seenDeltaRounds = Nil, seenFullRound = r,
       filterRounds = m.filterRounds ++ updatedBuckets,
+      seenIndexRounds = m.seenIndexRounds ++ updatedIdxBuckets,
       counters = Map("frontier" -> frontierCnt, "frontier_pri0" -> pri0Cnt,
                      "revoked" -> revokedHashes.size.toLong),
       done = frontierCnt == 0))

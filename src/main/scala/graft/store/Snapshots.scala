@@ -53,6 +53,11 @@ final class Snapshots(val root: String) {
       // forward, so a round's commit cost is O(touched buckets))
       "filterRounds" -> JObject(m.filterRounds.toList.sortBy(_._1)
         .map { case (b, fr) => b.toString -> JInt(fr) }),
+      // bucket -> round of its exact per-bucket seen index (tier 3);
+      // maintained unconditionally, unlike filterRounds which drops a
+      // bucket on cuckoo overflow
+      "seenIndexRounds" -> JObject(m.seenIndexRounds.toList.sortBy(_._1)
+        .map { case (b, ir) => b.toString -> JInt(ir) }),
       "counters" -> JObject(m.counters.toList.map { case (k, v) => k -> JLong(v) }),
       "done" -> JBool(m.done)
     )
@@ -82,6 +87,8 @@ final class Snapshots(val root: String) {
       seenFullRound = (j \ "seenFullRound").extract[Int],
       filterRounds = (j \ "filterRounds").extract[Map[String, Int]]
         .map { case (b, fr) => b.toInt -> fr },
+      seenIndexRounds = (j \ "seenIndexRounds").extract[Map[String, Int]]
+        .map { case (b, ir) => b.toInt -> ir },
       counters = (j \ "counters").extract[Map[String, Long]],
       done = (j \ "done").extract[Boolean]
     )
@@ -134,6 +141,8 @@ object Snapshots {
     f"$root/r$round%05d/filters/bucket-$bucket%04d.bin"
   def bloomShardPathAt(root: String, round: Int, bucket: Int): String =
     f"$root/r$round%05d/filters/bloom-$bucket%04d.bin"
+  def seenIndexPathAt(root: String, round: Int, bucket: Int): String =
+    f"$root/r$round%05d/filters/seen-$bucket%04d.bin"
 
   def writeBytesAt(path: String, bytes: Array[Byte]): Unit = {
     val p = Paths.get(path)
@@ -156,6 +165,7 @@ object Snapshots {
       seenDeltaRounds: Seq[Int], // rounds whose seen_delta must be unioned
       seenFullRound: Int, // -1 = none; else base compaction round
       filterRounds: Map[Int, Int], // bucket -> round of its current shards
+      seenIndexRounds: Map[Int, Int], // bucket -> round of its exact index
       counters: Map[String, Long],
       done: Boolean
   )

@@ -152,6 +152,15 @@ class SinksSpec extends SparkSuite {
            s"unexpected failure: $msg")
   }
 
+  test("transport config defaults mirror the reference client settings") {
+    val t = graft.fetch.TransportConfig()
+    assert(t.requestTimeoutSec == 30) // apna/main.go:44
+    assert(t.tlsHandshakeTimeoutSec == 10) // apna/main.go:42
+    assert(t.maxIdleConns == 100) // apna/main.go:38
+    assert(t.keepAliveSec == 30) // apna/main.go:36
+    assert(t.userAgents.nonEmpty && t.userAgents.distinct == t.userAgents)
+  }
+
   test("parquet and csv sinks round-trip") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val p = tmpDir("sink-parquet-")

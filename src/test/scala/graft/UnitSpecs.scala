@@ -147,6 +147,31 @@ class FiltersSpec extends SparkSuite {
   }
 }
 
+class SeenIndexSpec extends SparkSuite {
+  import graft.seen.SeenIndex
+  private def hex(seed: Long): String =
+    graft.canon.UrlCanon.urlHash(s"https://x.test/$seed")
+
+  test("exact membership: adds, removes, dedup, serde, vs a Set") {
+    val hashes = (0L until 500L).map(hex)
+    val idx = SeenIndex.empty.updated(hashes ++ hashes.take(50)) // dups collapse
+    assert(idx.size == 500)
+    hashes.foreach(h => assert(idx.contains(h)))
+    (500L until 600L).map(hex).foreach(h => assert(!idx.contains(h)))
+    // serde round-trip
+    val rt = SeenIndex.deserialize(idx.serialize())
+    assert(rt.size == 500 && hashes.forall(rt.contains))
+    // removal
+    val removed = idx.updated(Nil, hashes.take(100))
+    assert(removed.size == 400)
+    hashes.take(100).foreach(h => assert(!removed.contains(h)))
+    hashes.drop(100).foreach(h => assert(removed.contains(h)))
+    // incremental update equals one-shot build
+    val inc = hashes.grouped(100).foldLeft(SeenIndex.empty)((a, g) => a.updated(g))
+    assert(java.util.Arrays.equals(inc.serialize(), idx.serialize()))
+  }
+}
+
 class RobotsSpec extends SparkSuite {
   test("parse + allowed") {
     val r = Robots.parse("h.test", "User-agent: *\nDisallow: /private/\nDisallow: /tmp\n")
