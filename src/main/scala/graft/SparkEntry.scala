@@ -347,6 +347,15 @@ object SparkEntry {
         .withColumn("sim", round(col("sim"), 4))
         .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
     }),
+    "q57_ann_ivf" -> ((s, dir) => {
+      // IVF coarse-quantizer ANN: the data-adaptive scale path next to
+      // q35's LSH (seeded k-means cells, nProbe nearest cells per query)
+      Similarity.ivfTopK(s, T(s, dir, "embeddings"), "vec_id", "embedding",
+                         (0L until 10L).toSeq, 5, nCells = 16, nProbe = 4)
+        .toDF()
+        .withColumn("sim", round(col("sim"), 4))
+        .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+    }),
     "q36_embedding_neardup" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
       // plant exact-duplicate vectors (vec_id+10000) for ids < 20
@@ -832,6 +841,7 @@ object SparkEntry {
         |FROM ranked WHERE rnk<=5
         |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin,
     "q35_ann_lsh" -> dumpSql("q35_ann_lsh", "query_id, sim DESC, neighbor_id"),
+    "q57_ann_ivf" -> dumpSql("q57_ann_ivf", "query_id, sim DESC, neighbor_id"),
     "q36_embedding_neardup" ->
       // planted ground truth: every vec_id<20 is duplicated at +10000
       // with an identical embedding (cosine exactly 1.0 after rounding);

@@ -188,6 +188,125 @@ object Similarity {
       }
   }
 
+  /** Deterministic seeded k-means (Lloyd) over a small driver-side
+    * sample — the coarse quantizer for [[ivfTopK]]. Cosine metric
+    * (vectors compared by angle); centroids are mean vectors of their
+    * assigned sample points. Tiny by design: the sample and centroid
+    * table both fit on the driver and broadcast in KBs.
+    */
+  private[graft] def kmeans(sample: Array[Array[Float]], nCells: Int,
+                            iters: Int, seed: Long): Array[Array[Float]] = {
+    require(sample.nonEmpty, "kmeans needs a non-empty sample")
+    val dim = sample.head.length
+    // seeded init: pick nCells sample points by splitmix64 order
+    var centroids = sample.zipWithIndex
+      .sortBy { case (_, i) => mix64(seed ^ i.toLong) }
+      .take(math.min(nCells, sample.length))
+      .map(_._1.clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      sample.foreach { v =>
+        val c = nearestCell(v, centroids)
+        counts(c) += 1
+        var d = 0
+        while (d < dim) { sums(c)(d) += v(d); d += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c) // empty cell keeps its centroid
+        else Array.tabulate(dim)(d => (sums(c)(d) / counts(c)).toFloat)
+      }.toArray
+      it += 1
+    }
+    centroids
+  }
+
+  /** Index of the max-cosine centroid (ties -> lowest index). */
+  private[graft] def nearestCell(v: Array[Float],
+                                 centroids: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestSim = -2.0
+    var c = 0
+    while (c < centroids.length) {
+      val s = cosine(v, centroids(c))
+      if (s > bestSim) { bestSim = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** `nProbe` nearest cells by cosine, best first (deterministic). */
+  private[graft] def probeCells(v: Array[Float],
+                                centroids: Array[Array[Float]],
+                                nProbe: Int): Array[Int] =
+    centroids.indices
+      .map(c => (c, cosine(v, centroids(c))))
+      .sortBy(t => (-t._2, t._1))
+      .take(math.min(nProbe, centroids.length))
+      .map(_._1)
+      .toArray
+
+  /** IVF (inverted-file) ANN top-k — the data-adaptive scale path next
+    * to [[lshTopK]]: a coarse quantizer of `nCells` centroids (seeded
+    * k-means over a deterministic driver-side sample) partitions the
+    * corpus into cells; each query probes its `nProbe` nearest cells and
+    * re-ranks exactly inside them. Where LSH buckets are random
+    * hyperplane cuts, IVF cells follow the data distribution, so a
+    * clustered corpus scans ~nProbe/nCells of its rows per query. The
+    * corpus is assigned map-side (broadcast centroid table, no shuffle);
+    * only cell-matched candidates move.
+    */
+  def ivfTopK(spark: SparkSession, emb: DataFrame, idCol: String,
+              vecCol: String, queryIds: Seq[Long], k: Int,
+              nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+              sampleN: Int = 512, iters: Int = 8): Dataset[Scored] = {
+    import spark.implicits._
+    val base = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    // deterministic sample: the sampleN smallest ids (TakeOrdered — no
+    // full sort); at corpus scale swap for a seeded hash-range predicate
+    val sample = base.as[(Long, Array[Float])]
+      .orderBy("id").limit(sampleN).collect().map(_._2)
+    val centroids = kmeans(sample, nCells, iters, seed)
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    val cells = base.as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) => (nearestCell(v, cs), id, v) }
+      }
+      .toDF("cell", "id", "vec")
+
+    val qProbes = base.as[(Long, Array[Float])]
+      .filter(t => queryIds.contains(t._1))
+      .flatMap { case (q, v) =>
+        probeCells(v, bc.value, nProbe).iterator.map(c => (c, q, v))
+      }
+      .toDF("cell", "query_id", "qvec")
+
+    val qSet = queryIds.toSet
+    val scored = cells
+      .join(broadcast(qProbes), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"), col("qvec"), col("vec"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .filter(t => !qSet.contains(t._2))
+      .map { case (q, id, qv, v) => Scored(q, id, cosine(qv, v)) }
+
+    implicit val ord: Ordering[Scored] =
+      Ordering.by((s: Scored) => (-s.sim, s.neighbor_id))
+    scored
+      .groupByKey(_.query_id)
+      .flatMapGroups { (_: Long, it: Iterator[Scored]) =>
+        val heap = mutable.PriorityQueue.empty[Scored](ord)
+        it.foreach { s =>
+          if (heap.size < k) heap.enqueue(s)
+          else if (ord.lt(s, heap.head)) { heap.dequeue(); heap.enqueue(s) }
+        }
+        heap.dequeueAll.sorted(ord)
+      }
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
     * buckets (deterministic seeded planes) + exact verification —
     * the embedding leg of the dedup family.

@@ -262,6 +262,35 @@ object SeqOracles {
     write(spark, "q35_ann_lsh", sorted.toSeq.toDF())
   }
 
+  /** Sequential IVF ANN with q57's parameters: the cell assignment,
+    * probing and re-ranking loops re-done in plain Scala over the
+    * collected table, sharing only the geometry primitives (kmeans runs
+    * driver-side in both paths and is identical by construction).
+    */
+  private def q57Dump(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    val (nCells, nProbe, k, seed, sampleN, iters) = (16, 4, 5, 42L, 512, 8)
+    val all = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    val centroids =
+      Similarity.kmeans(all.take(sampleN).map(_._2), nCells, iters, seed)
+    val cellOf: Map[Long, Int] =
+      all.map { case (id, v) => id -> Similarity.nearestCell(v, centroids) }.toMap
+    val queryIds = (0L until 10L).toSet
+    val out = all.filter(t => queryIds.contains(t._1)).flatMap { case (q, qv) =>
+      val probes = Similarity.probeCells(qv, centroids, nProbe).toSet
+      all.iterator
+        .filter(t => !queryIds.contains(t._1) && probes.contains(cellOf(t._1)))
+        .map(t => (t._1, Similarity.cosine(qv, t._2)))
+        .toVector
+        .sortBy(c => (-c._2, c._1)).take(k)
+        .map { case (id, sim) => Q35Row(q, id, round4(sim)) }
+    }
+    write(spark, "q57_ann_ivf",
+          out.sortBy(r => (r.query_id, -r.sim, r.neighbor_id)).toSeq.toDF())
+  }
+
   private def q37q38Dump(spark: SparkSession, dir: String): Unit = {
     import spark.implicits._
     val ids = spark.read.parquet(s"$dir/documents.parquet")
@@ -321,6 +350,7 @@ object SeqOracles {
     guarded("q28")(q28Dump(spark, dir))
     guarded("q32")(q32Dump(spark, dir))
     guarded("q35")(q35Dump(spark, dir))
+    guarded("q57")(q57Dump(spark, dir))
     guarded("q37q38")(q37q38Dump(spark, dir))
     guarded("q45")(q45Dump(spark))
   }

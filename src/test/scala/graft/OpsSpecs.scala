@@ -226,6 +226,36 @@ class SimilaritySpec extends SparkSuite {
     assert(lsh == lsh2)
   }
 
+  test("IVF ANN: deterministic, plausible recall vs brute force") {
+    val queries = (0L until 10L).toSeq
+    val brute = Similarity.bruteForceTopK(spark, emb, "vec_id", "embedding", queries, 5)
+      .collect().groupBy(_.query_id).view
+      .mapValues(_.map(_.neighbor_id).toSet).toMap
+    def run() = Similarity
+      .ivfTopK(spark, emb, "vec_id", "embedding", queries, 5,
+               nCells = 16, nProbe = 4)
+      .collect().groupBy(_.query_id).view
+      .mapValues(_.map(_.neighbor_id).toSet).toMap
+    val ivf = run()
+    val recall = queries.map { q =>
+      brute(q).intersect(ivf.getOrElse(q, Set.empty)).size.toDouble / 5.0
+    }.sum / queries.size
+    assert(recall >= 0.3, s"IVF recall vs brute force too low: $recall")
+    assert(run() == ivf) // deterministic
+    // probing more cells must not lose recall
+    val full = Similarity
+      .ivfTopK(spark, emb, "vec_id", "embedding", queries, 5,
+               nCells = 16, nProbe = 16)
+      .collect().groupBy(_.query_id).view
+      .mapValues(_.map(_.neighbor_id).toSet).toMap
+    val recallFull = queries.map { q =>
+      brute(q).intersect(full.getOrElse(q, Set.empty)).size.toDouble / 5.0
+    }.sum / queries.size
+    assert(recallFull >= recall, s"more probes lost recall: $recallFull < $recall")
+    // probing ALL cells IS brute force
+    assert(recallFull == 1.0, s"all-cell probe should be exact: $recallFull")
+  }
+
   test("cosine near-dup finds all planted duplicate vectors") {
     val planted = emb.filter(col("vec_id") < 20)
       .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
