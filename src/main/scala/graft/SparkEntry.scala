@@ -308,6 +308,23 @@ object SparkEntry {
       Dedup.simhashNearDups(dedupCorpus(s, dir), "id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")
     }),
+    "q58_full_corpus_neardup" -> ((s, dir) => {
+      // MinHash LSH at FULL corpus scale (every document, not the small
+      // planted subset): the whole table is duplicated at doc_id+10^7,
+      // and banding structurally guarantees recall 1.0 on exact dups
+      // (identical texts -> identical signatures -> every band shared),
+      // so at threshold 1.0 the expected output is exactly the planted
+      // pair set (the corpus's highest ORGANIC shingle-jaccard is
+      // 0.9891). This is the scale-behavior probe: sig computation is
+      // one codegen'd pass per row, the band exchange carries ids only,
+      // buckets are capped.
+      val d = T(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+      val corpus = d.union(d.select((col("id") + 10000000L).as("id"), col("text")))
+      Dedup.minhashNearDups(corpus, "id", "text",
+                            shingleN = 3, numHashes = 32, rowsPerBand = 4,
+                            threshold = 1.0)
+        .orderBy("id_a", "id_b")
+    }),
     // ---------------- similarity search ----------------
     "q33_cosine_topk" -> ((s, dir) => {
       // declarative brute-force: round sims, rank by (sim desc, id)
@@ -791,6 +808,12 @@ object SparkEntry {
     "q26_ngram_jaccard" -> jaccardPairsSql,
     "q27_minhash_lsh" -> jaccardPairsSql,
     "q28_simhash" -> dumpSql("q28_simhash", "id_a, id_b"),
+    "q58_full_corpus_neardup" ->
+      // planted ground truth: every doc duplicated verbatim at +10^7;
+      // identical texts have jaccard exactly 1.0, and no organic pair in
+      // the synthetic corpus reaches the 0.9 threshold
+      """SELECT doc_id AS id_a, doc_id + 10000000 AS id_b, 1.0 AS jaccard
+        |FROM documents ORDER BY id_a""".stripMargin,
     "q31_langid" ->
       """WITH w AS (
         |  SELECT doc_id,

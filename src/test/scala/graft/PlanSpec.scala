@@ -56,6 +56,21 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("*(1) Project"), s"codegen broken:\n$plan")
   }
 
+  test("css extraction stays in whole-stage codegen") {
+    val df = spark.read.parquet(s"$dir/part.parquet")
+      .select(graft.parse.CssSelect.css_text(
+        concat(lit("<h1 id=\"t\">"), col("p_name"), lit("</h1>")), "#t").as("t"))
+    val plan = planOf(df)
+    assert(plan.contains("*(1) Project"), s"codegen broken:\n$plan")
+  }
+
+  test("keyword grid crossJoin broadcasts, never cartesian-products") {
+    val plan = planOf(SparkEntry.queries("q49_keyword_grid")(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+           s"no broadcast in grid join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in grid join:\n$plan")
+  }
+
   test("exact dedup aggregates partially before the shuffle") {
     val plan = planOf(graft.ops.Dedup.exactClusters(
       spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"))
