@@ -23,8 +23,12 @@ object Verify {
       }
     }
     // expected tables for the non-SQL-expressible queries: sequential
-    // oracle recomputations, read back by oracleSql via read_parquet
-    graft.oracle.SeqOracles.writeAll(spark, sfDir)
+    // oracle recomputations, read back by oracleSql via read_parquet.
+    // They land under outDir (the one path the compare environment is
+    // guaranteed to read, since the query parquets live there), and the
+    // emitted SQL is rewritten from the placeholder root to match.
+    val dumpRoot = new java.io.File(s"$outDir/_oracle").getAbsolutePath
+    graft.oracle.SeqOracles.writeAll(spark, sfDir, dumpRoot)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -38,7 +42,9 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace(graft.oracle.SeqOracles.root, dumpRoot))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -33,14 +33,22 @@ import graft.synthweb.SyntheticWeb.{hashOf, mix64}
   */
 object SeqOracles {
 
+  /** Default dump root — a PLACEHOLDER in the static `oracleSql`
+    * strings. [[graft.Verify]] dumps under its own outDir (guaranteed
+    * readable wherever the driver's DuckDB compare runs, since the
+    * query parquets are read from there too) and rewrites the
+    * placeholder to the actual path in the emitted oracle_sql.json.
+    */
   val root = "/tmp/graft_oracle"
 
   /** DuckDB SQL reading a dumped expected table back in a fixed order. */
   def dumpSql(name: String, orderBy: String): String =
     s"SELECT * FROM read_parquet('$root/$name/*.parquet') ORDER BY $orderBy"
 
+  private var activeRoot: String = root
+
   private def write(spark: SparkSession, name: String, df: DataFrame): Unit =
-    df.coalesce(1).write.mode("overwrite").parquet(s"$root/$name")
+    df.coalesce(1).write.mode("overwrite").parquet(s"$activeRoot/$name")
 
   private def round4(x: Double): Double =
     java.math.BigDecimal.valueOf(x)
@@ -337,10 +345,13 @@ object SeqOracles {
     write(spark, "q45_facet_split", (leaves ++ frontier).sortBy(_.id).toDF())
   }
 
-  /** Write every expected table. Individual failures are isolated: the
-    * affected query's oracle read fails, the rest stay green.
+  /** Write every expected table under `dumpRoot`. Individual failures
+    * are isolated: the affected query's oracle read fails, the rest
+    * stay green.
     */
-  def writeAll(spark: SparkSession, dir: String): Unit = {
+  def writeAll(spark: SparkSession, dir: String,
+               dumpRoot: String = root): Unit = {
+    activeRoot = dumpRoot
     def guarded(name: String)(body: => Unit): Unit =
       try body
       catch { case e: Throwable =>
