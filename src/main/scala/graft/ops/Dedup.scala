@@ -75,6 +75,12 @@ object Dedup {
     * so a near-identical-heavy corpus cannot blow one task up
     * quadratically; drops are counted in a named accumulator.
     *
+    * The shingle computation executes in up to three plan branches
+    * (banding + both join-back sides) — a deliberate
+    * recompute-over-shuffle trade: row-local codegen'd work is cheaper
+    * at corpus scale than moving tokenized text. Callers iterating on
+    * one corpus can `df.persist()` upstream to collapse the branches.
+    *
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,

@@ -17,7 +17,10 @@ import org.apache.spark.util.LongAccumulator
   * bucket to its `cap` smallest ids — deterministic, O(cap) task
   * memory, O(cap²) task output — and counts the rows it drops in a
   * named `LongAccumulator` (visible in the Spark UI and to callers), so
-  * truncation is never silent. A row dropped from one oversized bucket
+  * truncation is never silent — standard accumulator semantics apply:
+  * task retries and repeated actions over an un-cached result re-add
+  * their counts, so read it as a saw-truncation indicator and upper
+  * bound, not an exact tally. A row dropped from one oversized bucket
   * can still pair through its other bands/tables, so recall degrades
   * gracefully instead of the job dying.
   *

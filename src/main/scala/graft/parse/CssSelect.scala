@@ -58,6 +58,15 @@ object CssSelect {
         i = n
       } else {
         if (lt > i) top.children += Text(html.substring(i, lt))
+        if (html.startsWith("<!--", lt)) {
+          // comment: skip to --> (to end when unterminated)
+          val ce = html.indexOf("-->", lt + 4)
+          i = if (ce < 0) n else ce + 3
+        } else if (lt + 1 < n && (html.charAt(lt + 1) == '!' || html.charAt(lt + 1) == '?')) {
+          // DOCTYPE / CDATA / processing instruction: skip the tag
+          val gt = html.indexOf('>', lt + 1)
+          i = if (gt < 0) n else gt + 1
+        } else {
         val gt = html.indexOf('>', lt + 1)
         if (gt < 0) i = n
         else {
@@ -84,6 +93,7 @@ object CssSelect {
           } else {
             stack += new Open(name, HtmlSpans.parseAttrs(rawTag))
           }
+        }
         }
       }
     }

@@ -325,10 +325,12 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     val shardBits = cfg.bloomShardBits
     val bloomK = cfg.bloomHashes
     val tiered = candDedup.mapPartitions { it =>
+      // task-local memo: one validated cache lookup per bucket per task
+      val local = mutable.Map.empty[Int, Option[BloomFilter]]
       it.map { c =>
         val b = bucketOf(c.host_hash, nb)
-        val bf = filterRounds.get(b)
-          .flatMap(fr => FilterShardCache.bloom(root, fr, b))
+        val bf = local.getOrElseUpdate(
+          b, filterRounds.get(b).flatMap(fr => FilterShardCache.bloom(root, fr, b)))
         // conservative: missing shard => maybe seen (exact tier resolves)
         (c, bf.forall(_.mightContain(c.url_hash)))
       }
@@ -498,15 +500,33 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
       val updates = seenDelta
         .groupByKey(s => bucketOf(s.host_hash, nb))
         .mapGroups { (b: Int, it: Iterator[SeenEntry]) =>
-          val cf = filterRounds.get(b)
-            .flatMap(fr => Snapshots.readBytesAt(Snapshots.filterPathAt(root, fr, b)))
-            .map(CuckooFilter.deserialize)
-            .getOrElse(CuckooFilter.sized(4096))
-          val bf = filterRounds.get(b)
-            .flatMap(fr => Snapshots.readBytesAt(Snapshots.bloomShardPathAt(root, fr, b)))
-            .map(BloomFilter.deserialize)
-            .getOrElse(new BloomFilter(shardBits, bloomK))
+          // a bucket WITH history (an exact index exists) but WITHOUT
+          // filter shards (dropped after a cuckoo overflow) must NOT be
+          // recreated from empty filters — a bloom missing old hashes
+          // would later classify seen URLs as definitely-new. Reseed
+          // both filters from the exact index instead.
+          val priorIdx = seenIdxRounds.get(b)
+            .flatMap(ir => Snapshots.readBytesAt(Snapshots.seenIndexPathAt(root, ir, b)))
+            .map(SeenIndex.deserialize)
+            .getOrElse(SeenIndex.empty)
           var ok = true
+          val (cf, bf) = filterRounds.get(b) match {
+            case Some(fr) =>
+              (Snapshots.readBytesAt(Snapshots.filterPathAt(root, fr, b))
+                 .map(CuckooFilter.deserialize)
+                 .getOrElse(CuckooFilter.sized(4096)),
+               Snapshots.readBytesAt(Snapshots.bloomShardPathAt(root, fr, b))
+                 .map(BloomFilter.deserialize)
+                 .getOrElse(new BloomFilter(shardBits, bloomK)))
+            case None =>
+              val cf0 = CuckooFilter.sized(math.max(4096L, priorIdx.size.toLong * 2))
+              val bf0 = new BloomFilter(shardBits, bloomK)
+              priorIdx.hexIterator.foreach { h =>
+                ok &= cf0.put(h)
+                bf0.put(h)
+              }
+              (cf0, bf0)
+          }
           val deltaHashes = mutable.ArrayBuffer.empty[String]
           it.foreach { s =>
             ok &= cf.put(s.url_hash)
@@ -518,12 +538,8 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
             Snapshots.writeBytesAt(Snapshots.filterPathAt(root, r, b), cf.serialize())
           // the exact per-bucket index updates UNCONDITIONALLY (tier 3
           // correctness does not ride on cuckoo occupancy)
-          val idx = seenIdxRounds.get(b)
-            .flatMap(ir => Snapshots.readBytesAt(Snapshots.seenIndexPathAt(root, ir, b)))
-            .map(SeenIndex.deserialize)
-            .getOrElse(SeenIndex.empty)
           Snapshots.writeBytesAt(Snapshots.seenIndexPathAt(root, r, b),
-                                 idx.updated(deltaHashes).serialize())
+                                 priorIdx.updated(deltaHashes).serialize())
           (b, ok)
         }.collect()
       val failedBuckets = updates.filter(!_._2).map(_._1).toSet
@@ -673,14 +689,20 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
         }
     }
 
-    // 3. frontier: carry forward plus the reseed entry points
-    val reseedEntries = reseed.zipWithIndex.map { case (u, i) =>
+    // 3. frontier: carry forward plus the reseed entry points. Existing
+    // frontier rows WIN over a colliding reseed (deterministic
+    // precedence — a pending retry keeps its attempt count; plain
+    // dropDuplicates would keep an arbitrary row)
+    val reseedEntries = reseed.distinct.zipWithIndex.map { case (u, i) =>
       Fetcher.entryOf(u, SyntheticWeb.priorityOf(u), r.toLong * 1000000L + i,
                       0, r, cfg.salts)
     }
-    val newFrontier = readT[FrontierEntry](m.tables("frontier"))
-      .union(reseedEntries.toDS())
-      .dropDuplicates("url_hash")
+    val existing = readT[FrontierEntry](m.tables("frontier"))
+    val reseedNew = reseedEntries.toDS()
+      .join(existing.select(col("url_hash").as("x_hash")),
+            col("url_hash") === col("x_hash"), "left_anti")
+      .as[FrontierEntry]
+    val newFrontier = existing.union(reseedNew)
       .persist(StorageLevel.MEMORY_AND_DISK)
     newFrontier.write.mode("overwrite").parquet(snaps.tablePath(r, "frontier"))
     val frontierCnt = newFrontier.count()

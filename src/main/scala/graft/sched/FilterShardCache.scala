@@ -12,29 +12,33 @@ import graft.store.Snapshots
   * task may touch candidates from any host bucket. Each executor lazily
   * loads only the shards its tasks actually touch, straight from the
   * snapshot store (shared storage on a real cluster) — nothing is
-  * broadcast through the driver. Shards are immutable per (bucket,
-  * round), so the cache key is exact; a bucket's entry is replaced when
-  * a later round's shard is requested.
+  * broadcast through the driver. Entries are validated by (round,
+  * file mtime), so reusing an output directory for a fresh crawl in the
+  * same JVM (round numbers repeat, contents differ) cannot serve a
+  * stale shard. Callers memoize per task (one validation stat per
+  * bucket per task, not per row).
   *
   * Negative entries (no shard file for that round) are cached too —
   * readers treat a missing shard as "maybe seen" (the exact tier
   * resolves), and must not hit storage once per row to learn that.
   */
 object FilterShardCache {
-  // (root, bucket) -> (round, Option[shard])
-  private val cache =
-    new ConcurrentHashMap[(String, Int), (Int, Option[BloomFilter])]()
+  private final case class Entry(round: Int, mtime: Long,
+                                 shard: Option[BloomFilter])
+  private val cache = new ConcurrentHashMap[(String, Int), Entry]()
 
   def bloom(root: String, round: Int, bucket: Int): Option[BloomFilter] = {
+    val path = Snapshots.bloomShardPathAt(root, round, bucket)
+    val mtime = new java.io.File(path).lastModified() // 0 when missing
     val k = (root, bucket)
     val cur = cache.get(k)
-    if (cur != null && cur._1 == round) cur._2
+    if (cur != null && cur.round == round && cur.mtime == mtime) cur.shard
     else {
-      val loaded = Snapshots
-        .readBytesAt(Snapshots.bloomShardPathAt(root, round, bucket))
-        .map(BloomFilter.deserialize)
+      val loaded =
+        if (mtime == 0L) None
+        else Snapshots.readBytesAt(path).map(BloomFilter.deserialize)
       if (cache.size > 8192) cache.clear() // crude bound; shards are tiny
-      cache.put(k, (round, loaded))
+      cache.put(k, Entry(round, mtime, loaded))
       loaded
     }
   }

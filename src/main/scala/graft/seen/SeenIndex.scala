@@ -57,6 +57,21 @@ final class SeenIndex private (private val flat: Array[Byte]) {
   def contains(urlHashHex: String): Boolean =
     containsBytes(SeenIndex.hexToBytes(urlHashHex))
 
+  /** All member hashes as lowercase hex — lets filter shards be rebuilt
+    * from the exact index (e.g. after a cuckoo overflow dropped them).
+    */
+  def hexIterator: Iterator[String] = (0 until size).iterator.map { i =>
+    val sb = new StringBuilder(2 * SeenIndex.W)
+    var j = 0
+    while (j < SeenIndex.W) {
+      val b = flat(i * SeenIndex.W + j) & 0xff
+      sb.append(Character.forDigit(b >> 4, 16))
+      sb.append(Character.forDigit(b & 0xf, 16))
+      j += 1
+    }
+    sb.toString
+  }
+
   /** New index with `adds` inserted and `removes` deleted (both hex). */
   def updated(adds: Iterable[String], removes: Iterable[String] = Nil): SeenIndex = {
     val rm = removes.map(h => SeenIndex.hexKey(h)).toSet

@@ -97,24 +97,35 @@ object Streams {
             state.remove()
             Iterator.single(done)
           } else {
-            var s = state.getOption.getOrElse(
-              HostSession(host, 0L, 0L, null, null))
-            it.foreach { e =>
+            // a single micro-batch can span several sessions (replay /
+            // backfill): walk the batch in event-time order and close a
+            // session immediately whenever the in-batch gap is exceeded
+            def add(s: HostSession, e: FetchEvent): HostSession = {
               val first =
                 if (s.first_ts == null || e.ts.before(s.first_ts)) e.ts
                 else s.first_ts
               val last =
                 if (s.last_ts == null || e.ts.after(s.last_ts)) e.ts
                 else s.last_ts
-              s = HostSession(host, s.n_fetches + 1,
-                              s.n_ok + (if (e.status == 200) 1L else 0L),
-                              first, last)
+              HostSession(host, s.n_fetches + 1,
+                          s.n_ok + (if (e.status == 200) 1L else 0L),
+                          first, last)
+            }
+            val closed = scala.collection.mutable.ArrayBuffer.empty[HostSession]
+            var s = state.getOption.getOrElse(HostSession(host, 0L, 0L, null, null))
+            it.toVector.sortBy(_.ts.getTime).foreach { e =>
+              if (s.n_fetches > 0 &&
+                  e.ts.getTime - s.last_ts.getTime > gapSeconds * 1000L) {
+                closed += s
+                s = HostSession(host, 0L, 0L, null, null)
+              }
+              s = add(s, e)
             }
             state.update(s)
-            // close the session gapSeconds of EVENT time after its last
-            // fetch: fires once the watermark passes that point
+            // close the open session gapSeconds of EVENT time after its
+            // last fetch: fires once the watermark passes that point
             state.setTimeoutTimestamp(s.last_ts.getTime + gapSeconds * 1000L)
-            Iterator.empty
+            closed.iterator
           }
       }
   }

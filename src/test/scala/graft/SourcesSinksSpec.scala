@@ -62,6 +62,19 @@ class CssSelectSpec extends SparkSuite {
     assert(CssSelect.select(dom, "img").head.attrs("src") == "x.jpg")
     assert(CssSelect.select(dom, "div p").nonEmpty)
   }
+
+  test("comments, doctype and CDATA do not corrupt the child structure") {
+    val html = "<!DOCTYPE html><div id=\"x\"><a>1</a><!-- ad --><span>2</span>" +
+      "<?pi data?><![CDATA[junk]]><b>3</b></div><!-- trailing"
+    // positional Contents() sees exactly the element/text children —
+    // comment/doctype/CDATA nodes are skipped, not treated as opens
+    assert(CssSelect.extractText(html, "#x span") == "2")
+    assert(CssSelect.extractText(html, "#x b") == "3")
+    val kids = CssSelect.contents(
+      CssSelect.select(CssSelect.parseDom(html), "#x").head)
+    assert(kids.collect { case e: CssSelect.Elem => e.tag } ==
+      Vector("a", "span", "b"))
+  }
 }
 
 /** S5 opaque cursor chain: the next page is reachable ONLY through the

@@ -113,6 +113,38 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("a gap WITHIN one micro-batch splits into separate sessions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams.FetchEvent
+    implicit val sq = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val in = MemoryStream[FetchEvent]
+    val q = Streams.hostSessions(spark, in.toDS(), gapSeconds = 60)
+      .writeStream.format("memory").queryName("sessions2")
+      .outputMode("append").start()
+    try {
+      // replay/backfill shape: one batch, 400s of silence in the middle
+      in.addData(FetchEvent("h1", ts(100), 200), FetchEvent("h1", ts(110), 200),
+                 FetchEvent("h1", ts(510), 404))
+      q.processAllAvailable()
+      // the first session closes in-batch, before any watermark movement
+      val first = spark.table("sessions2")
+        .as[graft.streaming.Streams.HostSession].collect()
+      assert(first.length == 1, s"got: ${first.toSeq}")
+      assert(first.head.n_fetches == 2 && first.head.last_ts == ts(110))
+      // the trailing session closes once event time passes its gap
+      in.addData(FetchEvent("h2", ts(1200), 200))
+      q.processAllAvailable()
+      in.addData(FetchEvent("h2", ts(2400), 200))
+      q.processAllAvailable()
+      val h1 = spark.table("sessions2").filter(col("host") === "h1")
+        .as[graft.streaming.Streams.HostSession].collect()
+        .sortBy(_.first_ts.getTime)
+      assert(h1.length == 2, s"got: ${h1.toSeq}")
+      assert(h1(1).n_fetches == 1 && h1(1).first_ts == ts(510))
+    } finally q.stop()
+  }
+
   test("stateful host progress accumulates per key") {
     val ds = sampleDocs(30).toDS()
     val prog = Streams.hostProgress(ds).collect().map(p => p.host -> p).toMap
