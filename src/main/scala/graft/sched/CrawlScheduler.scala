@@ -96,6 +96,14 @@ final case class RoundResult(round: Int, selected: Long, fetchedOk: Long,
   *     entirely — in steady state only discovery rounds pay it.
   *   - all state tables round-trip through parquet each round, which
   *     truncates lineage (no ever-growing DAG) and is the checkpoint.
+  *     The frontier is the one table that both rewrites AND shuffles
+  *     (candidate exclusion anti-joins) per round — a deliberate trade:
+  *     the rewrite IS the checkpoint the north rule requires, and fat
+  *     rounds amortize it (the 10^6 demo drains a 902k-entry frontier
+  *     in 3 rounds). The cluster-scale extension is bucketed frontier
+  *     storage (hash-bucketed by url_hash via `bucketBy` + a catalog),
+  *     which co-partitions the exclusion joins and prunes the rewrite
+  *     to touched buckets; the logic above is unchanged by it.
   */
 final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
   import spark.implicits._
