@@ -45,10 +45,9 @@ object SeqOracles {
   def dumpSql(name: String, orderBy: String): String =
     s"SELECT * FROM read_parquet('$root/$name/*.parquet') ORDER BY $orderBy"
 
-  private var activeRoot: String = root
-
-  private def write(spark: SparkSession, name: String, df: DataFrame): Unit =
-    df.coalesce(1).write.mode("overwrite").parquet(s"$activeRoot/$name")
+  private def write(spark: SparkSession, dumpRoot: String, name: String,
+                    df: DataFrame): Unit =
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dumpRoot/$name")
 
   private def round4(x: Double): Double =
     java.math.BigDecimal.valueOf(x)
@@ -78,7 +77,7 @@ object SeqOracles {
   // ------------------------------------------------------------------
   // crawl-derived (q50-q52 dumps; q53 aggregates q51's dump in SQL)
   // ------------------------------------------------------------------
-  private def crawlDumps(spark: SparkSession): Unit = {
+  private def crawlDumps(spark: SparkSession, dumpRoot: String): Unit = {
     import spark.implicits._
     val cfg = graft.SparkEntry.CrawlOnce.cfg("oracle-unused")
     val o = new CrawlOracle(cfg).run()
@@ -86,17 +85,17 @@ object SeqOracles {
     val q50 = o.docs.values.toSeq
       .map(d => Q50Row(d.doc_id, d.url, d.host, d.round, d.spans.size))
       .sortBy(_.doc_id)
-    write(spark, "q50_crawl_docs", q50.toDF())
+    write(spark, dumpRoot, "q50_crawl_docs", q50.toDF())
 
     val q51: Seq[FetchLogEntry] =
       o.fetchLog.sortBy(e => (e.round, e.host_hash, e.seq))
-    write(spark, "q51_crawl_fetch_log", q51.toDF())
+    write(spark, dumpRoot, "q51_crawl_fetch_log", q51.toDF())
 
     val q52 = o.docs.values.toSeq
       .flatMap(d => d.spans.map(s =>
         Q52Row(d.doc_id, s.offset, s.kind, s.text, s.media_ref)))
       .sortBy(r => (r.doc_id, r.offset))
-    write(spark, "q52_crawl_spans", q52.toDF())
+    write(spark, dumpRoot, "q52_crawl_spans", q52.toDF())
 
     // q39: media refs from the oracle's docs -> stub payload -> codec
     val q39 = o.docs.values.toSeq
@@ -109,7 +108,7 @@ object SeqOracles {
         Multimodal.ImageMeta(ref, w, h, ch, bytes.length.toLong)
       }
       .sortBy(_.media_ref)
-    write(spark, "q39_media_from_crawl", q39.toDF())
+    write(spark, dumpRoot, "q39_media_from_crawl", q39.toDF())
 
     // q43: sequential re-fetch of the oracle's detail pages, tokenizer
     // parse, driver-side JSON extraction (json4s, not Spark's from_json)
@@ -138,7 +137,7 @@ object SeqOracles {
           }
       }
       .sortBy(_.doc_id)
-    write(spark, "q43_next_data_extract", q43.toDF())
+    write(spark, dumpRoot, "q43_next_data_extract", q43.toDF())
 
     // q44: host -> deterministic phone lookup + doc counts
     val q44 = o.docs.values.toSeq.groupBy(_.host).toSeq
@@ -147,7 +146,7 @@ object SeqOracles {
                ds.size.toLong)
       }
       .sortBy(_.host)
-    write(spark, "q44_enrich_join", q44.toDF())
+    write(spark, dumpRoot, "q44_enrich_join", q44.toDF())
   }
 
   /** The fetch-bytes stub of Multimodal.mediaTableFromDocs, sequentially. */
@@ -192,7 +191,7 @@ object SeqOracles {
     sig
   }
 
-  private def q28Dump(spark: SparkSession, dir: String): Unit = {
+  private def q28Dump(spark: SparkSession, dir: String, dumpRoot: String): Unit = {
     import spark.implicits._
     // all-pairs hamming over the planted corpus: for maxHamming=3 the
     // 4x16-bit pigeonhole banding is EXACT, so the banded operator must
@@ -206,7 +205,7 @@ object SeqOracles {
       h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
       if h <= 3
     } yield Q28Row(sigs(i)._1, sigs(j)._1, h)
-    write(spark, "q28_simhash",
+    write(spark, dumpRoot, "q28_simhash",
           pairs.toVector.sortBy(p => (p.id_a, p.id_b)).toDF())
   }
 
@@ -228,21 +227,21 @@ object SeqOracles {
     round4(lenScore * 0.3 + punctScore * 0.3 + stopScore * 0.2 + wlenScore * 0.2)
   }
 
-  private def q32Dump(spark: SparkSession, dir: String): Unit = {
+  private def q32Dump(spark: SparkSession, dir: String, dumpRoot: String): Unit = {
     import spark.implicits._
     val rows = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
     val out = rows.map { case (id, text) =>
       Q32Row(id, Fingerprint64(text), qualitySeq(text))
     }
-    write(spark, "q32_fingerprint", out.toSeq.toDF())
+    write(spark, dumpRoot, "q32_fingerprint", out.toSeq.toDF())
   }
 
   /** Sequential LSH ANN with the same (tables=8, bits=10, probes=4,
     * k=5) parameters as q35: plain loops over the collected embedding
     * table, sharing only the plane-hash and cosine primitives.
     */
-  private def q35Dump(spark: SparkSession, dir: String): Unit = {
+  private def q35Dump(spark: SparkSession, dir: String, dumpRoot: String): Unit = {
     import spark.implicits._
     val (tables, bits, probes, k, seed) = (8, 10, 4, 5, 42L)
     val all = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -267,7 +266,7 @@ object SeqOracles {
           .map { case (id, sim) => Q35Row(q, id, round4(sim)) }
     }
     val sorted = out.sortBy(r => (r.query_id, -r.sim, r.neighbor_id))
-    write(spark, "q35_ann_lsh", sorted.toSeq.toDF())
+    write(spark, dumpRoot, "q35_ann_lsh", sorted.toSeq.toDF())
   }
 
   /** Sequential IVF ANN with q57's parameters: the cell assignment,
@@ -275,7 +274,7 @@ object SeqOracles {
     * collected table, sharing only the geometry primitives (kmeans runs
     * driver-side in both paths and is identical by construction).
     */
-  private def q57Dump(spark: SparkSession, dir: String): Unit = {
+  private def q57Dump(spark: SparkSession, dir: String, dumpRoot: String): Unit = {
     import spark.implicits._
     val (nCells, nProbe, k, seed, sampleN, iters) = (16, 4, 5, 42L, 512, 8)
     val all = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -295,11 +294,11 @@ object SeqOracles {
         .sortBy(c => (-c._2, c._1)).take(k)
         .map { case (id, sim) => Q35Row(q, id, round4(sim)) }
     }
-    write(spark, "q57_ann_ivf",
+    write(spark, dumpRoot, "q57_ann_ivf",
           out.sortBy(r => (r.query_id, -r.sim, r.neighbor_id)).toSeq.toDF())
   }
 
-  private def q37q38Dump(spark: SparkSession, dir: String): Unit = {
+  private def q37q38Dump(spark: SparkSession, dir: String, dumpRoot: String): Unit = {
     import spark.implicits._
     val ids = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id").as[Long].collect().sorted
@@ -308,17 +307,17 @@ object SeqOracles {
       val (w, h, ch) = Multimodal.FakeCodec.imageMeta(bytes)
       Multimodal.ImageMeta(ref, w, h, ch, bytes.length.toLong)
     }.sortBy(_.media_ref)
-    write(spark, "q37_image_meta", q37.toSeq.toDF())
+    write(spark, dumpRoot, "q37_image_meta", q37.toSeq.toDF())
     val q38 = media.filter(_._2 == "video").flatMap { case (ref, _, bytes) =>
       val n = Multimodal.FakeCodec.frameCount(bytes)
       (0 until n by 7).map(i =>
         Multimodal.FrameSample(ref, i, Multimodal.FakeCodec.frameHash(bytes, i)))
     }.sortBy(f => (f.media_ref, f.frame_idx))
-    write(spark, "q38_frame_sample", q38.toSeq.toDF())
+    write(spark, dumpRoot, "q38_frame_sample", q38.toSeq.toDF())
   }
 
   /** Sequential replay of the facet-split fixpoint with q45's inputs. */
-  private def q45Dump(spark: SparkSession): Unit = {
+  private def q45Dump(spark: SparkSession, dumpRoot: String): Unit = {
     import spark.implicits._
     val api = FacetSplit.SyntheticFacetApi(seed = 55L)
     val thr = 1000L
@@ -342,7 +341,7 @@ object SeqOracles {
         iter += 1
       }
     }
-    write(spark, "q45_facet_split", (leaves ++ frontier).sortBy(_.id).toDF())
+    write(spark, dumpRoot, "q45_facet_split", (leaves ++ frontier).sortBy(_.id).toDF())
   }
 
   /** Write every expected table under `dumpRoot`. Individual failures
@@ -351,18 +350,17 @@ object SeqOracles {
     */
   def writeAll(spark: SparkSession, dir: String,
                dumpRoot: String = root): Unit = {
-    activeRoot = dumpRoot
     def guarded(name: String)(body: => Unit): Unit =
       try body
       catch { case e: Throwable =>
         System.err.println(s"[seq-oracle] $name failed: ${e.getMessage}")
       }
-    guarded("crawl")(crawlDumps(spark))
-    guarded("q28")(q28Dump(spark, dir))
-    guarded("q32")(q32Dump(spark, dir))
-    guarded("q35")(q35Dump(spark, dir))
-    guarded("q57")(q57Dump(spark, dir))
-    guarded("q37q38")(q37q38Dump(spark, dir))
-    guarded("q45")(q45Dump(spark))
+    guarded("crawl")(crawlDumps(spark, dumpRoot))
+    guarded("q28")(q28Dump(spark, dir, dumpRoot))
+    guarded("q32")(q32Dump(spark, dir, dumpRoot))
+    guarded("q35")(q35Dump(spark, dir, dumpRoot))
+    guarded("q57")(q57Dump(spark, dir, dumpRoot))
+    guarded("q37q38")(q37q38Dump(spark, dir, dumpRoot))
+    guarded("q45")(q45Dump(spark, dumpRoot))
   }
 }

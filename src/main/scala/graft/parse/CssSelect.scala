@@ -59,11 +59,19 @@ object CssSelect {
       } else {
         if (lt > i) top.children += Text(html.substring(i, lt))
         if (html.startsWith("<!--", lt)) {
-          // comment: skip to --> (to end when unterminated)
-          val ce = html.indexOf("-->", lt + 4)
+          // comment: skip to the first --> AFTER the opener's dashes —
+          // searching from lt+2 closes HTML5 empty comments <!--> and
+          // <!---> correctly (to end when unterminated)
+          val ce = html.indexOf("-->", lt + 2)
+          i = if (ce < 0) n else ce + 3
+        } else if (html.startsWith("<![CDATA[", lt)) {
+          // CDATA may contain '>' — skip to ]]> (to end when unterminated)
+          val ce = html.indexOf("]]>", lt + 9)
           i = if (ce < 0) n else ce + 3
         } else if (lt + 1 < n && (html.charAt(lt + 1) == '!' || html.charAt(lt + 1) == '?')) {
-          // DOCTYPE / CDATA / processing instruction: skip the tag
+          // DOCTYPE / processing instruction: skip the tag (internal
+          // DTD subsets with embedded '>' are out of scope — lenient
+          // browsers treat these as bogus comments the same way)
           val gt = html.indexOf('>', lt + 1)
           i = if (gt < 0) n else gt + 1
         } else {

@@ -701,10 +701,13 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     // frontier rows WIN over a colliding reseed (deterministic
     // precedence — a pending retry keeps its attempt count; plain
     // dropDuplicates would keep an arbitrary row)
-    val reseedEntries = reseed.distinct.zipWithIndex.map { case (u, i) =>
+    // distinctBy url_hash (not raw string): two reseed URLs can
+    // canonicalize to the same entry, and the frontier's unique-hash
+    // invariant must hold (same guard as init())
+    val reseedEntries = reseed.zipWithIndex.map { case (u, i) =>
       Fetcher.entryOf(u, SyntheticWeb.priorityOf(u), r.toLong * 1000000L + i,
                       0, r, cfg.salts)
-    }
+    }.distinctBy(_.url_hash)
     val existing = readT[FrontierEntry](m.tables("frontier"))
     val reseedNew = reseedEntries.toDS()
       .join(existing.select(col("url_hash").as("x_hash")),

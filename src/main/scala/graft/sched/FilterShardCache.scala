@@ -12,33 +12,48 @@ import graft.store.Snapshots
   * task may touch candidates from any host bucket. Each executor lazily
   * loads only the shards its tasks actually touch, straight from the
   * snapshot store (shared storage on a real cluster) — nothing is
-  * broadcast through the driver. Entries are validated by (round,
-  * file mtime), so reusing an output directory for a fresh crawl in the
-  * same JVM (round numbers repeat, contents differ) cannot serve a
-  * stale shard. Callers memoize per task (one validation stat per
-  * bucket per task, not per row).
+  * broadcast through the driver. Entries are validated by (round, file
+  * identity): the fileKey (inode) changes on every atomic-rename write,
+  * so reusing an output directory for a fresh crawl in the same JVM
+  * (round numbers repeat, contents differ) cannot serve a stale shard —
+  * robust even on filesystems with coarse or zeroed mtimes. Callers
+  * memoize per task (one validation stat per bucket per task, not per
+  * row).
   *
   * Negative entries (no shard file for that round) are cached too —
   * readers treat a missing shard as "maybe seen" (the exact tier
   * resolves), and must not hit storage once per row to learn that.
   */
 object FilterShardCache {
-  private final case class Entry(round: Int, mtime: Long,
+  private final case class Entry(round: Int, fileId: String,
                                  shard: Option[BloomFilter])
   private val cache = new ConcurrentHashMap[(String, Int), Entry]()
 
+  /** Identity of the file's current version: fileKey (inode) when the
+    * filesystem provides one, else mtime+size; "" when absent/unstattable.
+    */
+  private def fileIdOf(path: String): String =
+    try {
+      val attrs = java.nio.file.Files.readAttributes(
+        java.nio.file.Paths.get(path),
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      val key = attrs.fileKey()
+      if (key != null) key.toString
+      else s"${attrs.lastModifiedTime.toMillis}:${attrs.size}"
+    } catch { case _: java.io.IOException => "" }
+
   def bloom(root: String, round: Int, bucket: Int): Option[BloomFilter] = {
     val path = Snapshots.bloomShardPathAt(root, round, bucket)
-    val mtime = new java.io.File(path).lastModified() // 0 when missing
+    val fileId = fileIdOf(path)
     val k = (root, bucket)
     val cur = cache.get(k)
-    if (cur != null && cur.round == round && cur.mtime == mtime) cur.shard
+    if (cur != null && cur.round == round && cur.fileId == fileId) cur.shard
     else {
       val loaded =
-        if (mtime == 0L) None
+        if (fileId.isEmpty) None
         else Snapshots.readBytesAt(path).map(BloomFilter.deserialize)
       if (cache.size > 8192) cache.clear() // crude bound; shards are tiny
-      cache.put(k, Entry(round, mtime, loaded))
+      cache.put(k, Entry(round, fileId, loaded))
       loaded
     }
   }

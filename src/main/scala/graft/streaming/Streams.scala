@@ -98,34 +98,35 @@ object Streams {
             Iterator.single(done)
           } else {
             // a single micro-batch can span several sessions (replay /
-            // backfill): walk the batch in event-time order and close a
-            // session immediately whenever the in-batch gap is exceeded
-            def add(s: HostSession, e: FetchEvent): HostSession = {
-              val first =
-                if (s.first_ts == null || e.ts.before(s.first_ts)) e.ts
-                else s.first_ts
-              val last =
-                if (s.last_ts == null || e.ts.after(s.last_ts)) e.ts
-                else s.last_ts
-              HostSession(host, s.n_fetches + 1,
-                          s.n_ok + (if (e.status == 200) 1L else 0L),
-                          first, last)
-            }
-            val closed = scala.collection.mutable.ArrayBuffer.empty[HostSession]
-            var s = state.getOption.getOrElse(HostSession(host, 0L, 0L, null, null))
-            it.toVector.sortBy(_.ts.getTime).foreach { e =>
-              if (s.n_fetches > 0 &&
-                  e.ts.getTime - s.last_ts.getTime > gapSeconds * 1000L) {
-                closed += s
-                s = HostSession(host, 0L, 0L, null, null)
+            // backfill), and a cross-batch event may be OLDER than the
+            // open session: sessionize the sorted batch into an interval
+            // chain, insert the open session, and merge neighbors within
+            // the gap. Everything but the newest interval closes now.
+            // Known limit of aggregate state (counts + bounds, not
+            // events): an out-of-order event can merge into or extend an
+            // interval but can never split an already-merged span.
+            val gapMs = gapSeconds * 1000L
+            def single(e: FetchEvent) =
+              HostSession(host, 1L, if (e.status == 200) 1L else 0L, e.ts, e.ts)
+            def merge(a: HostSession, b: HostSession) =
+              HostSession(host, a.n_fetches + b.n_fetches, a.n_ok + b.n_ok,
+                          if (a.first_ts.before(b.first_ts)) a.first_ts else b.first_ts,
+                          if (a.last_ts.after(b.last_ts)) a.last_ts else b.last_ts)
+            val intervals =
+              (state.getOption.toVector ++ it.toVector.sortBy(_.ts.getTime).map(single))
+                .sortBy(s => (s.first_ts.getTime, s.last_ts.getTime))
+            val chain = intervals.foldLeft(Vector.empty[HostSession]) { (acc, s) =>
+              acc.lastOption match {
+                case Some(p) if s.first_ts.getTime - p.last_ts.getTime <= gapMs =>
+                  acc.init :+ merge(p, s)
+                case _ => acc :+ s
               }
-              s = add(s, e)
             }
-            state.update(s)
+            state.update(chain.last)
             // close the open session gapSeconds of EVENT time after its
             // last fetch: fires once the watermark passes that point
-            state.setTimeoutTimestamp(s.last_ts.getTime + gapSeconds * 1000L)
-            closed.iterator
+            state.setTimeoutTimestamp(chain.last.last_ts.getTime + gapMs)
+            chain.init.iterator
           }
       }
   }

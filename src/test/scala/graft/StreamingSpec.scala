@@ -145,6 +145,31 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("a cross-batch event newer than the open session by > gap splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams.FetchEvent
+    implicit val sq = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val in = MemoryStream[FetchEvent]
+    val q = Streams.hostSessions(spark, in.toDS(), gapSeconds = 60)
+      .writeStream.format("memory").queryName("sessions3")
+      .outputMode("append").start()
+    try {
+      in.addData(FetchEvent("h1", ts(500), 200))
+      q.processAllAvailable()
+      // next batch: the open [500,500] session and the new [900,950]
+      // burst are separated by 400s > gap — the old session must close,
+      // NOT merge into one span
+      in.addData(FetchEvent("h1", ts(900), 404), FetchEvent("h1", ts(950), 200))
+      q.processAllAvailable()
+      val closed = spark.table("sessions3")
+        .as[graft.streaming.Streams.HostSession].collect()
+      assert(closed.length == 1, s"got: ${closed.toSeq}")
+      assert(closed.head.first_ts == ts(500) && closed.head.last_ts == ts(500)
+               && closed.head.n_fetches == 1)
+    } finally q.stop()
+  }
+
   test("stateful host progress accumulates per key") {
     val ds = sampleDocs(30).toDS()
     val prog = Streams.hostProgress(ds).collect().map(p => p.host -> p).toMap
