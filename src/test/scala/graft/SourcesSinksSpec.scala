@@ -63,6 +63,33 @@ class CssSelectSpec extends SparkSuite {
     assert(CssSelect.select(dom, "div p").nonEmpty)
   }
 
+  test("fuzz: arbitrary byte soup never throws, parse is total (property)") {
+    import graft.synthweb.SyntheticWeb.mix64
+    // deterministic seeded fuzz (scalacheck-style, no generator dep):
+    // strings biased toward HTML metacharacters and partial constructs
+    val atoms = Array("<", ">", "/", "\"", "'", "=", "!", "-", "a", "div",
+                      "<div", "<a href=\"x\">", "</div>", "<!--", "-->",
+                      "<![CDATA[", "]]>", "<!DOCTYPE", "<?pi", " ", "txt",
+                      "<script>", "</script>", "<img src='y'>", "&amp;", "\n")
+    (0 until 300).foreach { trial =>
+      var h = mix64(trial.toLong ^ 0xf0220L)
+      val sb = new StringBuilder
+      val len = 1 + (math.abs(h) % 40L).toInt
+      (0 until len).foreach { _ =>
+        h = mix64(h)
+        sb.append(atoms(((h % atoms.length) + atoms.length).toInt % atoms.length))
+      }
+      val html = sb.toString
+      // total: never throws, selectors always answer
+      val dom = CssSelect.parseDom(html)
+      CssSelect.select(dom, "div a")
+      CssSelect.extractText(html, "#x .y")
+      CssSelect.extractAttr(html, "a", "href")
+      CssSelect.extractContentsText(html, "div", 2)
+      graft.parse.HtmlSpans.parse("https://h.test/p", html)
+    }
+  }
+
   test("comments, doctype and CDATA do not corrupt the child structure") {
     val html = "<!DOCTYPE html><div id=\"x\"><a>1</a><!-- ad --><span>2</span>" +
       "<?pi data?><![CDATA[junk]]><b>3</b></div><!-- trailing"
