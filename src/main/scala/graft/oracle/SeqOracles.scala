@@ -45,8 +45,7 @@ object SeqOracles {
   def dumpSql(name: String, orderBy: String): String =
     s"SELECT * FROM read_parquet('$root/$name/*.parquet') ORDER BY $orderBy"
 
-  private def write(spark: SparkSession, dumpRoot: String, name: String,
-                    df: DataFrame): Unit =
+  private def write(dumpRoot: String, name: String, df: DataFrame): Unit =
     df.coalesce(1).write.mode("overwrite").parquet(s"$dumpRoot/$name")
 
   private def round4(x: Double): Double =
@@ -85,17 +84,17 @@ object SeqOracles {
     val q50 = o.docs.values.toSeq
       .map(d => Q50Row(d.doc_id, d.url, d.host, d.round, d.spans.size))
       .sortBy(_.doc_id)
-    write(spark, dumpRoot, "q50_crawl_docs", q50.toDF())
+    write(dumpRoot, "q50_crawl_docs", q50.toDF())
 
     val q51: Seq[FetchLogEntry] =
       o.fetchLog.sortBy(e => (e.round, e.host_hash, e.seq))
-    write(spark, dumpRoot, "q51_crawl_fetch_log", q51.toDF())
+    write(dumpRoot, "q51_crawl_fetch_log", q51.toDF())
 
     val q52 = o.docs.values.toSeq
       .flatMap(d => d.spans.map(s =>
         Q52Row(d.doc_id, s.offset, s.kind, s.text, s.media_ref)))
       .sortBy(r => (r.doc_id, r.offset))
-    write(spark, dumpRoot, "q52_crawl_spans", q52.toDF())
+    write(dumpRoot, "q52_crawl_spans", q52.toDF())
 
     // q39: media refs from the oracle's docs -> stub payload -> codec
     val q39 = o.docs.values.toSeq
@@ -108,7 +107,7 @@ object SeqOracles {
         Multimodal.ImageMeta(ref, w, h, ch, bytes.length.toLong)
       }
       .sortBy(_.media_ref)
-    write(spark, dumpRoot, "q39_media_from_crawl", q39.toDF())
+    write(dumpRoot, "q39_media_from_crawl", q39.toDF())
 
     // q43: sequential re-fetch of the oracle's detail pages, tokenizer
     // parse, driver-side JSON extraction (json4s, not Spark's from_json)
@@ -137,7 +136,7 @@ object SeqOracles {
           }
       }
       .sortBy(_.doc_id)
-    write(spark, dumpRoot, "q43_next_data_extract", q43.toDF())
+    write(dumpRoot, "q43_next_data_extract", q43.toDF())
 
     // q44: host -> deterministic phone lookup + doc counts
     val q44 = o.docs.values.toSeq.groupBy(_.host).toSeq
@@ -146,7 +145,7 @@ object SeqOracles {
                ds.size.toLong)
       }
       .sortBy(_.host)
-    write(spark, dumpRoot, "q44_enrich_join", q44.toDF())
+    write(dumpRoot, "q44_enrich_join", q44.toDF())
   }
 
   /** The fetch-bytes stub of Multimodal.mediaTableFromDocs, sequentially. */
@@ -205,7 +204,7 @@ object SeqOracles {
       h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
       if h <= 3
     } yield Q28Row(sigs(i)._1, sigs(j)._1, h)
-    write(spark, dumpRoot, "q28_simhash",
+    write(dumpRoot, "q28_simhash",
           pairs.toVector.sortBy(p => (p.id_a, p.id_b)).toDF())
   }
 
@@ -234,7 +233,7 @@ object SeqOracles {
     val out = rows.map { case (id, text) =>
       Q32Row(id, Fingerprint64(text), qualitySeq(text))
     }
-    write(spark, dumpRoot, "q32_fingerprint", out.toSeq.toDF())
+    write(dumpRoot, "q32_fingerprint", out.toSeq.toDF())
   }
 
   /** Sequential LSH ANN with the same (tables=8, bits=10, probes=4,
@@ -266,7 +265,7 @@ object SeqOracles {
           .map { case (id, sim) => Q35Row(q, id, round4(sim)) }
     }
     val sorted = out.sortBy(r => (r.query_id, -r.sim, r.neighbor_id))
-    write(spark, dumpRoot, "q35_ann_lsh", sorted.toSeq.toDF())
+    write(dumpRoot, "q35_ann_lsh", sorted.toSeq.toDF())
   }
 
   /** Sequential IVF ANN with q57's parameters: the cell assignment,
@@ -294,7 +293,7 @@ object SeqOracles {
         .sortBy(c => (-c._2, c._1)).take(k)
         .map { case (id, sim) => Q35Row(q, id, round4(sim)) }
     }
-    write(spark, dumpRoot, "q57_ann_ivf",
+    write(dumpRoot, "q57_ann_ivf",
           out.sortBy(r => (r.query_id, -r.sim, r.neighbor_id)).toSeq.toDF())
   }
 
@@ -307,13 +306,13 @@ object SeqOracles {
       val (w, h, ch) = Multimodal.FakeCodec.imageMeta(bytes)
       Multimodal.ImageMeta(ref, w, h, ch, bytes.length.toLong)
     }.sortBy(_.media_ref)
-    write(spark, dumpRoot, "q37_image_meta", q37.toSeq.toDF())
+    write(dumpRoot, "q37_image_meta", q37.toSeq.toDF())
     val q38 = media.filter(_._2 == "video").flatMap { case (ref, _, bytes) =>
       val n = Multimodal.FakeCodec.frameCount(bytes)
       (0 until n by 7).map(i =>
         Multimodal.FrameSample(ref, i, Multimodal.FakeCodec.frameHash(bytes, i)))
     }.sortBy(f => (f.media_ref, f.frame_idx))
-    write(spark, dumpRoot, "q38_frame_sample", q38.toSeq.toDF())
+    write(dumpRoot, "q38_frame_sample", q38.toSeq.toDF())
   }
 
   /** Sequential replay of the facet-split fixpoint with q45's inputs. */
@@ -341,7 +340,7 @@ object SeqOracles {
         iter += 1
       }
     }
-    write(spark, dumpRoot, "q45_facet_split", (leaves ++ frontier).sortBy(_.id).toDF())
+    write(dumpRoot, "q45_facet_split", (leaves ++ frontier).sortBy(_.id).toDF())
   }
 
   /** Write every expected table under `dumpRoot`. Individual failures

@@ -93,6 +93,19 @@ object HtmlSpans {
       } else {
         (if (pendingHref != null) anchorText else text)
           .append(html.substring(i, lt))
+        if (html.startsWith("<!--", lt)) {
+          // comment (may contain '>'): skip whole construct, same rules
+          // as CssSelect.parseDom so both parse paths agree
+          val ce = html.indexOf("-->", lt + 2)
+          i = if (ce < 0) n else ce + 3
+        } else if (html.startsWith("<![CDATA[", lt)) {
+          val ce = html.indexOf("]]>", lt + 9)
+          i = if (ce < 0) n else ce + 3
+        } else if (lt + 1 < n &&
+                   (html.charAt(lt + 1) == '!' || html.charAt(lt + 1) == '?')) {
+          val gt = html.indexOf('>', lt + 1)
+          i = if (gt < 0) n else gt + 1
+        } else {
         val gt = html.indexOf('>', lt + 1)
         if (gt < 0) { i = n } // truncated tag: drop remainder
         else {
@@ -146,6 +159,7 @@ object HtmlSpans {
               // block-ish boundary: tags separate text runs (trimHtml pass 4)
               (if (pendingHref != null) anchorText else text).append('\n')
           }
+        }
         }
       }
     }

@@ -29,17 +29,17 @@ object FilterShardCache {
                                  shard: Option[BloomFilter])
   private val cache = new ConcurrentHashMap[(String, Int), Entry]()
 
-  /** Identity of the file's current version: fileKey (inode) when the
-    * filesystem provides one, else mtime+size; "" when absent/unstattable.
+  /** Identity of the file's current version: fileKey (inode) COMBINED
+    * with mtime+size — the inode alone can be recycled by a
+    * delete-and-rewrite, mtime alone can be coarse or zeroed; together a
+    * stale hit needs both to collide. "" when absent/unstattable.
     */
   private def fileIdOf(path: String): String =
     try {
       val attrs = java.nio.file.Files.readAttributes(
         java.nio.file.Paths.get(path),
         classOf[java.nio.file.attribute.BasicFileAttributes])
-      val key = attrs.fileKey()
-      if (key != null) key.toString
-      else s"${attrs.lastModifiedTime.toMillis}:${attrs.size}"
+      s"${attrs.fileKey()}:${attrs.lastModifiedTime.toMillis}:${attrs.size}"
     } catch { case _: java.io.IOException => "" }
 
   def bloom(root: String, round: Int, bucket: Int): Option[BloomFilter] = {

@@ -79,55 +79,55 @@ object Streams {
                                last_ts: java.sql.Timestamp)
 
   /** Event-time session windows per host via flatMapGroupsWithState: a
-    * host's fetch burst closes after `gapSeconds` of event-time silence
-    * (watermark-driven timeout), emitting one session row — the
-    * streaming form of per-host crawl activity reporting. Append-mode,
-    * exactly-once per checkpoint; state is O(1) per live host.
+    * host's fetch burst closes after `gapSeconds` of event-time silence,
+    * emitting one session row — the streaming form of per-host crawl
+    * activity reporting. Append-mode, exactly-once per checkpoint.
+    *
+    * Sessionization: each batch's events (plus the open intervals held
+    * in state) merge into an interval chain — neighbors within the gap
+    * coalesce — and an interval is emitted ONLY once the watermark has
+    * passed its close point (`last_ts + gap`), so an on-time out-of-order
+    * event arriving in a later batch can still merge into or bridge open
+    * intervals; nothing closes prematurely. State is the list of not-yet
+    * -sealable intervals (bounded: intervals are > gap apart within the
+    * watermark horizon). Known limit of aggregate state (counts +
+    * bounds, not events): a merged span can never be split retroactively.
     */
   def hostSessions(spark: SparkSession, events: Dataset[FetchEvent],
                    gapSeconds: Int): Dataset[HostSession] = {
     import spark.implicits._
+    val gapMs = gapSeconds * 1000L
     events
       .withWatermark("ts", s"$gapSeconds seconds")
       .groupByKey(_.host)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (host: String, it: Iterator[FetchEvent], state: GroupState[HostSession]) =>
-          if (state.hasTimedOut) {
-            val done = state.get
-            state.remove()
-            Iterator.single(done)
-          } else {
-            // a single micro-batch can span several sessions (replay /
-            // backfill), and a cross-batch event may be OLDER than the
-            // open session: sessionize the sorted batch into an interval
-            // chain, insert the open session, and merge neighbors within
-            // the gap. Everything but the newest interval closes now.
-            // Known limit of aggregate state (counts + bounds, not
-            // events): an out-of-order event can merge into or extend an
-            // interval but can never split an already-merged span.
-            val gapMs = gapSeconds * 1000L
-            def single(e: FetchEvent) =
-              HostSession(host, 1L, if (e.status == 200) 1L else 0L, e.ts, e.ts)
-            def merge(a: HostSession, b: HostSession) =
-              HostSession(host, a.n_fetches + b.n_fetches, a.n_ok + b.n_ok,
-                          if (a.first_ts.before(b.first_ts)) a.first_ts else b.first_ts,
-                          if (a.last_ts.after(b.last_ts)) a.last_ts else b.last_ts)
-            val intervals =
-              (state.getOption.toVector ++ it.toVector.sortBy(_.ts.getTime).map(single))
-                .sortBy(s => (s.first_ts.getTime, s.last_ts.getTime))
-            val chain = intervals.foldLeft(Vector.empty[HostSession]) { (acc, s) =>
-              acc.lastOption match {
-                case Some(p) if s.first_ts.getTime - p.last_ts.getTime <= gapMs =>
-                  acc.init :+ merge(p, s)
-                case _ => acc :+ s
-              }
+        (host: String, it: Iterator[FetchEvent],
+         state: GroupState[Seq[HostSession]]) =>
+          def single(e: FetchEvent) =
+            HostSession(host, 1L, if (e.status == 200) 1L else 0L, e.ts, e.ts)
+          def merge(a: HostSession, b: HostSession) =
+            HostSession(host, a.n_fetches + b.n_fetches, a.n_ok + b.n_ok,
+                        if (a.first_ts.before(b.first_ts)) a.first_ts else b.first_ts,
+                        if (a.last_ts.after(b.last_ts)) a.last_ts else b.last_ts)
+          val prior = state.getOption.getOrElse(Nil).toVector
+          val intervals = (prior ++ it.map(single))
+            .sortBy(s => (s.first_ts.getTime, s.last_ts.getTime))
+          val chain = intervals.foldLeft(Vector.empty[HostSession]) { (acc, s) =>
+            acc.lastOption match {
+              case Some(p) if s.first_ts.getTime - p.last_ts.getTime <= gapMs =>
+                acc.init :+ merge(p, s)
+              case _ => acc :+ s
             }
-            state.update(chain.last)
-            // close the open session gapSeconds of EVENT time after its
-            // last fetch: fires once the watermark passes that point
-            state.setTimeoutTimestamp(chain.last.last_ts.getTime + gapMs)
-            chain.init.iterator
           }
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, open) = chain.partition(_.last_ts.getTime + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            // wake at the EARLIEST open close point; > wm by construction
+            state.setTimeoutTimestamp(open.map(_.last_ts.getTime).min + gapMs)
+          }
+          closed.iterator
       }
   }
 

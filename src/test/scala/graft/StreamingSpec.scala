@@ -127,12 +127,15 @@ class StreamingSpec extends SparkSuite {
       in.addData(FetchEvent("h1", ts(100), 200), FetchEvent("h1", ts(110), 200),
                  FetchEvent("h1", ts(510), 404))
       q.processAllAvailable()
-      // the first session closes in-batch, before any watermark movement
-      val first = spark.table("sessions2")
+      // the batch advances the watermark to 450 (510-60), which passes
+      // [100,110]'s close point (170) but not [510,510]'s (570): exactly
+      // the first session seals — never prematurely, a fragmenting
+      // on-time out-of-order event is still admissible for the second
+      val afterFirst = spark.table("sessions2")
         .as[graft.streaming.Streams.HostSession].collect()
-      assert(first.length == 1, s"got: ${first.toSeq}")
-      assert(first.head.n_fetches == 2 && first.head.last_ts == ts(110))
-      // the trailing session closes once event time passes its gap
+      assert(afterFirst.length == 1, s"got: ${afterFirst.toSeq}")
+      assert(afterFirst.head.n_fetches == 2 && afterFirst.head.last_ts == ts(110))
+      // event time passes both close points -> two separate sessions
       in.addData(FetchEvent("h2", ts(1200), 200))
       q.processAllAvailable()
       in.addData(FetchEvent("h2", ts(2400), 200))
@@ -141,6 +144,7 @@ class StreamingSpec extends SparkSuite {
         .as[graft.streaming.Streams.HostSession].collect()
         .sortBy(_.first_ts.getTime)
       assert(h1.length == 2, s"got: ${h1.toSeq}")
+      assert(h1(0).n_fetches == 2 && h1(0).last_ts == ts(110))
       assert(h1(1).n_fetches == 1 && h1(1).first_ts == ts(510))
     } finally q.stop()
   }
@@ -158,11 +162,17 @@ class StreamingSpec extends SparkSuite {
       in.addData(FetchEvent("h1", ts(500), 200))
       q.processAllAvailable()
       // next batch: the open [500,500] session and the new [900,950]
-      // burst are separated by 400s > gap — the old session must close,
-      // NOT merge into one span
+      // burst are separated by 400s > gap — they must stay separate
+      // intervals, NOT merge into one span
       in.addData(FetchEvent("h1", ts(900), 404), FetchEvent("h1", ts(950), 200))
       q.processAllAvailable()
-      val closed = spark.table("sessions3")
+      // advance the watermark past [500,500]'s close point (560) but not
+      // past [900,950]'s (1010): exactly the old session seals
+      in.addData(FetchEvent("h2", ts(1000), 200))
+      q.processAllAvailable()
+      in.addData(FetchEvent("h2", ts(1050), 200))
+      q.processAllAvailable()
+      val closed = spark.table("sessions3").filter(col("host") === "h1")
         .as[graft.streaming.Streams.HostSession].collect()
       assert(closed.length == 1, s"got: ${closed.toSeq}")
       assert(closed.head.first_ts == ts(500) && closed.head.last_ts == ts(500)
