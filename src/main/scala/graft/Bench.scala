@@ -108,8 +108,11 @@ object Bench {
     // same way on numerator and denominator. All raw times reported.
     def medianOf3(cores: Int): (Long, Double, Seq[Double]) = {
       val runs = (1 to 3).map { _ => System.gc(); crawlRun(cores) }
+      val pages = runs.map(_._1)
+      require(pages.distinct.size == 1,
+              s"workload drift within $cores-core runs: $pages pages")
       val times = runs.map(_._2)
-      (runs.head._1, times.sorted.apply(1), times)
+      (pages.head, times.sorted.apply(1), times)
     }
     val (pages8, sec8, runs8) = medianOf3(8)
     val (pages32, sec32, runs32) = medianOf3(32)

@@ -33,17 +33,39 @@ object GraftFunctions {
       throw new IllegalArgumentException(s"$what must be a string literal, got $other")
   }
 
+  /** Analysis-time arity check: a SQL call with the wrong argument count
+    * must surface as a clean error naming the function, not an
+    * IndexOutOfBoundsException from the builder indexing args.
+    */
+  private def arity(name: String, expected: Int, args: Seq[Expression]): Unit =
+    if (args.length != expected)
+      throw new IllegalArgumentException(
+        s"$name expects $expected argument(s), got ${args.length}")
+
   private[graft] val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_css_text" -> ((args: Seq[Expression]) =>
-      CssExtractExpression(args.head, strLit(args(1), "selector"), "text", "", 0)),
-    "graft_css_attr" -> ((args: Seq[Expression]) =>
+    "graft_css_text" -> ((args: Seq[Expression]) => {
+      arity("graft_css_text", 2, args)
+      CssExtractExpression(args.head, strLit(args(1), "selector"), "text", "", 0)
+    }),
+    "graft_css_attr" -> ((args: Seq[Expression]) => {
+      arity("graft_css_attr", 3, args)
       CssExtractExpression(args.head, strLit(args(1), "selector"), "attr",
-                           strLit(args(2), "attr"), 0)),
-    "graft_trim_html" -> ((args: Seq[Expression]) => TrimHtmlExpression(args.head)),
-    "graft_lang_id" -> ((args: Seq[Expression]) => LangIdExpression(args.head)),
-    "graft_fingerprint64" -> ((args: Seq[Expression]) => Fingerprint64Expression(args.head)),
-    "graft_simhash64" -> ((args: Seq[Expression]) => SimHash64Expression(args.head)),
+                           strLit(args(2), "attr"), 0)
+    }),
+    "graft_trim_html" -> ((args: Seq[Expression]) => {
+      arity("graft_trim_html", 1, args); TrimHtmlExpression(args.head)
+    }),
+    "graft_lang_id" -> ((args: Seq[Expression]) => {
+      arity("graft_lang_id", 1, args); LangIdExpression(args.head)
+    }),
+    "graft_fingerprint64" -> ((args: Seq[Expression]) => {
+      arity("graft_fingerprint64", 1, args); Fingerprint64Expression(args.head)
+    }),
+    "graft_simhash64" -> ((args: Seq[Expression]) => {
+      arity("graft_simhash64", 1, args); SimHash64Expression(args.head)
+    }),
     "graft_minhash" -> ((args: Seq[Expression]) => {
+      arity("graft_minhash", 2, args)
       val k = args(1) match {
         case Literal(v: Int, _) => v
         case other =>

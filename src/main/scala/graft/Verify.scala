@@ -24,10 +24,13 @@ object Verify {
     }
     // expected tables for the non-SQL-expressible queries: sequential
     // oracle recomputations, read back by oracleSql via read_parquet.
-    // They land under outDir (the one path the compare environment is
-    // guaranteed to read, since the query parquets live there), and the
-    // emitted SQL is rewritten from the placeholder root to match.
-    val dumpRoot = new java.io.File(s"$outDir/_oracle").getAbsolutePath
+    // They land in a SIBLING of outDir (not under it — the driver scans
+    // outDir's children as query results, and a nested dump directory
+    // would surface as a junk pseudo-query), and the emitted SQL is
+    // rewritten from the placeholder root to the actual absolute path.
+    val outAbs = new java.io.File(outDir).getAbsoluteFile
+    val dumpRoot = new java.io.File(outAbs.getParentFile,
+                                    outAbs.getName + "_oracle").getAbsolutePath
     graft.oracle.SeqOracles.writeAll(spark, sfDir, dumpRoot)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

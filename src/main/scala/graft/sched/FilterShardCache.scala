@@ -1,7 +1,5 @@
 package graft.sched
 
-import java.util.concurrent.ConcurrentHashMap
-
 import graft.seen.BloomFilter
 import graft.store.Snapshots
 
@@ -27,7 +25,20 @@ import graft.store.Snapshots
 object FilterShardCache {
   private final case class Entry(round: Int, fileId: String,
                                  shard: Option[BloomFilter])
-  private val cache = new ConcurrentHashMap[(String, Int), Entry]()
+
+  /** Size-bounded LRU (access-order LinkedHashMap): on very-many-bucket
+    * configs eviction retires only the coldest shard instead of cold-
+    * restarting every shard at once. Loads are rare (once per bucket per
+    * task, memoized task-locally by callers), so the coarse lock is off
+    * the per-row path.
+    */
+  @volatile private[graft] var maxEntries = 8192 // var: spec shrinks it
+  private val cache =
+    new java.util.LinkedHashMap[(String, Int), Entry](256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int), Entry]): Boolean =
+        size() > maxEntries
+    }
 
   /** Identity of the file's current version: fileKey (inode) COMBINED
     * with mtime+size — the inode alone can be recycled by a
@@ -46,15 +57,16 @@ object FilterShardCache {
     val path = Snapshots.bloomShardPathAt(root, round, bucket)
     val fileId = fileIdOf(path)
     val k = (root, bucket)
-    val cur = cache.get(k)
+    val cur = cache.synchronized(cache.get(k))
     if (cur != null && cur.round == round && cur.fileId == fileId) cur.shard
     else {
       val loaded =
         if (fileId.isEmpty) None
         else Snapshots.readBytesAt(path).map(BloomFilter.deserialize)
-      if (cache.size > 8192) cache.clear() // crude bound; shards are tiny
-      cache.put(k, Entry(round, fileId, loaded))
+      cache.synchronized(cache.put(k, Entry(round, fileId, loaded)))
       loaded
     }
   }
+
+  private[graft] def cachedCount: Int = cache.synchronized(cache.size())
 }

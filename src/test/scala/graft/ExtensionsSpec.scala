@@ -41,4 +41,20 @@ class ExtensionsSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("literal"))
   }
+
+  test("wrong arity surfaces as a clean named error, not an index error") {
+    GraftFunctions.register(spark)
+    Seq("x").toDF("html").createOrReplaceTempView("ext_arity")
+    Seq(
+      "SELECT graft_css_text(html) FROM ext_arity",
+      "SELECT graft_css_attr(html, '#x') FROM ext_arity",
+      "SELECT graft_trim_html(html, html) FROM ext_arity",
+      "SELECT graft_minhash(split(html, ' ')) FROM ext_arity"
+    ).foreach { sql =>
+      val e = intercept[Exception] { spark.sql(sql).head() }
+      val msg = e.getMessage
+      assert(msg.contains("argument"), s"unexpected message for [$sql]: $msg")
+      assert(!msg.contains("IndexOutOfBounds"), s"raw index error for [$sql]")
+    }
+  }
 }

@@ -172,6 +172,37 @@ class SeenIndexSpec extends SparkSuite {
   }
 }
 
+class FilterShardCacheSpec extends SparkSuite {
+  import graft.sched.FilterShardCache
+  import graft.store.Snapshots
+
+  test("LRU eviction: bound holds, hot entries survive, evicted reload") {
+    val root = tmpDir("shard-lru-")
+    val mkShard = (b: Int) => {
+      val bf = new BloomFilter(1 << 10, 3)
+      bf.put(UrlCanon.sha256Hex(s"u-$b"))
+      Snapshots.writeBytesAt(Snapshots.bloomShardPathAt(root, 1, b), bf.serialize())
+    }
+    (0 until 6).foreach(mkShard)
+    val saved = FilterShardCache.maxEntries
+    try {
+      FilterShardCache.maxEntries = 4
+      (0 until 6).foreach(b => assert(FilterShardCache.bloom(root, 1, b).isDefined))
+      assert(FilterShardCache.cachedCount <= 4, "LRU bound enforced")
+      // keep bucket 2 hot, then load fresh buckets: 2 must survive and
+      // an evicted bucket must still answer correctly via reload
+      assert(FilterShardCache.bloom(root, 1, 2).isDefined)
+      (6 until 8).foreach(mkShard)
+      (6 until 8).foreach(b => assert(FilterShardCache.bloom(root, 1, b).isDefined))
+      val hot = FilterShardCache.bloom(root, 1, 2).get
+      assert(hot.mightContain(UrlCanon.sha256Hex("u-2")))
+      val reloaded = FilterShardCache.bloom(root, 1, 0).get
+      assert(reloaded.mightContain(UrlCanon.sha256Hex("u-0")))
+      assert(FilterShardCache.cachedCount <= 4)
+    } finally FilterShardCache.maxEntries = saved
+  }
+}
+
 class RobotsSpec extends SparkSuite {
   test("parse + allowed") {
     val r = Robots.parse("h.test", "User-agent: *\nDisallow: /private/\nDisallow: /tmp\n")
