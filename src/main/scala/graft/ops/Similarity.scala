@@ -137,41 +137,93 @@ object Similarity {
     * distance 1 from its signature (`probes` controls how many of the
     * `bits` flips are taken), the standard recall/scan trade — recall
     * rises like extra tables without re-hashing the corpus.
+    *
+    * Scale shape (what survives 100 TB):
+    *   - the corpus NEVER shuffles: signatures are computed map-side,
+    *     the query-signature join and both re-rank joins broadcast the
+    *     small side, so every corpus touch is a map-side scan.
+    *   - the only exchanges carry thin (query_id, table, bucket, id)
+    *     rows — vectors never ride a shuffle.
+    *   - every probed (table, bucket) is CAPPED to its `bucketCap`
+    *     smallest candidate ids (deterministic, O(cap) task memory),
+    *     mirroring [[LshPairs.cappedIdPairs]]: one pathological bucket
+    *     concentrates at most cap rows of downstream work instead of
+    *     the whole bucket. Dropped rows are counted in the named
+    *     accumulator `ann_lsh_capped_dropped_rows` (or `acc`) — same
+    *     caveats as LshPairs: an upper-bound saw-truncation indicator,
+    *     not an exact tally. A vector dropped in one table can still
+    *     reach the query through its other tables/probes, so recall
+    *     degrades gracefully.
+    *
+    * The cap also bounds the re-rank set to
+    * |queries| × tables × (probes+1) × cap, which is what makes the
+    * surviving-pair side small enough to broadcast back onto the corpus.
     */
   def lshTopK(spark: SparkSession, emb: DataFrame, idCol: String,
               vecCol: String, queryIds: Seq[Long], k: Int,
               tables: Int = 8, bits: Int = 12, seed: Long = 42L,
-              probes: Int = 0): Dataset[Scored] = {
+              probes: Int = 0, bucketCap: Int = 4096,
+              acc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[Scored] = {
     import spark.implicits._
-    val sigRows = emb
+    require(bucketCap >= k, s"bucketCap ($bucketCap) must be >= k ($k)")
+    val dropped = acc.getOrElse(
+      spark.sparkContext.longAccumulator("ann_lsh_capped_dropped_rows"))
+    val idRows = emb
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    // thin signature rows — ids only, vectors stay behind
+    val sigIds = idRows
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         it.flatMap { case (id, vec) =>
           (0 until tables).iterator
-            .map(t => (id, vec, t, signatureAt(vec, seed, t, bits)))
+            .map(t => (id, t, signatureAt(vec, seed, t, bits)))
         }
       }
-      .toDF("id", "vec", "table", "bucket")
+      .toDF("id", "table", "bucket")
 
     val nProbes = math.min(math.max(probes, 0), bits)
-    val qSigs = sigRows.filter(col("id").isin(queryIds.map(Long.box): _*))
-      .select(col("id").as("query_id"), col("vec").as("qvec"),
-              col("table"), col("bucket"))
-      .as[(Long, Array[Float], Int, Int)]
-      .flatMap { case (q, v, t, b) =>
+    val qSigs = sigIds.filter(col("id").isin(queryIds.map(Long.box): _*))
+      .as[(Long, Int, Int)]
+      .flatMap { case (q, t, b) =>
         // exact bucket + hamming-1 probes on the first nProbes bits
         (b +: (0 until nProbes).map(i => b ^ (1 << i))).distinct
-          .map(pb => (q, v, t, pb))
+          .map(pb => (q, t, pb))
       }
-      .toDF("query_id", "qvec", "table", "bucket")
-    val cands = sigRows
+      .toDF("query_id", "table", "bucket")
+    val cands = sigIds
       .join(broadcast(qSigs), Seq("table", "bucket"))
       .filter(col("id") =!= col("query_id") &&
         !col("id").isin(queryIds.map(Long.box): _*))
+    // per-(query, table, bucket) truncation to the cap smallest ids —
+    // deterministic regardless of shuffle arrival order, so every query
+    // probing a bucket sees the same candidate subset
+    val capped = cands
+      .select(col("query_id"), col("table").cast("int"),
+              col("bucket").cast("long"), col("id"))
+      .as[(Long, Int, Long, Long)]
+      .groupByKey(t => (t._1, t._2, t._3))
+      .flatMapGroups { (key: (Long, Int, Long), it: Iterator[(Long, Int, Long, Long)]) =>
+        val heap = mutable.PriorityQueue.empty[Long] // max-heap: keep smallest
+        it.foreach { t =>
+          if (heap.size < bucketCap) heap.enqueue(t._4)
+          else if (t._4 < heap.head) {
+            heap.dequeue(); heap.enqueue(t._4); dropped.add(1L)
+          } else dropped.add(1L)
+        }
+        heap.dequeueAll.iterator.map((id: Long) => (key._1, id))
+      }
+      .toDF("query_id", "id")
       .dropDuplicates("query_id", "id")
 
-    val scored = cands.select(col("query_id"), col("id"), col("qvec"), col("vec"))
+    // re-rank: corpus scan ⋈ broadcast(surviving pairs) ⋈ broadcast
+    // (query vectors) — both joins map-side, corpus still unshuffled
+    val qRows = idRows.filter(col("id").isin(queryIds.map(Long.box): _*))
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+    val scored = idRows
+      .join(broadcast(capped), Seq("id"))
+      .join(broadcast(qRows), Seq("query_id"))
+      .select(col("query_id"), col("id"), col("qvec"), col("vec"))
       .as[(Long, Long, Array[Float], Array[Float])]
       .map { case (q, id, qv, v) => Scored(q, id, cosine(qv, v)) }
 

@@ -226,6 +226,49 @@ class SimilaritySpec extends SparkSuite {
     assert(lsh == lsh2)
   }
 
+  test("LSH ANN worst case: one-bucket corpus stays bounded, drops counted") {
+    // identical vectors -> identical signatures in EVERY table: the
+    // whole corpus lands in one (table, bucket) per table. Uncapped,
+    // each probed bucket would feed |corpus| candidates per query.
+    val v = Array.tabulate(16)(i => (i + 1).toFloat)
+    val clones = (0L until 500L).map(i => (i, v)).toDF("vec_id", "embedding")
+    val acc = spark.sparkContext.longAccumulator("ann_worst_dropped")
+    val cap = 32
+    val got = Similarity.lshTopK(spark, clones, "vec_id", "embedding",
+                                 queryIds = Seq(0L, 1L), k = 5,
+                                 tables = 4, bits = 6, bucketCap = cap,
+                                 acc = Some(acc))
+      .collect().groupBy(_.query_id)
+    // top-k still valid and deterministic: smallest non-query ids win
+    // (all sims are 1.0, ties break by neighbor id)
+    assert(got(0L).map(_.neighbor_id).sorted.toSeq == Seq(2L, 3L, 4L, 5L, 6L))
+    assert(got(1L).map(_.neighbor_id).sorted.toSeq == Seq(2L, 3L, 4L, 5L, 6L))
+    // every probed bucket truncated: 498 candidates -> cap, per table
+    assert(acc.value > 0, "expected counted drops on the one-bucket corpus")
+    assert(acc.value >= 2L * 4L * (498L - cap), s"drop count: ${acc.value}")
+  }
+
+  test("LSH ANN exchanges carry no vectors (ids-only shuffles)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val df = Similarity.lshTopK(spark, emb, "vec_id", "embedding",
+                                (0L until 10L).toSeq, 5, tables = 8,
+                                bits = 6, probes = 4).toDF()
+    val plan: SparkPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p                        => p
+    }
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, "expected shuffles in the ANN plan")
+    exchanges.foreach { e =>
+      val fat = e.output.filter(_.dataType == ArrayType(FloatType))
+      assert(fat.isEmpty,
+             s"exchange shuffles embedding vectors: ${fat.map(_.name)}")
+    }
+  }
+
   test("IVF ANN: deterministic, plausible recall vs brute force") {
     val queries = (0L until 10L).toSeq
     val brute = Similarity.bruteForceTopK(spark, emb, "vec_id", "embedding", queries, 5)
