@@ -7,9 +7,9 @@ import org.json4s.jackson.JsonMethods
 
 import graft.fetch.{Fetcher, SimulatedFetcher}
 import graft.model.{FetchLogEntry, FrontierEntry}
-import graft.ops.{FacetSplit, Fingerprint64, HashOps, Multimodal, Similarity}
+import graft.ops.{FacetSplit, Fingerprint64, HashOps, MediaGen, Multimodal, Similarity}
 import graft.parse.HtmlSpans
-import graft.synthweb.SyntheticWeb.{hashOf, mix64}
+import graft.synthweb.SyntheticWeb.hashOf
 
 /** Sequential, single-threaded oracle recomputations for the driver's
   * DuckDB correctness gate.
@@ -96,15 +96,22 @@ object SeqOracles {
       .sortBy(r => (r.doc_id, r.offset))
     write(dumpRoot, "q52_crawl_spans", q52.toDF())
 
-    // q39: media refs from the oracle's docs -> stub payload -> codec
+    // q39: media refs from the oracle's docs. Expected dims/channels are
+    // recomputed from MediaGen's PURE parameter functions — the oracle
+    // never runs the header parser under test, so an encode/parse bug on
+    // either side breaks the compare. Only the byte LENGTH re-runs the
+    // payload generator (it depends on deflate/LZW output size).
     val q39 = o.docs.values.toSeq
       .flatMap(_.spans.filter(s => s.kind == "image" || s.kind == "video"))
       .map(s => (s.media_ref, s.kind)).distinct
       .filter(_._2 == "image")
       .map { case (ref, _) =>
-        val bytes = refPayload(ref)
-        val (w, h, ch) = Multimodal.FakeCodec.imageMeta(bytes)
-        Multimodal.ImageMeta(ref, w, h, ch, bytes.length.toLong)
+        val seed = MediaGen.seedOfRef(ref)
+        val (w, h) = MediaGen.imageDims(seed)
+        val ch = if ((seed & 1L) == 0L) { if ((seed & 2L) == 0L) 4 else 3 }
+                 else 3
+        Multimodal.ImageMeta(ref, w, h, ch,
+                             Multimodal.refPayload(ref, "image").length.toLong)
       }
       .sortBy(_.media_ref)
     write(dumpRoot, "q39_media_from_crawl", q39.toDF())
@@ -146,29 +153,6 @@ object SeqOracles {
       }
       .sortBy(_.host)
     write(dumpRoot, "q44_enrich_join", q44.toDF())
-  }
-
-  /** The fetch-bytes stub of Multimodal.mediaTableFromDocs, sequentially. */
-  private def refPayload(ref: String): Array[Byte] = {
-    var x = mix64(ref.hashCode.toLong)
-    val n = 64 + (math.abs(x) % 193L).toInt
-    val bytes = new Array[Byte](n)
-    var i = 0
-    while (i < n) { x = mix64(x); bytes(i) = (x & 0xff).toByte; i += 1 }
-    bytes
-  }
-
-  /** The id-keyed stub of Multimodal.syntheticMediaTable, sequentially. */
-  private def idMedia(id: Long): (String, String, Array[Byte]) = {
-    val kind = if (id % 3 == 0) "video" else "image"
-    val ext = if (kind == "video") "mp4" else "jpg"
-    val ref = s"https://media.test/m-$id.$ext"
-    var x = mix64(id ^ 0x5eedL)
-    val n = 64 + (math.abs(x) % 193L).toInt
-    val bytes = new Array[Byte](n)
-    var i = 0
-    while (i < n) { x = mix64(x); bytes(i) = (x & 0xff).toByte; i += 1 }
-    (ref, kind, bytes)
   }
 
   // ------------------------------------------------------------------
@@ -297,20 +281,35 @@ object SeqOracles {
           out.sortBy(r => (r.query_id, -r.sim, r.neighbor_id)).toSeq.toDF())
   }
 
+  /** Expected multimodal metadata recomputed from [[MediaGen]]'s pure
+    * parameter functions (dims/channels/frame counts) and the pixel
+    * contract (frame hashes fold the pixel FUNCTION directly) — the
+    * oracle never touches the encoder→parser path under test except for
+    * the byte length, which depends on deflate/LZW output size.
+    */
   private def q37q38Dump(spark: SparkSession, dir: String, dumpRoot: String): Unit = {
     import spark.implicits._
     val ids = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id").as[Long].collect().sorted
-    val media = ids.map(idMedia)
-    val q37 = media.filter(_._2 == "image").map { case (ref, _, bytes) =>
-      val (w, h, ch) = Multimodal.FakeCodec.imageMeta(bytes)
-      Multimodal.ImageMeta(ref, w, h, ch, bytes.length.toLong)
+    val q37 = ids.filter(_ % 3 != 0).map { id =>
+      val seed = MediaGen.seedOfId(id)
+      val (w, h) = MediaGen.imageDims(seed)
+      val (ext, ch) = if (id % 3 == 1) ("png", if (id % 6 == 4) 4 else 3)
+                      else ("jpg", 3)
+      val nBytes = (if (id % 3 == 1) MediaGen.png(w, h, alpha = id % 6 == 4)
+                    else MediaGen.jpeg(w, h)).length.toLong
+      Multimodal.ImageMeta(s"https://media.test/m-$id.$ext", w, h, ch, nBytes)
     }.sortBy(_.media_ref)
     write(dumpRoot, "q37_image_meta", q37.toSeq.toDF())
-    val q38 = media.filter(_._2 == "video").flatMap { case (ref, _, bytes) =>
-      val n = Multimodal.FakeCodec.frameCount(bytes)
-      (0 until n by 7).map(i =>
-        Multimodal.FrameSample(ref, i, Multimodal.FakeCodec.frameHash(bytes, i)))
+    val q38 = ids.filter(_ % 3 == 0).flatMap { id =>
+      val seed = MediaGen.seedOfId(id)
+      val (w, h) = MediaGen.videoDims(seed)
+      val n = MediaGen.frameCountOf(seed)
+      (0 until n by 7).map { f =>
+        val hash = MediaGen.pixelFold(
+          (0 until w * h).iterator.map(i => MediaGen.pixel(seed, f, i)))
+        Multimodal.FrameSample(s"https://media.test/m-$id.gif", f, hash)
+      }
     }.sortBy(f => (f.media_ref, f.frame_idx))
     write(dumpRoot, "q38_frame_sample", q38.toSeq.toDF())
   }
