@@ -481,6 +481,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("host")
     }),
+    "q61_auth_enrich" -> ((s, _) => {
+      // ST7 credentialed session fetch (olx_c226/phone.go:53-93): user
+      // ids derived from crawled detail pages, deduped, then a per-id
+      // GET against the cookie-gated phone API — session cookie from
+      // TransportConfig, one client per partition. All statuses ride
+      // the output (401 would surface immediately); the JSON body is
+      // projected with get_json_object, the reference's gjson move.
+      import s.implicits._
+      val snaps = new Snapshots(CrawlOnce.dir(s))
+      val docs = s.read.parquet(snaps.docsPaths(CrawlOnce.lastRound(s)): _*)
+      val web = CrawlOnce.cfg("unused").web
+      val transport = graft.fetch.TransportConfig(
+        cookies = Map("t" -> graft.synthweb.SyntheticWeb.authToken(web)))
+      docs.filter(col("url").contains("/item/"))
+        .select(Extract.id_from_url(col("url")).cast("long").as("job_id"))
+        .select(pmod(col("job_id"), lit(1000)).as("user_id"))
+        .distinct()
+        .as[Long]
+        .mapPartitions { it =>
+          val api = graft.fetch.AuthedApiClient(web, transport)
+          it.map { uid =>
+            val (status, body) = api.phone(uid.toString)
+            (uid, status, body)
+          }
+        }
+        .toDF("user_id", "status", "body")
+        .select(col("user_id"), col("status").cast("long").as("status"),
+                Extract.json_get(col("body"), "$.data.phone").as("phone"))
+        .orderBy("user_id")
+    }),
     "q45_facet_split" -> ((s, _) => {
       // P9/A1 adaptive facet partitioning (olx_c226/main.go:214-232):
       // iterative split of hot facets until all partitions < threshold
@@ -609,6 +639,42 @@ object SparkEntry {
                 size(col("fields")).cast("long").as("n_fields"),
                 element_at(col("fields"), 20).as("f20"))
         .orderBy("doc_id")
+    }),
+    "q59_window_app_repair" -> ((s, dir) => {
+      // F7 `window.__APP` state repair (olx_c226/main.go:111-115): strip
+      // the assignment prefix/trailing semicolon, quote the four bare
+      // keys, then parse as real JSON and project typed fields. Pages
+      // are rendered from the part table so the oracle reconstructs
+      // every field in plain SQL without replicating the regex surgery.
+      val page = format_string(
+        "window.__APP = {props:{\"name\":\"%s\"},states:{\"size\":%d}," +
+          "config:{\"brand\":\"%s\"},translations:{\"t\":\"x\"}};",
+        col("p_name"), col("p_size"), col("p_brand"))
+      val schema = org.apache.spark.sql.types.DataType.fromDDL(
+        "struct<props:struct<name:string>,states:struct<size:bigint>," +
+          "config:struct<brand:string>,translations:struct<t:string>>")
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      T(s, dir, "part")
+        .select(col("p_partkey"), page.as("raw"))
+        .withColumn("j", from_json(Extract.repair_window_app(col("raw")), schema))
+        .select(col("p_partkey"), col("j.props.name").as("name"),
+                col("j.states.size").as("size"),
+                col("j.config.brand").as("brand"))
+        .orderBy("p_partkey")
+    }),
+    "q60_ua_pick" -> ((s, dir) => {
+      // ST5 deterministic UA rotation (apna/main.go:48-49): hash(url)
+      // picks the identity from the transport's UA table — replayable,
+      // unlike the reference's RNG. Oracled by an independent plain-
+      // Scala xxHash64 reimplementation in SeqOracles.
+      val uas = graft.fetch.TransportConfig.defaultUserAgents
+      T(s, dir, "part")
+        .select(col("p_partkey"),
+                Extract.slug_url("https://shop.test/item/", col("p_name"),
+                                 col("p_partkey")).as("url"))
+        .select(col("p_partkey"), col("url"),
+                Extract.ua_pick(col("url"), uas).as("ua"))
+        .orderBy("p_partkey")
     }),
     // ---------------- crawl-derived (north-rule pipeline) --------------
     "q50_crawl_docs" -> ((s, _) => {
@@ -890,6 +956,14 @@ object SparkEntry {
     "q43_next_data_extract" -> dumpSql("q43_next_data_extract", "doc_id"),
     "q44_enrich_join" -> dumpSql("q44_enrich_join", "host"),
     "q45_facet_split" -> dumpSql("q45_facet_split", "id"),
+    "q61_auth_enrich" -> dumpSql("q61_auth_enrich", "user_id"),
+    "q59_window_app_repair" ->
+      // the oracle reconstructs the repaired-and-parsed fields straight
+      // from the part columns the page was rendered from
+      """SELECT p_partkey, p_name AS name, CAST(p_size AS BIGINT) AS size,
+        | p_brand AS brand
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q60_ua_pick" -> dumpSql("q60_ua_pick", "p_partkey"),
     "q46_css_extract" ->
       """SELECT p_partkey, p_name AS name,
         | 'https://corp.test/' || p_brand AS website,

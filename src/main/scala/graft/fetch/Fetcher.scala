@@ -30,7 +30,12 @@ final case class TransportConfig(
     tlsHandshakeTimeoutSec: Int = 10, // apna/main.go:42 (olx: 30)
     maxIdleConns: Int = 100, // apna/main.go:38
     keepAliveSec: Int = 30, // apna/main.go:36
-    userAgents: Seq[String] = TransportConfig.defaultUserAgents)
+    userAgents: Seq[String] = TransportConfig.defaultUserAgents,
+    // ST7 session state: cookies/headers attached to every request of a
+    // credentialed fetch (the reference pins a session cookie string on
+    // its phone-API client, olx_c226/phone.go:63,90-93)
+    cookies: Map[String, String] = Map.empty,
+    headers: Map[String, String] = Map.empty)
 
 object TransportConfig {
   /** Deterministic UA table for [[graft.ops.Extract.ua_pick]] rotation
@@ -78,6 +83,28 @@ final case class SimulatedFetcher(cfg: WebConfig, simulateLatency: Boolean = fal
       priority = entry.priority,
       discovery_time = entry.discovery_time
     )
+  }
+}
+
+/** ST7 credentialed enrichment client (olx_c226/phone.go:53-93): one
+  * instance per partition inside `mapPartitions`, session cookies from
+  * [[TransportConfig]] attached to every request. [[phone]] surfaces
+  * the raw (status, body); [[phoneOrFail]] mirrors the reference's
+  * panic-on-401 — an expired/invalid session is a configuration error
+  * that must fail the job loudly, not produce silent empty enrichment.
+  */
+final case class AuthedApiClient(cfg: WebConfig, transport: TransportConfig)
+    extends Serializable {
+  def phone(userId: String): (Int, String) = {
+    val p = SyntheticWeb.phoneApiPage(cfg, userId, transport.cookies)
+    (p.status, p.body)
+  }
+  def phoneOrFail(userId: String): String = {
+    val (status, body) = phone(userId)
+    if (status == 401)
+      throw new IllegalStateException(
+        s"phone API unauthorized for user $userId — session cookie invalid")
+    body
   }
 }
 

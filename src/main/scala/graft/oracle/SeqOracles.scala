@@ -71,6 +71,7 @@ object SeqOracles {
                           company: String, min_salary: Long,
                           max_salary: Long, posted_ts: String)
   final case class Q44Row(host: String, phone: String, n_docs: Long)
+  final case class Q61Row(user_id: Long, status: Long, phone: String)
   final case class Q45Row(id: String, count: Long, depth: Int, settled: Boolean)
 
   // ------------------------------------------------------------------
@@ -144,6 +145,18 @@ object SeqOracles {
       }
       .sortBy(_.doc_id)
     write(dumpRoot, "q43_next_data_extract", q43.toDF())
+
+    // q61: user ids from the oracle's detail docs -> the credentialed
+    // phone API's expected answers, computed from the pure phone/token
+    // functions directly (no AuthedApiClient, no JSON parsing — the
+    // expected body fields are reconstructed independently)
+    val q61 = o.docs.values.toSeq
+      .filter(_.url.contains("/item/"))
+      .map(d => d.url.substring(d.url.lastIndexOf('-') + 1).toLong % 1000L)
+      .distinct.sorted
+      .map(uid => Q61Row(uid, 200L,
+                         graft.synthweb.SyntheticWeb.phoneOf(cfg.web, uid.toString)))
+    write(dumpRoot, "q61_auth_enrich", q61.toDF())
 
     // q44: host -> deterministic phone lookup + doc counts
     val q44 = o.docs.values.toSeq.groupBy(_.host).toSeq
@@ -314,6 +327,76 @@ object SeqOracles {
     write(dumpRoot, "q38_frame_sample", q38.toSeq.toDF())
   }
 
+  /** Independent plain-Scala xxHash64 (from the published xxHash spec)
+    * — oracles Spark's `xxhash64` column function without touching
+    * Catalyst. Used by the q60 UA-rotation dump.
+    */
+  private[graft] object XXH64 {
+    private val P1 = 0x9e3779b185ebca87L
+    private val P2 = 0xc2b2ae3d27d4eb4fL
+    private val P3 = 0x165667b19e3779f9L
+    private val P4 = 0x85ebca77c2b2ae63L
+    private val P5 = 0x27d4eb2f165667c5L
+    private def rotl(x: Long, r: Int): Long = (x << r) | (x >>> (64 - r))
+    private def le64(b: Array[Byte], i: Int): Long = {
+      var v = 0L
+      var j = 7
+      while (j >= 0) { v = (v << 8) | (b(i + j) & 0xffL); j -= 1 }
+      v
+    }
+    private def le32(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    private def round(acc: Long, in: Long): Long = rotl(acc + in * P2, 31) * P1
+    private def merge(acc: Long, v: Long): Long = (acc ^ round(0L, v)) * P1 + P4
+
+    def hash(data: Array[Byte], seed: Long): Long = {
+      val len = data.length
+      var i = 0
+      var h =
+        if (len >= 32) {
+          var v1 = seed + P1 + P2; var v2 = seed + P2
+          var v3 = seed; var v4 = seed - P1
+          while (i + 32 <= len) {
+            v1 = round(v1, le64(data, i)); v2 = round(v2, le64(data, i + 8))
+            v3 = round(v3, le64(data, i + 16)); v4 = round(v4, le64(data, i + 24))
+            i += 32
+          }
+          var acc = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+          acc = merge(acc, v1); acc = merge(acc, v2)
+          acc = merge(acc, v3); merge(acc, v4)
+        } else seed + P5
+      h += len
+      while (i + 8 <= len) {
+        h ^= round(0L, le64(data, i)); h = rotl(h, 27) * P1 + P4; i += 8
+      }
+      if (i + 4 <= len) { h ^= le32(data, i) * P1; h = rotl(h, 23) * P2 + P3; i += 4 }
+      while (i < len) { h ^= (data(i) & 0xffL) * P5; h = rotl(h, 11) * P1; i += 1 }
+      h ^= h >>> 33; h *= P2; h ^= h >>> 29; h *= P3; h ^ (h >>> 32)
+    }
+  }
+
+  final case class Q60Row(p_partkey: Long, url: String, ua: String)
+
+  /** ST5 UA-rotation oracle: url built with plain string ops, hashed by
+    * the independent [[XXH64]] (Spark's seed is 42), modded into the
+    * same UA table the query uses.
+    */
+  private def q60Dump(spark: SparkSession, dir: String, dumpRoot: String): Unit = {
+    import spark.implicits._
+    val uas = graft.fetch.TransportConfig.defaultUserAgents
+    val rows = spark.read.parquet(s"$dir/part.parquet")
+      .select("p_partkey", "p_name").as[(Long, String)].collect().sortBy(_._1)
+    val out = rows.map { case (k, name) =>
+      val url = "https://shop.test/item/" +
+        name.toLowerCase.replace(' ', '-') + "-iid-" + k
+      val h = XXH64.hash(url.getBytes("UTF-8"), 42L)
+      val idx = (((h % uas.size) + uas.size) % uas.size).toInt
+      Q60Row(k, url, uas(idx))
+    }
+    write(dumpRoot, "q60_ua_pick", out.toSeq.toDF())
+  }
+
   /** Sequential replay of the facet-split fixpoint with q45's inputs. */
   private def q45Dump(spark: SparkSession, dumpRoot: String): Unit = {
     import spark.implicits._
@@ -360,5 +443,6 @@ object SeqOracles {
     guarded("q57")(q57Dump(spark, dir, dumpRoot))
     guarded("q37q38")(q37q38Dump(spark, dir, dumpRoot))
     guarded("q45")(q45Dump(spark, dumpRoot))
+    guarded("q60")(q60Dump(spark, dir, dumpRoot))
   }
 }

@@ -157,6 +157,37 @@ object SyntheticWeb {
     }
   }
 
+  /** The session token the credentialed phone API accepts — a pure
+    * function of the web seed (the synthetic stand-in for the
+    * reference's hardcoded session cookie, olx_c226/phone.go:63).
+    */
+  def authToken(cfg: WebConfig): String =
+    f"tok-${math.abs(hashOf(cfg.seed, "auth-session-token"))}%016x"
+
+  /** Deterministic phone number the credentialed API returns per user. */
+  def phoneOf(cfg: WebConfig, userId: String): String =
+    f"+62-${math.abs(hashOf(cfg.seed ^ 0xae1L, userId)) % 1000000000L}%09d"
+
+  /** ST7 credentialed endpoint (olx_c226/phone.go:53-93): GET with a
+    * session cookie. Without a valid `t` cookie the API answers 401
+    * (the reference panics on that status); with it, a JSON body whose
+    * `data.phone` carries the enrichment value. Pure function of
+    * (seed, userId, cookies) like every other page in this web.
+    */
+  def phoneApiPage(cfg: WebConfig, userId: String,
+                   cookies: Map[String, String]): Page = {
+    val latency =
+      cfg.latencyBaseMs +
+        (math.abs(mix64(hashOf(cfg.seed, s"phone/$userId") ^ 7L)) %
+          cfg.latencyJitterMs.max(1)).toInt
+    if (!cookies.get("t").contains(authToken(cfg)))
+      Page(401, """{"error":"unauthorized"}""", latency, 0)
+    else
+      Page(200,
+           s"""{"data":{"id":"$userId","phone":"${phoneOf(cfg, userId)}"}}""",
+           latency, 0)
+  }
+
   def hostIndex(cfg: WebConfig, host: String): Int = {
     if (!host.startsWith("host-") || !host.endsWith(".test")) return -1
     host.stripPrefix("host-").stripSuffix(".test").toIntOption match {

@@ -98,6 +98,28 @@ class ExtractSpec extends SparkSuite {
   }
 }
 
+class XXH64OracleSpec extends SparkSuite {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("independent xxHash64 equals Spark's xxhash64 column on varied inputs") {
+    // lengths straddling every tail path: <4, 4-7, 8-31, >=32 bytes,
+    // plus multi-byte UTF-8
+    val inputs = Seq("", "a", "abc", "abcd", "abcdefg", "abcdefgh",
+                     "https://shop.test/item/x-iid-1",
+                     "a" * 31, "a" * 32, "a" * 33, "a" * 100,
+                     "warehouse operator jakarta bandung surabaya medan",
+                     "héllo wörld — ünïcode ☂")
+    val viaSpark = inputs.toDF("s")
+      .select(col("s"), xxhash64(col("s")).as("h"))
+      .as[(String, Long)].collect().toMap
+    inputs.foreach { s =>
+      val mine = graft.oracle.SeqOracles.XXH64.hash(s.getBytes("UTF-8"), 42L)
+      assert(mine == viaSpark(s), s"xxh64 mismatch on [$s]")
+    }
+  }
+}
+
 class FacetSplitSpec extends SparkSuite {
   import graft.ops.FacetSplit
 

@@ -18,7 +18,8 @@ class OracleDumpSpec extends SparkSuite {
     "q37_image_meta",
     "q38_frame_sample", "q39_media_from_crawl", "q43_next_data_extract",
     "q44_enrich_join", "q45_facet_split", "q50_crawl_docs",
-    "q51_crawl_fetch_log", "q52_crawl_spans")
+    "q51_crawl_fetch_log", "q52_crawl_spans", "q60_ua_pick",
+    "q61_auth_enrich")
 
   test("every dump matches its Spark query: schema and rows") {
     dumped

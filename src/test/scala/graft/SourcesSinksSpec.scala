@@ -201,6 +201,33 @@ class SinksSpec extends SparkSuite {
     assert(t.userAgents.nonEmpty && t.userAgents.distinct == t.userAgents)
   }
 
+  test("ST7 credentialed fetch: valid cookie 200s, missing/bad cookie 401s") {
+    import graft.fetch.{AuthedApiClient, TransportConfig}
+    import graft.synthweb.{SyntheticWeb, WebConfig}
+    val web = WebConfig(seed = 321)
+    val good = AuthedApiClient(web, TransportConfig(
+      cookies = Map("t" -> SyntheticWeb.authToken(web))))
+    val (st, body) = good.phone("42")
+    assert(st == 200)
+    assert(body.contains(SyntheticWeb.phoneOf(web, "42")))
+    // deterministic: same user, same phone
+    assert(good.phone("42") == ((st, body)))
+    // no cookie jar, wrong token, and a DIFFERENT web's token all 401
+    Seq(TransportConfig(),
+        TransportConfig(cookies = Map("t" -> "tok-ffffffffffffffff")),
+        TransportConfig(cookies =
+          Map("t" -> SyntheticWeb.authToken(WebConfig(seed = 999))))
+    ).foreach { t =>
+      assert(AuthedApiClient(web, t).phone("42")._1 == 401)
+    }
+    // the reference panics on 401 (olx_c226/phone.go:90-93): the
+    // fail-loud wrapper mirrors that
+    val bad = AuthedApiClient(web, TransportConfig())
+    val e = intercept[IllegalStateException] { bad.phoneOrFail("42") }
+    assert(e.getMessage.contains("unauthorized"))
+    assert(good.phoneOrFail("42").contains("phone"))
+  }
+
   test("parquet and csv sinks round-trip") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val p = tmpDir("sink-parquet-")
