@@ -12,7 +12,7 @@ import graft.model._
 import graft.parse.HtmlSpans
 import graft.polite.Robots
 import graft.seen.{BloomFilter, CuckooFilter, SeenIndex}
-import graft.store.Snapshots
+import graft.store.{FrontierStore, Snapshots}
 import graft.synthweb.{SyntheticWeb, WebConfig}
 
 /** Crawl configuration. Defaults are sandbox-scale; every knob is
@@ -26,11 +26,12 @@ final case class CrawlConfig(
     maxAttempts: Int = 3, // retry-unless-404 cap (olx_c226/main.go:188-193)
     salts: Int = 8, // hot-host spread factor for phase-A selection
     nBuckets: Int = 32, // host-hash buckets for filter shards + lineage
+    frontierBuckets: Int = 32, // url-hash buckets for frontier storage
     hostCapacity: Double = 8.0, // politeness token bucket capacity
     hostRefill: Double = 8.0, // tokens refilled per scheduling round
     bloomBits: Int = 1 << 21, // TOTAL bloom bits (sharded across buckets)
     bloomHashes: Int = 5,
-    compactEvery: Int = 8, // seen-delta compaction cadence
+    compactEvery: Int = 8, // seen LSM cadence (delta window + index merge)
     simulateLatency: Boolean = false
 ) {
   /** Per-bucket bloom shard size; constant across rounds so shards stay
@@ -94,16 +95,28 @@ final case class RoundResult(round: Int, selected: Long, fetchedOk: Long,
   *   - a round whose frontier holds no robots.txt entries (tracked in
   *     the manifest counters) skips the robots-prefetch sub-step's jobs
   *     entirely — in steady state only discovery rounds pay it.
-  *   - all state tables round-trip through parquet each round, which
+  *   - all state tables round-trip through storage each round, which
   *     truncates lineage (no ever-growing DAG) and is the checkpoint.
-  *     The frontier is the one table that both rewrites AND shuffles
-  *     (candidate exclusion anti-joins) per round — a deliberate trade:
-  *     the rewrite IS the checkpoint the north rule requires, and fat
-  *     rounds amortize it (the 10^6 demo drains a 902k-entry frontier
-  *     in 3 rounds). The cluster-scale extension is bucketed frontier
-  *     storage (hash-bucketed by url_hash via `bucketBy` + a catalog),
-  *     which co-partitions the exclusion joins and prunes the rewrite
-  *     to touched buckets; the logic above is unchanged by it.
+  *   - the frontier is hash-bucketed by url_hash into binary bucket
+  *     files ([[graft.store.FrontierStore]], manifest-tracked like the
+  *     filter shards). Candidate exclusion is NOT a join: removals
+  *     (fetched/blocked/selected hashes) and additions (retries,
+  *     tier-surviving candidates) shuffle — delta-sized rows only — to
+  *     one update task per touched bucket, which loads its bucket file,
+  *     applies the delta with exact set semantics, and rewrites only
+  *     that bucket. The frontier itself never crosses a shuffle, and
+  *     the per-round rewrite is O(touched buckets), not O(|frontier|):
+  *     at a 10^10-entry frontier a drain-phase round touches only the
+  *     buckets its deltas land in.
+  *   - the seen table is a two-level parquet LSM: per-round deltas fold
+  *     into a level-1 run every `compactEvery` rounds (O(window delta)),
+  *     runs fold into the seen_full base only every compactEvery² rounds
+  *     (amortized O(|seen|/compactEvery²) per round), deduplicating by
+  *     url_hash (latest round wins) so revocation rounds cannot leave
+  *     duplicate rows. The per-bucket exact indexes are LSM too: each
+  *     round appends a delta-only segment; segments merge on the same
+  *     cadence — per-round index maintenance writes O(|delta|) bytes,
+  *     not O(|seen|).
   */
 final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
   import spark.implicits._
@@ -133,18 +146,26 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     val hostState = hosts.map(h =>
       HostState(h, UrlCanon.hostHash(h), 0.0, cfg.hostCapacity, cfg.hostRefill))
 
-    frontier.toDS().write.mode("overwrite").parquet(snaps.tablePath(0, "frontier"))
+    // frontier: per-bucket binary files (driver-side here — seed lists
+    // are small by definition; per-round updates are executor-side)
+    val byFb = frontier.groupBy(e => fbucketOf(e.url_hash, cfg.frontierBuckets))
+    byFb.foreach { case (fb, es) =>
+      FrontierStore.write(cfg.outDir, 0, fb, es.toArray)
+    }
     hostState.toDS().write.mode("overwrite").parquet(snaps.tablePath(0, "host_state"))
     spark.emptyDataset[RobotsRule].write.mode("overwrite").parquet(snaps.tablePath(0, "robots"))
     spark.emptyDataset[SeenEntry].write.mode("overwrite").parquet(snaps.tablePath(0, "seen_delta"))
     snaps.writeManifest(Snapshots.Manifest(
       round = 0, parentRound = -1,
       tables = Map(
-        "frontier" -> snaps.tablePath(0, "frontier"),
         "host_state" -> snaps.tablePath(0, "host_state"),
         "robots" -> snaps.tablePath(0, "robots")),
-      seenDeltaRounds = Seq(0), seenFullRound = -1, filterRounds = Map.empty,
-      seenIndexRounds = Map.empty,
+      seenDeltaRounds = Seq(0), seenRunRounds = Nil, seenFullRound = -1,
+      filterRounds = Map.empty, seenIndexSegs = Map.empty,
+      frontierRounds = byFb.keys.map(_ -> 0).toMap,
+      frontierCounts = byFb.map { case (fb, es) => fb -> es.size.toLong },
+      frontierPri0 = byFb.map { case (fb, es) =>
+        fb -> es.count(_.priority == 0).toLong },
       counters = Map(
         "frontier" -> frontier.size.toLong,
         "frontier_pri0" -> frontier.count(_.priority == 0).toLong),
@@ -156,6 +177,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
   // ------------------------------------------------------------------
   def runRound(r: Int): RoundResult = {
     val nb = cfg.nBuckets
+    val nFb = cfg.frontierBuckets
     val m = snaps.readManifest(r - 1)
     // state-table write parallelism: sized from last round's row counts
     // (manifest lineage), NOT from core count — a 32-core session must
@@ -165,15 +187,25 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     val statePar = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong,
       m.counters.getOrElse("frontier", 64L) / 4096L + 1L)).toInt
-    val frontier = readT[FrontierEntry](m.tables("frontier"))
+    val root = cfg.outDir
+    // frontier: distributed read of the per-bucket binary files the
+    // manifest references (one flatMap per bucket, executor-side,
+    // fail-closed — see FrontierStore). Recomputation re-reads files,
+    // like a parquet scan; nothing is persisted driver-side.
+    val frontierRounds = m.frontierRounds
+    val frontier: Dataset[FrontierEntry] = spark
+      .createDataset(frontierRounds.toSeq.sortBy(_._1))
+      .repartition(math.min(frontierRounds.size.max(1),
+                            spark.sparkContext.defaultParallelism))
+      .flatMap { case (fb, fr) =>
+        FrontierStore.readRequired(root, fr, fb).iterator
+      }
     val robots = readT[RobotsRule](m.tables("robots"))
     val hostState = readT[HostState](m.tables("host_state"))
-    val seen = readTMulti[SeenEntry](snaps.seenPaths(m))
     // shard locations: bucket -> round whose files are current. Tasks
     // read exactly the bucket shards they touch from the snapshot store;
     // no filter bytes move through the driver or a broadcast.
     val filterRounds = m.filterRounds
-    val root = cfg.outDir
 
     // -- robots prefetch sub-step ----------------------------------------
     // priority-0 (robots.txt) entries are fetched unconditionally at the
@@ -235,9 +267,13 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     val eligible = gated
       .filter(col("robots_known") && col("robots_allowed"))
       .select(frontier.columns.map(col): _*).as[FrontierEntry]
-    val held = gated
-      .filter(!col("robots_known"))
-      .select(frontier.columns.map(col): _*).as[FrontierEntry]
+    // robots-disallowed rows leave the frontier this round (and their
+    // hashes must stay OUT of the candidate-exclusion membership set, so
+    // a re-discovered blocked URL re-enters — same semantics as the old
+    // anti-join against the post-gate remaining frontier)
+    val blockedHashes = gated
+      .filter(col("robots_known") && !col("robots_allowed"))
+      .select(col("url_hash")).as[String]
 
     // -- politeness budgets (token bucket per host) ---------------------
     val budgets = hostState
@@ -326,80 +362,85 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
       .reduceGroups((a, b) => if (entryOrd.lteq(a, b)) a else b)
       .map(_._2)
 
-    // tier 1: bloom shard of the candidate's bucket, checked MAP-SIDE
-    // (no shuffle): a miss is definitely new; missing shard => maybe.
+    // three-tier seen check, applied to content candidates AND the
+    // robots.txt entries of newly-discovered hosts. tier 1: bloom shard
+    // of the candidate's bucket, checked MAP-SIDE (no shuffle): a miss
+    // is definitely new; a missing shard => maybe (exact tier resolves).
     // Shards load lazily per executor (FilterShardCache) from the
-    // snapshot store — only buckets this task actually touches.
+    // snapshot store — only buckets this task actually touches. tiers
+    // 2+3 in ONE bucket-keyed pass: possible-positives shuffle once;
+    // the group task loads its bucket's cuckoo shard (probabilistic
+    // reject) and — only if a candidate survives it — the bucket's
+    // EXACT seen-index LSM segments, probed newest-first. The persisted
+    // 10^10-row seen table never moves through a shuffle (the robots
+    // URLs used to anti-join against it — an O(|seen|) exchange hiding
+    // in every discovery round — now route through the same tiers).
     val shardBits = cfg.bloomShardBits
     val bloomK = cfg.bloomHashes
-    val tiered = candDedup.mapPartitions { it =>
-      // task-local memo: one validated cache lookup per bucket per task
-      val local = mutable.Map.empty[Int, Option[BloomFilter]]
-      it.map { c =>
-        val b = bucketOf(c.host_hash, nb)
-        val bf = local.getOrElseUpdate(
-          b, filterRounds.get(b).flatMap(fr => FilterShardCache.bloom(root, fr, b)))
-        // conservative: missing shard => maybe seen (exact tier resolves)
-        (c, bf.forall(_.mightContain(c.url_hash)))
+    val seenIdxSegs = m.seenIndexSegs
+    def seenFree(cands: Dataset[FrontierEntry]): Dataset[FrontierEntry] = {
+      val tiered = cands.mapPartitions { it =>
+        // task-local memo: one validated cache lookup per bucket per task
+        val local = mutable.Map.empty[Int, Option[BloomFilter]]
+        it.map { c =>
+          val b = bucketOf(c.host_hash, nb)
+          val bf = local.getOrElseUpdate(
+            b, filterRounds.get(b).flatMap(fr => FilterShardCache.bloom(root, fr, b)))
+          (c, bf.forall(_.mightContain(c.url_hash)))
+        }
       }
+      val defNew = tiered.filter(!_._2).map(_._1)
+      val exactNew = tiered.filter(_._2).map(_._1)
+        .groupByKey(c => bucketOf(c.host_hash, nb))
+        .flatMapGroups { (b: Int, it: Iterator[FrontierEntry]) =>
+          // cuckoo read stays lenient: an unreadable shard only demotes
+          // to the exact tier (correct, slower) — never drops dedup
+          val cf = filterRounds.get(b)
+            .flatMap(fr => Snapshots.readBytesAt(Snapshots.filterPathAt(root, fr, b)))
+            .map(CuckooFilter.deserialize)
+          // manifest-absent bucket = never had a seen entry (empty IS
+          // exact); manifest-present-but-unreadable segment = FAIL the
+          // round (requiredBytesAt) — defaulting to empty would
+          // reclassify seen URLs as new, permanent dedup loss
+          lazy val segs = seenIdxSegs.getOrElse(b, Nil).reverse
+            .map(ir => SeenIndex.deserialize(
+              Snapshots.requiredBytesAt(Snapshots.seenIndexPathAt(root, ir, b))))
+          it.filter(c =>
+            !cf.forall(_.mightContain(c.url_hash)) ||
+              !segs.exists(_.contains(c.url_hash)))
+        }
+      defNew.union(exactNew)
     }
-    val defNew = tiered.filter(!_._2).map(_._1)
-    // tiers 2+3 in ONE bucket-keyed pass: possible-positives shuffle
-    // once; the group task loads its bucket's cuckoo shard (cheap
-    // probabilistic reject) and — only if any candidate survives it —
-    // the bucket's EXACT seen index ([[graft.seen.SeenIndex]]). The
-    // persisted 10^10-row seen table itself never moves through a
-    // shuffle: this replaces the old per-round left_anti join against
-    // it, whose seen-side exchange was the last O(|seen|)-per-round
-    // cost in the round loop.
-    val seenIdxRounds = m.seenIndexRounds
-    val maybe = tiered.filter(_._2).map(_._1)
-    val exactNew = maybe
-      .groupByKey(c => bucketOf(c.host_hash, nb))
-      .flatMapGroups { (b: Int, it: Iterator[FrontierEntry]) =>
-        val cf = filterRounds.get(b)
-          .flatMap(fr => Snapshots.readBytesAt(Snapshots.filterPathAt(root, fr, b)))
-          .map(CuckooFilter.deserialize)
-        // a missing index means this bucket has never had a seen entry
-        // (every seen row passes through maintenance) — empty IS exact
-        lazy val idx = seenIdxRounds.get(b)
-          .flatMap(ir => Snapshots.readBytesAt(Snapshots.seenIndexPathAt(root, ir, b)))
-          .map(SeenIndex.deserialize)
-          .getOrElse(SeenIndex.empty)
-        it.filter(c =>
-          !cf.forall(_.mightContain(c.url_hash)) || !idx.contains(c.url_hash))
-      }
-    val candSeenFree = defNew.union(exactNew)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candSeenFree = seenFree(candDedup).persist(StorageLevel.MEMORY_AND_DISK)
 
     // robots.txt entries for newly-discovered hosts (distributed; the
     // constant discovery_time r*1e6 is tie-broken by url_hash)
-    val robotsCand = candSeenFree.select(col("host")).distinct()
-      .join(robotsAll.select(col("host").as("k_host")),
-            col("host") === col("k_host"), "left_anti")
-      .as[String]
-      .map(h => Fetcher.entryOf(s"https://$h/robots.txt", 0,
-                                r.toLong * 1000000L, 0, r, salts))
-      .join(seen.select(col("url_hash").as("s_hash")),
-            col("url_hash") === col("s_hash"), "left_anti").as[FrontierEntry]
+    val robotsCand = seenFree(
+      candSeenFree.select(col("host")).distinct()
+        .join(robotsAll.select(col("host").as("k_host")),
+              col("host") === col("k_host"), "left_anti")
+        .as[String]
+        .map(h => Fetcher.entryOf(s"https://$h/robots.txt", 0,
+                                  r.toLong * 1000000L, 0, r, salts)))
+    val candAll = candSeenFree.union(robotsCand)
 
-    // exclusion: not already in the remaining frontier, not fetched now
-    val remainingFrontier = held.union(
-      eligible.join(selected.select(col("e.url_hash").as("sel_hash")),
-                    col("url_hash") === col("sel_hash"), "left_anti")
-        .as[FrontierEntry])
-    val newCand = candSeenFree.union(robotsCand)
-      .join(remainingFrontier.select(col("url_hash").as("f_hash")),
-            col("url_hash") === col("f_hash"), "left_anti").as[FrontierEntry]
-      .join(selected.select(col("e.url_hash").as("sel_hash")),
-            col("url_hash") === col("sel_hash"), "left_anti").as[FrontierEntry]
-      // and vs retries: a retried robots.txt (budget-exempt, so NOT in
-      // `selected`) must not also re-enter as a fresh robotsCand entry
-      .join(retries.select(col("url_hash").as("r_hash")),
-            col("url_hash") === col("r_hash"), "left_anti").as[FrontierEntry]
-
-    val newFrontier = remainingFrontier.union(retries).union(newCand)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // -- frontier delta (the bucketed update replaces the old exclusion
+    // anti-joins AND the full-frontier rewrite; see the class doc) -----
+    // ops: 1 = remove fetched robots row, 2 = remove blocked row,
+    //      3 = remove selected row (its hash STAYS in the exclusion
+    //      membership set — a re-discovered just-fetched URL must not
+    //      re-enter), 4 = add retry (forced), 5 = add candidate (only
+    //      if its hash is unknown to the updated membership set)
+    val updPri0 = robotsFetchedOpt match {
+      case Some(rf) =>
+        rf.map { t => FUpd(fbucketOf(t._1.url_hash, nFb), 1, t._1.url_hash, None) }
+      case None => spark.emptyDataset[FUpd]
+    }
+    val frontierUpd = updPri0
+      .union(blockedHashes.map(h => FUpd(fbucketOf(h, nFb), 2, h, None)))
+      .union(selected.map(s => FUpd(fbucketOf(s.e.url_hash, nFb), 3, s.e.url_hash, None)))
+      .union(retries.map(e => FUpd(fbucketOf(e.url_hash, nFb), 4, e.url_hash, Some(e))))
+      .union(candAll.map(e => FUpd(fbucketOf(e.url_hash, nFb), 5, e.url_hash, Some(e))))
 
     // -- host state update ----------------------------------------------
     val selCounts = selected.groupBy(col("e.host").as("c_host")).count()
@@ -412,7 +453,12 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
               col("refill_per_round")).as[HostState]
     val capD = cfg.hostCapacity
     val refD = cfg.hostRefill
-    val newHostRows = newFrontier.map(_.host).distinct()
+    // new hosts come from the candidate set: every candidate REJECTED by
+    // the bucket update collided with a frontier/retry row of the same
+    // URL, whose host is in host_state already — so hosts(candAll) minus
+    // host_state equals the accepted entries' new hosts exactly, with no
+    // dependency on the update pass's output
+    val newHostRows = candAll.map(_.host).distinct()
       .join(hostState.select(col("host").as("h_host")),
             col("value") === col("h_host"), "left_anti")
       .as[String]
@@ -471,18 +517,53 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
         .coalesce(statePar)
         .write.mode("overwrite").parquet(snaps.tablePath(r, "seen_delta"))
     }
-    val obsFront = Observation()
+    // frontier bucket update: ONE group task per TOUCHED bucket loads
+    // its bucket file, applies the delta with exact set semantics (see
+    // FUpd op table above), and rewrites only that bucket executor-side
+    // (atomic rename => retry-safe; file bytes are a pure function of
+    // the set => speculative duplicates are idempotent). Only nFb-
+    // bounded stat rows reach the driver. Per-bucket buffers hold this
+    // round's delta for that bucket — delta-scale, not state-scale.
     val frontF = Future {
-      newFrontier.toDF()
-        .observe(obsFront, count(lit(1)).as("n"),
-                 coalesce(sum(when(col("round") === r && col("attempt") === 0, 1L)
-                   .otherwise(0L)), lit(0L)).as("new_urls"),
-                 coalesce(sum(when(col("round") === r && col("attempt") > 0, 1L)
-                   .otherwise(0L)), lit(0L)).as("retries"),
-                 coalesce(sum(when(col("priority") === 0, 1L).otherwise(0L)),
-                          lit(0L)).as("n_pri0"))
-        .coalesce(statePar)
-        .write.mode("overwrite").parquet(snaps.tablePath(r, "frontier"))
+      frontierUpd
+        .groupByKey(_.fb)
+        .mapGroups { (fb: Int, it: Iterator[FUpd]) =>
+          val old = frontierRounds.get(fb)
+            .map(fr => FrontierStore.readRequired(root, fr, fb))
+            .getOrElse(Array.empty[FrontierEntry])
+          val mEnt = mutable.HashMap.empty[String, FrontierEntry]
+          old.foreach(e => mEnt(e.url_hash) = e)
+          val remBoth = mutable.ArrayBuffer.empty[String]
+          val selHashes = mutable.ArrayBuffer.empty[String]
+          val retriesB = mutable.ArrayBuffer.empty[FrontierEntry]
+          val candsB = mutable.ArrayBuffer.empty[FrontierEntry]
+          var nBlockedRemoved = 0L
+          it.foreach { u =>
+            u.op match {
+              case 1 => remBoth += u.hash
+              case 2 => remBoth += u.hash; nBlockedRemoved += 1
+              case 3 => selHashes += u.hash
+              case 4 => retriesB += u.e.get
+              case _ => candsB += u.e.get
+            }
+          }
+          // order matters: fetched-robots/blocked leave BOTH the bucket
+          // and the membership set; selected leave only the bucket
+          remBoth.foreach(mEnt.remove)
+          val eSet = mutable.HashSet.empty[String]
+          eSet ++= mEnt.keysIterator
+          retriesB.foreach(e => eSet += e.url_hash)
+          val accepted = candsB.sortInPlace()(entryOrd)
+            .filter(c => eSet.add(c.url_hash))
+          selHashes.foreach(mEnt.remove)
+          val out = (mEnt.valuesIterator ++ retriesB.iterator ++
+            accepted.iterator).toArray
+          FrontierStore.write(root, r, fb, out)
+          FrontierStat(fb, out.length.toLong, accepted.size.toLong,
+                       retriesB.size.toLong,
+                       out.count(_.priority == 0).toLong, nBlockedRemoved)
+        }
+        .collect()
     }
     // robots table only changes on rounds that fetched robots.txt
     val robotsF = Future {
@@ -505,31 +586,34 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     // (rare); a bucket whose rebuild also overflows is omitted from the
     // manifest so readers fall back to the conservative maybe-seen path.
     val filtersF = Future {
+      val idxMergeEvery = cfg.compactEvery
       val updates = seenDelta
         .groupByKey(s => bucketOf(s.host_hash, nb))
         .mapGroups { (b: Int, it: Iterator[SeenEntry]) =>
-          // a bucket WITH history (an exact index exists) but WITHOUT
-          // filter shards (dropped after a cuckoo overflow) must NOT be
-          // recreated from empty filters — a bloom missing old hashes
-          // would later classify seen URLs as definitely-new. Reseed
-          // both filters from the exact index instead.
-          val priorIdx = seenIdxRounds.get(b)
-            .flatMap(ir => Snapshots.readBytesAt(Snapshots.seenIndexPathAt(root, ir, b)))
-            .map(SeenIndex.deserialize)
-            .getOrElse(SeenIndex.empty)
+          val segRounds = seenIdxSegs.getOrElse(b, Nil)
+          // all reads here are manifest-referenced => fail-closed: an
+          // unreadable segment/shard means lost storage, and rebuilding
+          // filters or indexes from empty state silently loses dedup
+          def segsOf: Seq[SeenIndex] = segRounds.map(ir =>
+            SeenIndex.deserialize(
+              Snapshots.requiredBytesAt(Snapshots.seenIndexPathAt(root, ir, b))))
           var ok = true
           val (cf, bf) = filterRounds.get(b) match {
             case Some(fr) =>
-              (Snapshots.readBytesAt(Snapshots.filterPathAt(root, fr, b))
-                 .map(CuckooFilter.deserialize)
-                 .getOrElse(CuckooFilter.sized(4096)),
-               Snapshots.readBytesAt(Snapshots.bloomShardPathAt(root, fr, b))
-                 .map(BloomFilter.deserialize)
-                 .getOrElse(new BloomFilter(shardBits, bloomK)))
+              (CuckooFilter.deserialize(
+                 Snapshots.requiredBytesAt(Snapshots.filterPathAt(root, fr, b))),
+               BloomFilter.deserialize(
+                 Snapshots.requiredBytesAt(Snapshots.bloomShardPathAt(root, fr, b))))
             case None =>
-              val cf0 = CuckooFilter.sized(math.max(4096L, priorIdx.size.toLong * 2))
+              // a bucket WITH history (index segments exist) but WITHOUT
+              // filter shards (dropped after a cuckoo overflow) must NOT
+              // be recreated from empty filters — a bloom missing old
+              // hashes would later classify seen URLs as definitely-new.
+              // Reseed both filters from the exact index instead.
+              val prior = SeenIndex.merged(segsOf)
+              val cf0 = CuckooFilter.sized(math.max(4096L, prior.size.toLong * 2))
               val bf0 = new BloomFilter(shardBits, bloomK)
-              priorIdx.hexIterator.foreach { h =>
+              prior.hexIterator.foreach { h =>
                 ok &= cf0.put(h)
                 bf0.put(h)
               }
@@ -545,19 +629,31 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
           if (ok)
             Snapshots.writeBytesAt(Snapshots.filterPathAt(root, r, b), cf.serialize())
           // the exact per-bucket index updates UNCONDITIONALLY (tier 3
-          // correctness does not ride on cuckoo occupancy)
-          Snapshots.writeBytesAt(Snapshots.seenIndexPathAt(root, r, b),
-                                 priorIdx.updated(deltaHashes).serialize())
-          (b, ok)
+          // correctness does not ride on cuckoo occupancy). LSM: the
+          // common round writes a DELTA-ONLY segment — O(|delta|) bytes,
+          // not O(|seen|); segments fold into one on the compactEvery
+          // cadence (the only round that rewrites the bucket's index).
+          val newSegs =
+            if (segRounds.size + 1 >= idxMergeEvery) {
+              val merged = SeenIndex.merged(segsOf :+ SeenIndex.fromHex(deltaHashes))
+              Snapshots.writeBytesAt(Snapshots.seenIndexPathAt(root, r, b),
+                                     merged.serialize())
+              Seq(r)
+            } else {
+              Snapshots.writeBytesAt(Snapshots.seenIndexPathAt(root, r, b),
+                                     SeenIndex.fromHex(deltaHashes).serialize())
+              segRounds :+ r
+            }
+          (b, ok, newSegs)
         }.collect()
       val failedBuckets = updates.filter(!_._2).map(_._1).toSet
       val rebuiltOk: Map[Int, Boolean] =
         if (failedBuckets.isEmpty) Map.empty
-        else seen.union(seenDelta)
+        else readTMulti[SeenEntry](snaps.seenPaths(m)).union(seenDelta)
           .filter(s => failedBuckets.contains(bucketOf(s.host_hash, nb)))
           .groupByKey(s => bucketOf(s.host_hash, nb))
           .mapGroups { (b: Int, it: Iterator[SeenEntry]) =>
-            val hashes = it.map(_.url_hash).toArray
+            val hashes = it.map(_.url_hash).toArray.distinct
             val cf = CuckooFilter.sized(hashes.length.toLong * 2)
             var ok = true
             hashes.foreach(h => ok &= cf.put(h))
@@ -572,58 +668,81 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
       // buckets drop out (conservative: bloom maybe, cuckoo maybe)
       val newFilterRounds = (filterRounds -- touchedOk.keys) ++
         touchedOk.collect { case (b, true) => b -> r }
-      val newSeenIndexRounds = seenIdxRounds ++ updates.map(_._1 -> r)
-      (newFilterRounds, newSeenIndexRounds)
+      val newSeenIndexSegs = seenIdxSegs ++ updates.map(u => u._1 -> u._3)
+      (newFilterRounds, newSeenIndexSegs)
     }
 
     Await.result(docsF, Duration.Inf)
     Await.result(seenF, Duration.Inf)
-    Await.result(frontF, Duration.Inf)
+    val frontierStats = Await.result(frontF, Duration.Inf)
     Await.result(hostF, Duration.Inf)
     val robotsPath = Await.result(robotsF, Duration.Inf)
-    val (newFilterRounds, newSeenIndexRounds) = Await.result(filtersF, Duration.Inf)
+    val (newFilterRounds, newSeenIndexSegs) = Await.result(filtersF, Duration.Inf)
 
-    // seen compaction (from the in-memory union — the persisted
-    // seenDelta dataset holds exactly what the seen_delta write wrote)
+    // seen-table LSM compaction: deltas fold into a level-1 run every
+    // compactEvery rounds (reads only the window's deltas — O(window),
+    // not O(|seen|)); runs fold into the seen_full base only when
+    // compactEvery runs have accumulated, deduplicating by url_hash
+    // (latest round wins) so revocation re-fetches cannot leave
+    // duplicate rows in the table.
     val deltaRounds = m.seenDeltaRounds :+ r
-    val (seenFullRound, seenDeltaRounds) =
+    val (seenFullRound, seenRunRounds, seenDeltaRounds) =
       if (deltaRounds.size >= cfg.compactEvery) {
-        seen.union(seenDelta)
-          .write.mode("overwrite").parquet(snaps.tablePath(r, "seen_full"))
-        (r, Seq.empty[Int])
-      } else (m.seenFullRound, deltaRounds)
+        if (m.seenRunRounds.size + 1 >= cfg.compactEvery) {
+          val basePaths =
+            if (m.seenFullRound >= 0) Seq(snaps.tablePath(m.seenFullRound, "seen_full"))
+            else Nil
+          val allPaths = basePaths ++
+            m.seenRunRounds.map(snaps.tablePath(_, "seen_run")) ++
+            deltaRounds.map(snaps.tablePath(_, "seen_delta"))
+          readTMulti[SeenEntry](allPaths)
+            .groupByKey(_.url_hash)
+            .reduceGroups((a, b) => if (newerSeen(a, b)) a else b)
+            .map(_._2)
+            .write.mode("overwrite").parquet(snaps.tablePath(r, "seen_full"))
+          (r, Seq.empty[Int], Seq.empty[Int])
+        } else {
+          readTMulti[SeenEntry](deltaRounds.map(snaps.tablePath(_, "seen_delta")))
+            .coalesce(statePar)
+            .write.mode("overwrite").parquet(snaps.tablePath(r, "seen_run"))
+          (m.seenFullRound, m.seenRunRounds :+ r, Seq.empty[Int])
+        }
+      } else (m.seenFullRound, m.seenRunRounds, deltaRounds)
 
     val selectedCnt = obsL(obsLog, "n")
     val okCnt = obsL(obsLog, "ok")
-    val newCnt = obsL(obsFront, "new_urls")
-    val frontierLeft = obsL(obsFront, "n")
-    val retriesCnt = obsL(obsFront, "retries")
     val spansCnt = if (okMain > 0) obsL(obsDocs, "spans") else 0L
     val docsCnt = if (okMain > 0) obsL(obsDocs, "n") else 0L
-    // blocked = prev frontier minus robots fetches minus what remained
-    // eligible/held/selected this round — pure algebra over observes
-    val prevFrontier = m.counters.getOrElse("frontier", 0L)
-    val blockedCnt = math.max(0L,
-      prevFrontier - nRobots -
-        (frontierLeft - retriesCnt - newCnt + (selectedCnt - nRobots)))
+    // frontier counters: touched buckets from this round's stats,
+    // untouched buckets carried from the manifest — totals never
+    // require reading untouched buckets
+    val newFrontierRounds = frontierRounds ++ frontierStats.map(s => s.fb -> r)
+    val newFrontierCounts = m.frontierCounts ++ frontierStats.map(s => s.fb -> s.n)
+    val newFrontierPri0 = m.frontierPri0 ++ frontierStats.map(s => s.fb -> s.n_pri0)
+    val frontierLeft = newFrontierCounts.values.sum
+    val newCnt = frontierStats.map(_.n_new).sum
+    val blockedCnt = frontierStats.map(_.n_blocked).sum
 
     snaps.writeManifest(Snapshots.Manifest(
       round = r, parentRound = r - 1,
       tables = Map(
-        "frontier" -> snaps.tablePath(r, "frontier"),
         "host_state" -> snaps.tablePath(r, "host_state"),
         "robots" -> robotsPath),
-      seenDeltaRounds = seenDeltaRounds, seenFullRound = seenFullRound,
-      filterRounds = newFilterRounds, seenIndexRounds = newSeenIndexRounds,
+      seenDeltaRounds = seenDeltaRounds, seenRunRounds = seenRunRounds,
+      seenFullRound = seenFullRound,
+      filterRounds = newFilterRounds, seenIndexSegs = newSeenIndexSegs,
+      frontierRounds = newFrontierRounds,
+      frontierCounts = newFrontierCounts, frontierPri0 = newFrontierPri0,
       counters = Map(
         "selected" -> selectedCnt, "fetched_ok" -> okCnt,
         "robots_blocked" -> blockedCnt, "new_urls" -> newCnt,
-        "frontier" -> frontierLeft, "frontier_pri0" -> obsL(obsFront, "n_pri0"),
+        "frontier" -> frontierLeft,
+        "frontier_pri0" -> newFrontierPri0.values.sum,
         "spans" -> spansCnt, "docs" -> docsCnt),
       done = frontierLeft == 0))
 
     (Seq(gated, selected, mainFetched, pageOuts, seenDelta,
-         candSeenFree, newFrontier, robotsAll) ++ robotsFetchedOpt)
+         candSeenFree, robotsAll) ++ robotsFetchedOpt)
       .foreach(_.unpersist(false))
 
     RoundResult(r, selectedCnt, okCnt, newCnt, frontierLeft, frontierLeft == 0)
@@ -660,9 +779,14 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     }
     val revokedHashes = revoked.map(_._1).toSet
 
-    // 1. exact seen table: compact minus the revoked rows
+    // 1. exact seen table: compact minus the revoked rows, deduped by
+    // url_hash (latest round wins) — restores the unique-hash invariant
+    // immediately even if a prior revoke+reseed left duplicate rows
     val seen = readTMulti[SeenEntry](snaps.seenPaths(m))
-    seen.filter(!col("url_hash").isin(revokedHashes.toSeq: _*))
+    seen.filter(!col("url_hash").isin(revokedHashes.toSeq: _*)).as[SeenEntry]
+      .groupByKey(_.url_hash)
+      .reduceGroups((a, b) => if (newerSeen(a, b)) a else b)
+      .map(_._2)
       .write.mode("overwrite").parquet(snaps.tablePath(r, "seen_full"))
 
     // 2. cuckoo shards of affected buckets: delete fingerprints, write at
@@ -683,64 +807,78 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
         }
     }
     // 2b. the exact per-bucket seen indexes drop the revoked hashes too
-    // (tier 3 must agree with the rewritten seen table)
+    // (tier 3 must agree with the rewritten seen table): LSM segments
+    // merge-minus-revoked into a single segment at r
     val updatedIdxBuckets = byBucket.flatMap {
       case (b, hs) =>
-        m.seenIndexRounds.get(b).map { ir =>
-          Snapshots.readBytesAt(Snapshots.seenIndexPathAt(root, ir, b)).foreach {
-            bytes =>
-              val idx = SeenIndex.deserialize(bytes).updated(Nil, hs.map(_._1))
-              Snapshots.writeBytesAt(Snapshots.seenIndexPathAt(root, r, b),
-                                     idx.serialize())
-          }
-          b -> r
+        val segRounds = m.seenIndexSegs.getOrElse(b, Nil)
+        if (segRounds.isEmpty) None
+        else {
+          val segs = segRounds.map(ir => SeenIndex.deserialize(
+            Snapshots.requiredBytesAt(Snapshots.seenIndexPathAt(root, ir, b))))
+          val idx = SeenIndex.merged(segs, hs.map(_._1))
+          Snapshots.writeBytesAt(Snapshots.seenIndexPathAt(root, r, b),
+                                 idx.serialize())
+          Some(b -> Seq(r))
         }
     }
 
-    // 3. frontier: carry forward plus the reseed entry points. Existing
-    // frontier rows WIN over a colliding reseed (deterministic
-    // precedence — a pending retry keeps its attempt count; plain
-    // dropDuplicates would keep an arbitrary row)
-    // distinctBy url_hash (not raw string): two reseed URLs can
-    // canonicalize to the same entry, and the frontier's unique-hash
-    // invariant must hold (same guard as init())
+    // 3. frontier: insert reseed entry points into their buckets
+    // (driver-side loops — administrative scale, like the rest of
+    // revoke). Existing frontier rows WIN over a colliding reseed
+    // (deterministic precedence — a pending retry keeps its attempt
+    // count); distinctBy url_hash because two reseed URLs can
+    // canonicalize to the same entry (same guard as init()). Untouched
+    // buckets carry forward by manifest reference.
     val reseedEntries = reseed.zipWithIndex.map { case (u, i) =>
       Fetcher.entryOf(u, SyntheticWeb.priorityOf(u), r.toLong * 1000000L + i,
                       0, r, cfg.salts)
     }.distinctBy(_.url_hash)
-    val existing = readT[FrontierEntry](m.tables("frontier"))
-    val reseedNew = reseedEntries.toDS()
-      .join(existing.select(col("url_hash").as("x_hash")),
-            col("url_hash") === col("x_hash"), "left_anti")
-      .as[FrontierEntry]
-    val newFrontier = existing.union(reseedNew)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    newFrontier.write.mode("overwrite").parquet(snaps.tablePath(r, "frontier"))
-    val frontierCnt = newFrontier.count()
-    val pri0Cnt = newFrontier.filter(col("priority") === 0).count()
+    var frontierRounds = m.frontierRounds
+    var frontierCounts = m.frontierCounts
+    var frontierPri0 = m.frontierPri0
+    val acceptedReseeds = scala.collection.mutable.ArrayBuffer.empty[FrontierEntry]
+    reseedEntries.groupBy(e => fbucketOf(e.url_hash, cfg.frontierBuckets))
+      .foreach { case (fb, es) =>
+        val old = frontierRounds.get(fb)
+          .map(fr => FrontierStore.readRequired(root, fr, fb))
+          .getOrElse(Array.empty[FrontierEntry])
+        val have = old.iterator.map(_.url_hash).toSet
+        val add = es.filterNot(e => have(e.url_hash))
+        if (add.nonEmpty) {
+          val out = old ++ add
+          FrontierStore.write(root, r, fb, out)
+          frontierRounds += fb -> r
+          frontierCounts += fb -> out.length.toLong
+          frontierPri0 += fb -> out.count(_.priority == 0).toLong
+          acceptedReseeds ++= add
+        }
+      }
+    val frontierCnt = frontierCounts.values.sum
+    val pri0Cnt = frontierPri0.values.sum
 
     // 4. host state rows for any new reseed hosts
     val hostState = readT[HostState](m.tables("host_state"))
     val capD = cfg.hostCapacity
     val refD = cfg.hostRefill
-    val newHosts = newFrontier.map(_.host).distinct()
+    val newHosts = acceptedReseeds.map(_.host).distinct.toSeq.toDS()
       .join(hostState.select(col("host").as("h_host")),
             col("value") === col("h_host"), "left_anti")
       .as[String]
       .map(h => HostState(h, UrlCanon.hostHash(h), 0.0, capD, refD))
     hostState.union(newHosts)
       .write.mode("overwrite").parquet(snaps.tablePath(r, "host_state"))
-    newFrontier.unpersist(false)
 
     snaps.writeManifest(Snapshots.Manifest(
       round = r, parentRound = latest,
       tables = Map(
-        "frontier" -> snaps.tablePath(r, "frontier"),
         "host_state" -> snaps.tablePath(r, "host_state"),
         "robots" -> m.tables("robots")),
-      seenDeltaRounds = Nil, seenFullRound = r,
+      seenDeltaRounds = Nil, seenRunRounds = Nil, seenFullRound = r,
       filterRounds = m.filterRounds ++ updatedBuckets,
-      seenIndexRounds = m.seenIndexRounds ++ updatedIdxBuckets,
+      seenIndexSegs = m.seenIndexSegs ++ updatedIdxBuckets,
+      frontierRounds = frontierRounds,
+      frontierCounts = frontierCounts, frontierPri0 = frontierPri0,
       counters = Map("frontier" -> frontierCnt, "frontier_pri0" -> pri0Cnt,
                      "revoked" -> revokedHashes.size.toLong),
       done = frontierCnt == 0))
@@ -782,6 +920,26 @@ object CrawlScheduler {
 
   final case class WithBudget(e: FrontierEntry, budget: Int)
   final case class SelectedE(e: FrontierEntry, seq: Int)
+
+  /** One frontier-delta row (the ONLY thing that shuffles in the
+    * frontier-update path — delta-scale, never state-scale). See the
+    * op table at the construction site in runRound.
+    */
+  final case class FUpd(fb: Int, op: Int, hash: String,
+                        e: Option[FrontierEntry])
+  final case class FrontierStat(fb: Int, n: Long, n_new: Long, n_retry: Long,
+                                n_pri0: Long, n_blocked: Long)
+
+  /** Frontier storage bucket of a url_hash (first 60 bits of the hex
+    * sha-256, mod nFb) — independent of the host-hash filter buckets.
+    */
+  def fbucketOf(urlHashHex: String, nFb: Int): Int =
+    (java.lang.Long.parseLong(urlHashHex.substring(0, 15), 16) % nFb).toInt
+
+  /** Latest-wins order for seen-table dedup at full compaction. */
+  def newerSeen(a: SeenEntry, b: SeenEntry): Boolean =
+    if (a.first_round != b.first_round) a.first_round > b.first_round
+    else a.status <= b.status
   final case class PageOut(url: String, url_hash: String, host: String,
                            host_hash: Long, status: Int, seq: Int,
                            attempt: Int, kind: String, spans: Seq[Span],

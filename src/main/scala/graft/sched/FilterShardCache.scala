@@ -3,7 +3,7 @@ package graft.sched
 import graft.seen.BloomFilter
 import graft.store.Snapshots
 
-/** Executor-local cache of per-bucket bloom shards for the map-side
+/** Executor-local LRU of per-bucket bloom shards for the map-side
   * seen-set tier-1 check.
   *
   * The tier-1 check runs inside `mapPartitions` BEFORE any shuffle, so a
@@ -21,18 +21,15 @@ import graft.store.Snapshots
   * Negative entries (no shard file for that round) are cached too —
   * readers treat a missing shard as "maybe seen" (the exact tier
   * resolves), and must not hit storage once per row to learn that.
+  *
+  * Eviction is size-bounded LRU (access-order LinkedHashMap): on
+  * very-many-bucket configs it retires only the coldest shard instead
+  * of cold-restarting every shard at once. Loads are rare (once per
+  * bucket per task), so the coarse lock is off the per-row path.
   */
-object FilterShardCache {
+final class ShardLru(val maxEntries: Int) {
   private final case class Entry(round: Int, fileId: String,
                                  shard: Option[BloomFilter])
-
-  /** Size-bounded LRU (access-order LinkedHashMap): on very-many-bucket
-    * configs eviction retires only the coldest shard instead of cold-
-    * restarting every shard at once. Loads are rare (once per bucket per
-    * task, memoized task-locally by callers), so the coarse lock is off
-    * the per-row path.
-    */
-  @volatile private[graft] var maxEntries = 8192 // var: spec shrinks it
   private val cache =
     new java.util.LinkedHashMap[(String, Int), Entry](256, 0.75f, true) {
       override def removeEldestEntry(
@@ -68,5 +65,13 @@ object FilterShardCache {
     }
   }
 
-  private[graft] def cachedCount: Int = cache.synchronized(cache.size())
+  def cachedCount: Int = cache.synchronized(cache.size())
+}
+
+/** The per-JVM (per-executor) instance the scheduler uses. */
+object FilterShardCache {
+  private val global = new ShardLru(8192)
+
+  def bloom(root: String, round: Int, bucket: Int): Option[BloomFilter] =
+    global.bloom(root, round, bucket)
 }

@@ -117,6 +117,30 @@ object SeenIndex {
 
   val empty: SeenIndex = new SeenIndex(Array.emptyByteArray)
 
+  /** Index holding exactly `hexes` (sorted, deduped). */
+  def fromHex(hexes: Iterable[String]): SeenIndex = empty.updated(hexes)
+
+  /** Merge of LSM-style delta segments minus `removes` — the cadenced
+    * compaction of the per-bucket index. Segments are individually
+    * sorted and (by crawl semantics) disjoint, so the merge is a
+    * concatenate-sort-dedup over exactly the surviving keys: O(total)
+    * bytes touched, independent of how many rounds the segments span.
+    */
+  def merged(segments: Seq[SeenIndex], removes: Iterable[String] = Nil): SeenIndex = {
+    val rm = removes.map(hexKey).toSet
+    val all = segments.iterator.flatMap { s =>
+      (0 until s.size).iterator.map(i =>
+        Key(java.util.Arrays.copyOfRange(s.serialize(), i * W, i * W + W)))
+    }.filterNot(rm.contains).toArray.distinct.sorted
+    val out = new Array[Byte](all.length * W)
+    var i = 0
+    while (i < all.length) {
+      System.arraycopy(all(i).bytes, 0, out, i * W, W)
+      i += 1
+    }
+    new SeenIndex(out)
+  }
+
   def hexToBytes(hex: String): Array[Byte] = {
     val out = new Array[Byte](W)
     var i = 0

@@ -43,21 +43,39 @@ final class Snapshots(val root: String) {
   def writeManifest(m: Manifest): Unit = {
     new File(s"$root/manifests").mkdirs()
     val json = JObject(
+      "version" -> JInt(Snapshots.ManifestVersion),
       "round" -> JInt(m.round),
       "parentRound" -> JInt(m.parentRound),
       "tables" -> JObject(m.tables.toList.map { case (k, v) => k -> JString(v) }),
       "seenDeltaRounds" -> JArray(m.seenDeltaRounds.map(r => JInt(r)).toList),
+      // level-1 LSM runs of the seen table: each folds one compactEvery
+      // window of deltas; a level-2 merge into seen_full happens only
+      // when compactEvery runs have accumulated, so per-cadence write
+      // cost is O(window delta), not O(|seen|)
+      "seenRunRounds" -> JArray(m.seenRunRounds.map(r => JInt(r)).toList),
       "seenFullRound" -> JInt(m.seenFullRound),
       // bucket -> round whose shard files are current (untouched shards
       // reference their last-written round's files; nothing is copied
       // forward, so a round's commit cost is O(touched buckets))
       "filterRounds" -> JObject(m.filterRounds.toList.sortBy(_._1)
         .map { case (b, fr) => b.toString -> JInt(fr) }),
-      // bucket -> round of its exact per-bucket seen index (tier 3);
-      // maintained unconditionally, unlike filterRounds which drops a
-      // bucket on cuckoo overflow
-      "seenIndexRounds" -> JObject(m.seenIndexRounds.toList.sortBy(_._1)
-        .map { case (b, ir) => b.toString -> JInt(ir) }),
+      // bucket -> LSM segment rounds of its exact seen index (tier 3),
+      // oldest -> newest; per-round maintenance appends a delta-only
+      // segment and merges on the compactEvery cadence. Maintained
+      // unconditionally, unlike filterRounds which drops a bucket on
+      // cuckoo overflow
+      "seenIndexSegs" -> JObject(m.seenIndexSegs.toList.sortBy(_._1)
+        .map { case (b, segs) => b.toString -> JArray(segs.map(JInt(_)).toList) }),
+      // frontier bucket -> round whose binary bucket file is current
+      // (graft.store.FrontierStore); untouched buckets carry forward
+      "frontierRounds" -> JObject(m.frontierRounds.toList.sortBy(_._1)
+        .map { case (b, fr) => b.toString -> JInt(fr) }),
+      // frontier bucket -> entry count (so round totals never require
+      // reading untouched buckets)
+      "frontierCounts" -> JObject(m.frontierCounts.toList.sortBy(_._1)
+        .map { case (b, n) => b.toString -> JLong(n) }),
+      "frontierPri0" -> JObject(m.frontierPri0.toList.sortBy(_._1)
+        .map { case (b, n) => b.toString -> JLong(n) }),
       "counters" -> JObject(m.counters.toList.map { case (k, v) => k -> JLong(v) }),
       "done" -> JBool(m.done)
     )
@@ -79,28 +97,45 @@ final class Snapshots(val root: String) {
   def readManifest(round: Int): Manifest = {
     implicit val fmts: Formats = DefaultFormats
     val j = JsonMethods.parse(Files.readString(Paths.get(manifestPath(round))))
+    // fail fast on checkpoints written by earlier engine versions
+    // (pre-v3 manifests carried `buckets`/`seenIndexRounds` layouts):
+    // resuming them as empty state would silently re-crawl everything
+    val v = (j \ "version").toOption.map(_.extract[Int]).getOrElse(1)
+    if (v != Snapshots.ManifestVersion)
+      throw new IllegalStateException(
+        s"unsupported manifest version $v at round $round (expected " +
+          s"${Snapshots.ManifestVersion}); this checkpoint was written by " +
+          "an earlier engine version and cannot be resumed")
     Manifest(
       round = (j \ "round").extract[Int],
       parentRound = (j \ "parentRound").extract[Int],
       tables = (j \ "tables").extract[Map[String, String]],
       seenDeltaRounds = (j \ "seenDeltaRounds").extract[Seq[Int]],
+      seenRunRounds = (j \ "seenRunRounds").extract[Seq[Int]],
       seenFullRound = (j \ "seenFullRound").extract[Int],
       filterRounds = (j \ "filterRounds").extract[Map[String, Int]]
         .map { case (b, fr) => b.toInt -> fr },
-      seenIndexRounds = (j \ "seenIndexRounds").extract[Map[String, Int]]
-        .map { case (b, ir) => b.toInt -> ir },
+      seenIndexSegs = (j \ "seenIndexSegs").extract[Map[String, Seq[Int]]]
+        .map { case (b, segs) => b.toInt -> segs },
+      frontierRounds = (j \ "frontierRounds").extract[Map[String, Int]]
+        .map { case (b, fr) => b.toInt -> fr },
+      frontierCounts = (j \ "frontierCounts").extract[Map[String, Long]]
+        .map { case (b, n) => b.toInt -> n },
+      frontierPri0 = (j \ "frontierPri0").extract[Map[String, Long]]
+        .map { case (b, n) => b.toInt -> n },
       counters = (j \ "counters").extract[Map[String, Long]],
       done = (j \ "done").extract[Boolean]
     )
   }
 
   /** Minimal parquet read set reconstructing the exact seen table at
-    * `m.round`: one optional compacted base + deltas after it.
+    * `m.round`: one optional compacted base + level-1 runs + deltas.
     */
   def seenPaths(m: Manifest): Seq[String] = {
     val base =
       if (m.seenFullRound >= 0) Seq(tablePath(m.seenFullRound, "seen_full")) else Nil
-    base ++ m.seenDeltaRounds.map(r => tablePath(r, "seen_delta"))
+    base ++ m.seenRunRounds.map(r => tablePath(r, "seen_run")) ++
+      m.seenDeltaRounds.map(r => tablePath(r, "seen_delta"))
   }
 
   def writeFilter(round: Int, bucket: Int, bytes: Array[Byte]): Unit =
@@ -137,12 +172,17 @@ final class Snapshots(val root: String) {
   * storage (S3/HDFS); per-file atomic rename makes task retries safe.
   */
 object Snapshots {
+  /** Manifest layout version; readManifest rejects anything else. */
+  val ManifestVersion = 3
+
   def filterPathAt(root: String, round: Int, bucket: Int): String =
     f"$root/r$round%05d/filters/bucket-$bucket%04d.bin"
   def bloomShardPathAt(root: String, round: Int, bucket: Int): String =
     f"$root/r$round%05d/filters/bloom-$bucket%04d.bin"
   def seenIndexPathAt(root: String, round: Int, bucket: Int): String =
     f"$root/r$round%05d/filters/seen-$bucket%04d.bin"
+  def frontierPathAt(root: String, round: Int, fb: Int): String =
+    f"$root/r$round%05d/frontier/fb-$fb%04d.bin"
 
   def writeBytesAt(path: String, bytes: Array[Byte]): Unit = {
     val p = Paths.get(path)
@@ -158,14 +198,31 @@ object Snapshots {
     if (Files.exists(p)) Some(Files.readAllBytes(p)) else None
   }
 
+  /** Fail-closed read for MANIFEST-REFERENCED state files: the manifest
+    * says this file is current, so an unreadable file is lost/partial
+    * storage and must fail the round — defaulting to empty state would
+    * silently reclassify seen URLs as new (permanent dedup loss) or
+    * drop frontier entries. Only files a manifest does NOT reference
+    * may legitimately be absent (meaning: empty state, which is exact).
+    */
+  def requiredBytesAt(path: String): Array[Byte] =
+    readBytesAt(path).getOrElse(
+      throw new IllegalStateException(
+        s"manifest references $path but it is missing/unreadable — " +
+          "failing the round instead of treating state as empty"))
+
   final case class Manifest(
       round: Int,
       parentRound: Int,
       tables: Map[String, String],
       seenDeltaRounds: Seq[Int], // rounds whose seen_delta must be unioned
+      seenRunRounds: Seq[Int], // level-1 LSM runs (each folds one delta window)
       seenFullRound: Int, // -1 = none; else base compaction round
       filterRounds: Map[Int, Int], // bucket -> round of its current shards
-      seenIndexRounds: Map[Int, Int], // bucket -> round of its exact index
+      seenIndexSegs: Map[Int, Seq[Int]], // bucket -> index segment rounds
+      frontierRounds: Map[Int, Int], // frontier bucket -> round of its file
+      frontierCounts: Map[Int, Long], // frontier bucket -> entry count
+      frontierPri0: Map[Int, Long], // frontier bucket -> priority-0 count
       counters: Map[String, Long],
       done: Boolean
   )

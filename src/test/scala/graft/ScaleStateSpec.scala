@@ -1,0 +1,133 @@
+package graft
+
+import graft.sched.{CrawlConfig, CrawlScheduler}
+import graft.store.{FrontierStore, Snapshots}
+import graft.synthweb.WebConfig
+
+/** Scale-behavior contracts of the round-3 state rework: bucketed
+  * frontier storage (touched-only rewrite, carry-forward by manifest
+  * reference) and LSM seen-index segments (per-round maintenance bytes
+  * are O(|delta|), not O(|seen|)).
+  */
+class ScaleStateSpec extends SparkSuite {
+
+  private def frontierFilesAt(out: String, r: Int): Seq[java.io.File] = {
+    val d = new java.io.File(f"$out/r$r%05d/frontier")
+    Option(d.listFiles()).map(_.toSeq.filter(_.getName.startsWith("fb-")))
+      .getOrElse(Nil)
+  }
+
+  test("frontier rewrite touches only delta buckets and carries the rest") {
+    val cfg = CrawlConfig(
+      web = WebConfig(seed = 31, nHosts = 4, listPagesPerHost = 3,
+                      detailsPerList = 6, crossHostLinkPct = 10),
+      outDir = tmpDir("scale-fb-"), maxRounds = 60,
+      hostCapacity = 4.0, hostRefill = 4.0, frontierBuckets = 16)
+    val last = new CrawlScheduler(spark, cfg).run()
+    val snaps = new Snapshots(cfg.outDir)
+    val mLast = snaps.readManifest(last)
+    assert(mLast.done)
+
+    // carry-forward: the final manifest references bucket files written
+    // at DIFFERENT rounds — untouched buckets were never rewritten
+    assert(mLast.frontierRounds.values.toSet.size > 1,
+           s"every bucket rewritten every round: ${mLast.frontierRounds}")
+    // drain-phase rounds rewrite strictly fewer buckets than exist
+    val writtenPerRound = (1 to last).map(r => frontierFilesAt(cfg.outDir, r).size)
+    assert(writtenPerRound.min < mLast.frontierRounds.size,
+           s"no round wrote fewer buckets than tracked: $writtenPerRound")
+    // a referenced untouched file is bit-identical to what its write
+    // round produced (nothing copied it forward)
+    mLast.frontierRounds.foreach { case (fb, fr) =>
+      val f = new java.io.File(Snapshots.frontierPathAt(cfg.outDir, fr, fb))
+      assert(f.exists(), s"referenced bucket file missing: $f")
+    }
+    // manifest counts equal an actual read of every referenced bucket
+    val readTotal = mLast.frontierRounds.toSeq.map { case (fb, fr) =>
+      FrontierStore.readRequired(cfg.outDir, fr, fb).length.toLong
+    }.sum
+    assert(mLast.frontierCounts.values.sum == readTotal)
+    assert(readTotal == 0L, "a drained crawl ends with an empty frontier")
+  }
+
+  test("seen-index maintenance writes O(delta) bytes per round") {
+    // compactEvery high => no merges: EVERY index write must be a
+    // delta-only segment of exactly 32 bytes per newly-seen hash
+    val cfg = CrawlConfig(
+      web = WebConfig(seed = 57, nHosts = 4, listPagesPerHost = 3,
+                      detailsPerList = 6),
+      outDir = tmpDir("scale-lsm-"), maxRounds = 60,
+      hostCapacity = 4.0, hostRefill = 4.0, compactEvery = 1000)
+    val last = new CrawlScheduler(spark, cfg).run()
+    val snaps = new Snapshots(cfg.outDir)
+    var cumulative = 0L
+    (1 to last).foreach { r =>
+      val deltaRows = spark.read.parquet(snaps.tablePath(r, "seen_delta")).count()
+      cumulative += deltaRows
+      val d = new java.io.File(f"${cfg.outDir}/r$r%05d/filters")
+      val segBytes = Option(d.listFiles()).map(_.toSeq
+        .filter(_.getName.startsWith("seen-")).map(_.length()).sum).getOrElse(0L)
+      assert(segBytes == 32L * deltaRows,
+             s"round $r: index bytes $segBytes != 32*delta(${deltaRows}) — " +
+               "maintenance rewrote more than the delta")
+    }
+    // the segment union still holds the exact seen set
+    val m = snaps.readManifest(last)
+    val totalIdx = m.seenIndexSegs.toSeq.flatMap { case (b, segs) =>
+      segs.map(ir => graft.seen.SeenIndex.deserialize(
+        Snapshots.requiredBytesAt(Snapshots.seenIndexPathAt(cfg.outDir, ir, b))).size.toLong)
+    }.sum
+    assert(totalIdx == cumulative, s"index entries $totalIdx != seen rows $cumulative")
+  }
+
+  test("index segments merge on the compactEvery cadence") {
+    val cfg = CrawlConfig(
+      web = WebConfig(seed = 57, nHosts = 4, listPagesPerHost = 3,
+                      detailsPerList = 6),
+      outDir = tmpDir("scale-merge-"), maxRounds = 60,
+      hostCapacity = 4.0, hostRefill = 4.0, compactEvery = 3)
+    val last = new CrawlScheduler(spark, cfg).run()
+    val m = new Snapshots(cfg.outDir).readManifest(last)
+    // no bucket accumulates compactEvery or more segments
+    m.seenIndexSegs.foreach { case (b, segs) =>
+      assert(segs.size <= cfg.compactEvery,
+             s"bucket $b segments never merged: $segs")
+    }
+  }
+
+  test("unsupported manifest versions fail fast") {
+    val out = tmpDir("scale-ver-")
+    val snaps = new Snapshots(out)
+    new java.io.File(s"$out/manifests").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/manifests/m-00001.json"),
+      """{"version": 2, "round": 1, "parentRound": 0, "tables": {},
+        |"seenDeltaRounds": [], "seenFullRound": -1, "buckets": {},
+        |"counters": {}, "done": false}""".stripMargin)
+    val e = intercept[IllegalStateException] { snaps.readManifest(1) }
+    assert(e.getMessage.contains("unsupported manifest version"))
+  }
+
+  test("manifest-referenced state that cannot be read fails the round") {
+    // fail-closed: a lost frontier bucket file must abort the resume,
+    // not silently continue with an empty bucket
+    val cfg = CrawlConfig(
+      web = WebConfig(seed = 13, nHosts = 3, listPagesPerHost = 2,
+                      detailsPerList = 4),
+      outDir = tmpDir("scale-lost-"), maxRounds = 40,
+      hostCapacity = 4.0, hostRefill = 4.0)
+    val sched = new CrawlScheduler(spark, cfg)
+    sched.init()
+    sched.runRound(1)
+    val m = new Snapshots(cfg.outDir).readManifest(1)
+    val (fb, fr) = m.frontierRounds.head
+    val lost = new java.io.File(Snapshots.frontierPathAt(cfg.outDir, fr, fb))
+    assert(lost.delete(), s"could not delete $lost")
+    val e = intercept[Exception] { sched.runRound(2) }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(e).contains("missing/unreadable"),
+           s"expected fail-closed error, got: ${rootMsg(e).take(300)}")
+  }
+}

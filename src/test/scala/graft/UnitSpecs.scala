@@ -173,7 +173,6 @@ class SeenIndexSpec extends SparkSuite {
 }
 
 class FilterShardCacheSpec extends SparkSuite {
-  import graft.sched.FilterShardCache
   import graft.store.Snapshots
 
   test("LRU eviction: bound holds, hot entries survive, evicted reload") {
@@ -184,22 +183,21 @@ class FilterShardCacheSpec extends SparkSuite {
       Snapshots.writeBytesAt(Snapshots.bloomShardPathAt(root, 1, b), bf.serialize())
     }
     (0 until 6).foreach(mkShard)
-    val saved = FilterShardCache.maxEntries
-    try {
-      FilterShardCache.maxEntries = 4
-      (0 until 6).foreach(b => assert(FilterShardCache.bloom(root, 1, b).isDefined))
-      assert(FilterShardCache.cachedCount <= 4, "LRU bound enforced")
-      // keep bucket 2 hot, then load fresh buckets: 2 must survive and
-      // an evicted bucket must still answer correctly via reload
-      assert(FilterShardCache.bloom(root, 1, 2).isDefined)
-      (6 until 8).foreach(mkShard)
-      (6 until 8).foreach(b => assert(FilterShardCache.bloom(root, 1, b).isDefined))
-      val hot = FilterShardCache.bloom(root, 1, 2).get
-      assert(hot.mightContain(UrlCanon.sha256Hex("u-2")))
-      val reloaded = FilterShardCache.bloom(root, 1, 0).get
-      assert(reloaded.mightContain(UrlCanon.sha256Hex("u-0")))
-      assert(FilterShardCache.cachedCount <= 4)
-    } finally FilterShardCache.maxEntries = saved
+    // private instance: the global cache is shared with concurrently
+    // running crawl suites and must not be perturbed from a test
+    val lru = new graft.sched.ShardLru(4)
+    (0 until 6).foreach(b => assert(lru.bloom(root, 1, b).isDefined))
+    assert(lru.cachedCount <= 4, "LRU bound enforced")
+    // keep bucket 2 hot, then load fresh buckets: 2 must survive and
+    // an evicted bucket must still answer correctly via reload
+    assert(lru.bloom(root, 1, 2).isDefined)
+    (6 until 8).foreach(mkShard)
+    (6 until 8).foreach(b => assert(lru.bloom(root, 1, b).isDefined))
+    val hot = lru.bloom(root, 1, 2).get
+    assert(hot.mightContain(UrlCanon.sha256Hex("u-2")))
+    val reloaded = lru.bloom(root, 1, 0).get
+    assert(reloaded.mightContain(UrlCanon.sha256Hex("u-0")))
+    assert(lru.cachedCount <= 4)
   }
 }
 
