@@ -58,7 +58,7 @@ object Bench {
                     detailsPerList = 3),
     outDir = out, maxRounds = 8, hostCapacity = 64, hostRefill = 64)
 
-  private def crawlRun(cores: Int): (Long, Double) = {
+  private def crawlRun(cores: Int): (Long, Double, String, Int) = {
     val s = session(cores)
     try {
       new CrawlScheduler(s, warmupCfg(
@@ -70,7 +70,7 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       val snaps = new Snapshots(out)
       val pages = s.read.parquet(snaps.fetchLogPaths(last): _*).count()
-      (pages, sec)
+      (pages, sec, out, last)
     } finally s.stop()
   }
 
@@ -106,20 +106,61 @@ object Bench {
     // fresh warmed session — so neither level is favored and single-JVM
     // noise (GC/JIT/task placement, ~10% at 32 cores) is damped the
     // same way on numerator and denominator. All raw times reported.
-    def medianOf3(cores: Int): (Long, Double, Seq[Double]) = {
+    def medianOf3(cores: Int): (Long, Double, Seq[Double], String, Int) = {
       val runs = (1 to 3).map { _ => System.gc(); crawlRun(cores) }
       val pages = runs.map(_._1)
       require(pages.distinct.size == 1,
               s"workload drift within $cores-core runs: $pages pages")
       val times = runs.map(_._2)
-      (pages.head, times.sorted.apply(1), times)
+      (pages.head, times.sorted.apply(1), times, runs.last._3, runs.last._4)
     }
-    val (pages8, sec8, runs8) = medianOf3(8)
-    val (pages32, sec32, runs32) = medianOf3(32)
+    val (pages8, sec8, runs8, _, _) = medianOf3(8)
+    val (pages32, sec32, runs32, lastOut, lastRound) = medianOf3(32)
     require(pages8 == pages32, s"workload drift: $pages8 vs $pages32 pages")
     val pps8 = pages8 / sec8
     val pps32 = pages32 / sec32
     val eff = (pps32 / pps8) / 4.0
+
+    // part 3: dedup at crawl scale — the bench crawl's real docs,
+    // expanded 8x with one PLANTED exact mirror per doc and six salted
+    // distinct variants (~10^5 documents), through exact clustering and
+    // the capped ids-only MinHash LSH path. The accumulator proves the
+    // bucket caps engaged (or not) — truncation is never silent.
+    val s3 = session(cpus)
+    val (dedupDocs, exactSec, exactClusters, lshSec, lshPairs, lshDropped) =
+      try {
+        import org.apache.spark.sql.functions._
+        val snaps3 = new Snapshots(lastOut)
+        val raw = s3.read.parquet(snaps3.docsPaths(lastRound): _*)
+          .select(col("doc_id"),
+                  concat_ws(" ", transform(col("spans"), sp => sp("text")))
+                    .as("text0"))
+          .withColumn("id0", pmod(xxhash64(col("doc_id")), lit(1000000000000L)))
+          .select(col("id0"), col("text0"))
+        val copies = raw.crossJoin(
+            s3.range(0, 8).select(col("id").cast("int").as("k")))
+          .select(
+            (col("id0") * 16 + col("k")).as("id"),
+            when(col("k") <= 1, col("text0")) // k=0 original, k=1 mirror
+              .otherwise(concat(col("text0"), lit(" salt"), col("k"),
+                                lit(" v"), pmod(col("id0"), lit(997))))
+              .as("text"))
+          .persist()
+        val nDocs = copies.count()
+        val t1 = System.nanoTime()
+        val nClusters = graft.ops.Dedup.exactClusters(copies, "id", "text")
+          .filter(col("n_dups") > 1).count()
+        val tExact = (System.nanoTime() - t1) / 1e9
+        val acc = s3.sparkContext.longAccumulator("bench_lsh_dropped")
+        val t2 = System.nanoTime()
+        val nPairs = graft.ops.Dedup.minhashNearDups(
+          copies, "id", "text", shingleN = 3, numHashes = 32,
+          rowsPerBand = 4, threshold = 1.0, maxBucket = 1024,
+          acc = Some(acc)).count()
+        val tLsh = (System.nanoTime() - t2) / 1e9
+        copies.unpersist()
+        (nDocs, tExact, nClusters, tLsh, nPairs, acc.value.toLong)
+      } finally s3.stop()
 
     val qs = qTimes.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
@@ -131,6 +172,9 @@ object Bench {
         s""""crawl":{"pages":$pages32,"sec_8":${fmt(sec8, 2)},"sec_32":${fmt(sec32, 2)},""" +
         s""""sec_8_runs":${arr(runs8)},"sec_32_runs":${arr(runs32)},""" +
         s""""pps_8":${fmt(pps8, 1)},"pps_32":${fmt(pps32, 1)},""" +
-        s""""scaling_efficiency":${fmt(eff, 3)}}}""")
+        s""""scaling_efficiency":${fmt(eff, 3)}},""" +
+        s""""dedup_at_scale":{"docs":$dedupDocs,"exact_sec":${fmt(exactSec, 2)},""" +
+        s""""exact_clusters":$exactClusters,"lsh_sec":${fmt(lshSec, 2)},""" +
+        s""""lsh_pairs":$lshPairs,"lsh_dropped_rows":$lshDropped}}""")
   }
 }

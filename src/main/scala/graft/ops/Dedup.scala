@@ -86,7 +86,9 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, numHashes: Int = 32,
                       rowsPerBand: Int = 4, threshold: Double = 0.8,
-                      maxBucket: Int = 1024): DataFrame = {
+                      maxBucket: Int = 1024,
+                      acc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     val bands = numHashes / rowsPerBand
     val shingled = df.select(col(idCol).cast("long").as("id"),
                              shingles(col(textCol), shingleN).as("sh"))
@@ -101,7 +103,7 @@ object Dedup {
                     b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
           .as(Seq("band", "bucket")))
 
-    LshPairs.cappedIdPairs(banded, maxBucket)
+    LshPairs.cappedIdPairs(banded, maxBucket, acc)
       .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))

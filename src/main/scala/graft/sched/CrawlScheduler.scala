@@ -54,11 +54,13 @@ final case class RoundResult(round: Int, selected: Long, fetchedOk: Long,
   * ──▶ parse (HtmlSpans) ─▶ docs / robots / links
   * links ─▶ canonicalize ─▶ reduce by url_hash ─▶ bloom-shard tier
   *       ─▶ one bucket-keyed pass: cuckoo-shard tier ─▶ exact
-  *          per-bucket seen index (SeenIndex — the 10^10-row seen
-  *          table never shuffles)
-  *       ─▶ exclusion vs frontier+selected
-  * commit: frontier', seen Δ, docs, metrics, host_state', robots',
-  *         fetch_log, filter shards — one atomic manifest
+  *          per-bucket seen-index LSM segments (SeenIndex — the
+  *          10^10-row seen table never shuffles)
+  * frontier update: delta rows (fetched/blocked/selected hashes,
+  *          retries, surviving candidates) ─▶ one task per touched
+  *          url_hash bucket ─▶ exact exclusion + bucket-file rewrite
+  * commit: frontier bucket files, seen Δ, docs, metrics, host_state',
+  *         robots', fetch_log, filter shards — one atomic manifest
   * }}}
   *
   * Determinism: selection order is fully defined by
@@ -190,16 +192,21 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     val root = cfg.outDir
     // frontier: distributed read of the per-bucket binary files the
     // manifest references (one flatMap per bucket, executor-side,
-    // fail-closed — see FrontierStore). Recomputation re-reads files,
-    // like a parquet scan; nothing is persisted driver-side.
+    // fail-closed — see FrontierStore). Persisted for the duration of
+    // the round (it has two consumers: the robots prefetch and the
+    // gate): executors keep their slice in memory or local disk instead
+    // of re-deserializing every bucket from shared storage, then drop
+    // it at commit — the frontier still never lives past its round.
     val frontierRounds = m.frontierRounds
     val frontier: Dataset[FrontierEntry] = spark
-      .createDataset(frontierRounds.toSeq.sortBy(_._1))
-      .repartition(math.min(frontierRounds.size.max(1),
-                            spark.sparkContext.defaultParallelism))
+      .createDataset(spark.sparkContext.parallelize(
+        frontierRounds.toSeq.sortBy(_._1),
+        math.min(frontierRounds.size.max(1),
+                 spark.sparkContext.defaultParallelism)))
       .flatMap { case (fb, fr) =>
         FrontierStore.readRequired(root, fr, fb).iterator
       }
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val robots = readT[RobotsRule](m.tables("robots"))
     val hostState = readT[HostState](m.tables("host_state"))
     // shard locations: bucket -> round whose files are current. Tasks
@@ -455,10 +462,12 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     val refD = cfg.hostRefill
     // new hosts come from the candidate set: every candidate REJECTED by
     // the bucket update collided with a frontier/retry row of the same
-    // URL, whose host is in host_state already — so hosts(candAll) minus
-    // host_state equals the accepted entries' new hosts exactly, with no
-    // dependency on the update pass's output
-    val newHostRows = candAll.map(_.host).distinct()
+    // URL, whose host is in host_state already — and robotsCand hosts
+    // are candSeenFree hosts by construction — so hosts(candSeenFree)
+    // minus host_state equals the accepted entries' new hosts exactly,
+    // with no dependency on the update pass's output (and no second
+    // evaluation of the robots-candidate pipeline)
+    val newHostRows = candSeenFree.map(_.host).distinct()
       .join(hostState.select(col("host").as("h_host")),
             col("value") === col("h_host"), "left_anti")
       .as[String]
@@ -741,7 +750,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
         "spans" -> spansCnt, "docs" -> docsCnt),
       done = frontierLeft == 0))
 
-    (Seq(gated, selected, mainFetched, pageOuts, seenDelta,
+    (Seq(frontier, gated, selected, mainFetched, pageOuts, seenDelta,
          candSeenFree, robotsAll) ++ robotsFetchedOpt)
       .foreach(_.unpersist(false))
 
