@@ -44,17 +44,15 @@ object Dedup {
       .select(df.columns.map(keyed(_)): _*)
   }
 
-  /** Word n-gram (shingle) array, distinct, from a text column.
-    * Texts with fewer than n words yield an empty array (matches the
-    * SQL-oracle formulation exactly).
+  /** Word n-gram (shingle) array, distinct (first occurrence wins),
+    * from a text column. Texts with fewer than n words yield an empty
+    * array (matches the SQL-oracle formulation exactly). One-pass
+    * codegen'd expression — the former transform/slice/array_join chain
+    * evaluated as interpreted higher-order functions and was the dedup
+    * family's dominant CPU cost at corpus scale.
     */
-  def shingles(c: Column, n: Int): Column = {
-    val ws = TextOps.words(c)
-    when(size(ws) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(sequence(lit(0), size(ws) - n),
-                  i => array_join(slice(ws, i + 1, lit(n)), " "))))
-  }
+  def shingles(c: Column, n: Int): Column =
+    HashOps.shingles_col(TextOps.words(c), n)
 
   /** MinHash signature of a shingle array: numHashes seeded hash
     * functions computed in ONE pass by the codegen'd

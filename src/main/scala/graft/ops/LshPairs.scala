@@ -47,16 +47,31 @@ object LshPairs {
       .as[(Int, Long, Long)]
       .groupByKey(t => (t._1, t._2))
       .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long)]) =>
-        // bounded max-heap keeps the cap smallest ids, deterministic
-        // regardless of shuffle arrival order
-        val heap = mutable.PriorityQueue.empty[Long]
+        // the common bucket is tiny (a handful of ids): collect into a
+        // flat buffer and only heapify ON overflow — allocating a
+        // PriorityQueue for each of the ~|banded| groups was measurably
+        // the hot spot. The overflow path is the same bounded max-heap
+        // keeping the cap smallest ids, deterministic regardless of
+        // shuffle arrival order.
+        val buf = new mutable.ArrayBuffer[Long](4)
+        var heap: mutable.PriorityQueue[Long] = null
         it.foreach { t =>
-          if (heap.size < cap) heap.enqueue(t._3)
-          else if (t._3 < heap.head) {
+          if (heap == null) {
+            buf += t._3
+            if (buf.length > cap) {
+              heap = mutable.PriorityQueue.empty[Long]
+              heap ++= buf
+              heap.dequeue() // shed the max back down to cap
+              dropped.add(1L)
+            }
+          } else if (t._3 < heap.head) {
             heap.dequeue(); heap.enqueue(t._3); dropped.add(1L)
           } else dropped.add(1L)
         }
-        val ids = heap.dequeueAll.reverse // ascending
+        val ids: scala.collection.Seq[Long] =
+          if (heap == null) {
+            val a = buf.toArray; java.util.Arrays.sort(a); a // ascending
+          } else heap.dequeueAll.reverse // ascending
         ids.indices.iterator.flatMap { i =>
           (i + 1 until ids.length).iterator.map(j => (ids(i), ids(j)))
         }
