@@ -147,6 +147,36 @@ class FiltersSpec extends SparkSuite {
   }
 }
 
+class FrontierStoreSpec extends SparkSuite {
+  import graft.model.FrontierEntry
+  import graft.store.FrontierStore
+
+  private def entry(seed: Long): FrontierEntry = {
+    val rng = new scala.util.Random(seed)
+    val host = s"host-${rng.nextInt(50)}.test"
+    val url = s"https://$host/item/x-iid-${rng.nextLong().abs}"
+    FrontierEntry(url, UrlCanon.urlHash(url), host,
+                  UrlCanon.hostHash(host), rng.nextInt(8), rng.nextInt(3),
+                  rng.nextLong().abs, rng.nextInt(4), rng.nextInt(20))
+  }
+
+  test("serde round-trip is exact and canonical (set -> same bytes)") {
+    val entries = (0L until 500L).map(entry).distinctBy(_.url_hash).toArray
+    val bytes = FrontierStore.serialize(entries)
+    val back = FrontierStore.deserialize(bytes)
+    assert(back.sortBy(_.url_hash).toSeq == entries.sortBy(_.url_hash).toSeq)
+    // byte output is a pure function of the SET (order-independent) —
+    // what makes speculative duplicate writes idempotent
+    val shuffled = scala.util.Random.shuffle(entries.toSeq).toArray
+    assert(java.util.Arrays.equals(bytes, FrontierStore.serialize(shuffled)))
+    assert(FrontierStore.deserialize(
+      FrontierStore.serialize(Array.empty)).isEmpty)
+    intercept[IllegalArgumentException] {
+      FrontierStore.deserialize("garbage-bytes-here".getBytes)
+    }
+  }
+}
+
 class SeenIndexSpec extends SparkSuite {
   import graft.seen.SeenIndex
   private def hex(seed: Long): String =
@@ -169,6 +199,28 @@ class SeenIndexSpec extends SparkSuite {
     // incremental update equals one-shot build
     val inc = hashes.grouped(100).foldLeft(SeenIndex.empty)((a, g) => a.updated(g))
     assert(java.util.Arrays.equals(inc.serialize(), idx.serialize()))
+  }
+
+  test("merged(segments, removes) equals the set model (LSM contract)") {
+    val rng = new scala.util.Random(7)
+    (0 until 20).foreach { _ =>
+      // random delta segments of random sizes, possibly overlapping
+      val segs = Vector.fill(1 + rng.nextInt(5)) {
+        SeenIndex.fromHex((0 until rng.nextInt(80)).map(_ => hex(rng.nextInt(300).toLong)))
+      }
+      val removes = (0 until rng.nextInt(20)).map(_ => hex(rng.nextInt(300).toLong))
+      val got = SeenIndex.merged(segs, removes)
+      val model: Set[String] =
+        segs.flatMap(_.hexIterator).toSet -- removes.toSet
+      assert(got.size == model.size)
+      model.foreach(h => assert(got.contains(h)))
+      removes.foreach(h => assert(!got.contains(h)))
+      // merged bytes are canonical: merging in any segment order is equal
+      val got2 = SeenIndex.merged(rng.shuffle(segs), removes)
+      assert(java.util.Arrays.equals(got.serialize(), got2.serialize()))
+      // probing segments individually equals probing the merge
+      model.foreach(h => assert(segs.exists(_.contains(h))))
+    }
   }
 }
 
