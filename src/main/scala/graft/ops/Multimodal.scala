@@ -35,6 +35,14 @@ object Multimodal {
     def imageMeta(bytes: Array[Byte]): (Int, Int, Int)
     def frameCount(bytes: Array[Byte]): Int
     def frameHash(bytes: Array[Byte], idx: Int): Long
+
+    /** (frame_idx, hash) for frames 0, everyN, 2·everyN… Implementations
+      * whose container parse is non-trivial override this to parse the
+      * payload ONCE per row instead of once per sampled frame.
+      */
+    def sampleFrameHashes(bytes: Array[Byte], everyN: Int): Iterator[(Int, Long)] =
+      (0 until frameCount(bytes) by everyN).iterator
+        .map(i => (i, frameHash(bytes, i)))
   }
 
   /** Deterministic payload for a media ref discovered in crawled docs —
@@ -133,9 +141,8 @@ object Multimodal {
       .mapPartitions { it =>
         val c = codec
         it.flatMap { case (ref, bytes) =>
-          val n = c.frameCount(bytes)
-          (0 until n by everyN).iterator
-            .map(i => FrameSample(ref, i, c.frameHash(bytes, i)))
+          c.sampleFrameHashes(bytes, everyN)
+            .map { case (i, h) => FrameSample(ref, i, h) }
         }
       }
       .toDF()

@@ -204,7 +204,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
         math.min(frontierRounds.size.max(1),
                  spark.sparkContext.defaultParallelism)))
       .flatMap { case (fb, fr) =>
-        FrontierStore.readRequired(root, fr, fb).iterator
+        FrontierStore.iterateRequired(root, fr, fb) // streamed, O(1) mem
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
     val robots = readT[RobotsRule](m.tables("robots"))
@@ -526,24 +526,27 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
         .coalesce(statePar)
         .write.mode("overwrite").parquet(snaps.tablePath(r, "seen_delta"))
     }
-    // frontier bucket update: ONE group task per TOUCHED bucket loads
-    // its bucket file, applies the delta with exact set semantics (see
-    // FUpd op table above), and rewrites only that bucket executor-side
+    // frontier bucket update: ONE group task per TOUCHED bucket streams
+    // its (url_hash-sorted) bucket file through a sorted merge against
+    // the round's delta and stream-writes the new file executor-side
     // (atomic rename => retry-safe; file bytes are a pure function of
-    // the set => speculative duplicates are idempotent). Only nFb-
-    // bounded stat rows reach the driver. Per-bucket buffers hold this
-    // round's delta for that bucket — delta-scale, not state-scale.
+    // the set => speculative duplicates are idempotent). Task memory is
+    // O(this bucket's DELTA) — removal hash sets plus sorted
+    // retry/candidate buffers; the bucket's STATE only ever streams, so
+    // bucket size is bounded by disk, not executor heap. Only
+    // nFb-bounded stat rows reach the driver.
+    //
+    // Exact set semantics per distinct url_hash (see FUpd op table):
+    //   output  = retry | (old if !remBoth && !selected) | first-accepted
+    //             candidate — mutually exclusive by construction
+    //   E-membership (candidate exclusion) = retry present, or old
+    //             present && !remBoth (selected rows STAY members)
     val frontF = Future {
       frontierUpd
         .groupByKey(_.fb)
         .mapGroups { (fb: Int, it: Iterator[FUpd]) =>
-          val old = frontierRounds.get(fb)
-            .map(fr => FrontierStore.readRequired(root, fr, fb))
-            .getOrElse(Array.empty[FrontierEntry])
-          val mEnt = mutable.HashMap.empty[String, FrontierEntry]
-          old.foreach(e => mEnt(e.url_hash) = e)
-          val remBoth = mutable.ArrayBuffer.empty[String]
-          val selHashes = mutable.ArrayBuffer.empty[String]
+          val remBoth = mutable.HashSet.empty[String]
+          val selSet = mutable.HashSet.empty[String]
           val retriesB = mutable.ArrayBuffer.empty[FrontierEntry]
           val candsB = mutable.ArrayBuffer.empty[FrontierEntry]
           var nBlockedRemoved = 0L
@@ -551,26 +554,55 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
             u.op match {
               case 1 => remBoth += u.hash
               case 2 => remBoth += u.hash; nBlockedRemoved += 1
-              case 3 => selHashes += u.hash
+              case 3 => selSet += u.hash
               case 4 => retriesB += u.e.get
               case _ => candsB += u.e.get
             }
           }
-          // order matters: fetched-robots/blocked leave BOTH the bucket
-          // and the membership set; selected leave only the bucket
-          remBoth.foreach(mEnt.remove)
-          val eSet = mutable.HashSet.empty[String]
-          eSet ++= mEnt.keysIterator
-          retriesB.foreach(e => eSet += e.url_hash)
-          val accepted = candsB.sortInPlace()(entryOrd)
-            .filter(c => eSet.add(c.url_hash))
-          selHashes.foreach(mEnt.remove)
-          val out = (mEnt.valuesIterator ++ retriesB.iterator ++
-            accepted.iterator).toArray
-          FrontierStore.write(root, r, fb, out)
-          FrontierStat(fb, out.length.toLong, accepted.size.toLong,
-                       retriesB.size.toLong,
-                       out.count(_.priority == 0).toLong, nBlockedRemoved)
+          // candidate sort (url_hash, then selection order) makes the
+          // per-hash winner the entryOrd-minimum — deterministic
+          val retIt = retriesB.sortInPlace()(Ordering.by((e: FrontierEntry) =>
+            e.url_hash)).iterator.buffered
+          val candIt = candsB.sortInPlace()(Ordering.by((e: FrontierEntry) =>
+            (e.url_hash, e.priority, e.discovery_time))).iterator.buffered
+          val oldIt = frontierRounds.get(fb)
+            .map(fr => FrontierStore.iterateRequired(root, fr, fb))
+            .getOrElse(Iterator.empty[FrontierEntry]).buffered
+          val w = FrontierStore.writer(root, r, fb)
+          var n = 0L
+          var nNew = 0L
+          var nPri0 = 0L
+          def emit(e: FrontierEntry): Unit = {
+            w.add(e); n += 1; if (e.priority == 0) nPri0 += 1
+          }
+          while (oldIt.hasNext || retIt.hasNext || candIt.hasNext) {
+            var h: String = null
+            if (oldIt.hasNext) h = oldIt.head.url_hash
+            if (retIt.hasNext && (h == null || retIt.head.url_hash < h))
+              h = retIt.head.url_hash
+            if (candIt.hasNext && (h == null || candIt.head.url_hash < h))
+              h = candIt.head.url_hash
+            var eMember = false
+            while (retIt.hasNext && retIt.head.url_hash == h) {
+              val e = retIt.next()
+              if (!eMember) emit(e) // retries are hash-unique; defensive
+              eMember = true
+            }
+            while (oldIt.hasNext && oldIt.head.url_hash == h) {
+              val e = oldIt.next()
+              if (!remBoth.contains(h)) {
+                if (!eMember && !selSet.contains(h)) emit(e)
+                eMember = true
+              }
+            }
+            while (candIt.hasNext && candIt.head.url_hash == h) {
+              val c = candIt.next()
+              if (!eMember) { emit(c); nNew += 1; eMember = true }
+            }
+          }
+          w.close()
+          FrontierStat(fb, n, nNew, retriesB.size.toLong, nPri0,
+                       nBlockedRemoved)
         }
         .collect()
     }
@@ -800,18 +832,22 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
 
     // 2. cuckoo shards of affected buckets: delete fingerprints, write at
     // r; the bucket's bloom shard rides forward so the manifest's single
-    // (bucket -> round) reference stays consistent for both tiers
+    // (bucket -> round) reference stays consistent for both tiers.
+    // Fail-closed reads: these files are manifest-referenced, and
+    // advancing the bucket's round pointer without having written the
+    // files would manufacture a dangling reference that fails every
+    // subsequent round at the wrong spot.
     val byBucket = revoked.groupBy(t => bucketOf(t._2, nb))
     val updatedBuckets = byBucket.flatMap {
       case (b, hs) =>
         m.filterRounds.get(b).map { fr =>
-          Snapshots.readBytesAt(Snapshots.filterPathAt(root, fr, b)).foreach { bytes =>
-            val cf = CuckooFilter.deserialize(bytes)
-            hs.foreach { case (h, _) => cf.remove(h) }
-            Snapshots.writeBytesAt(Snapshots.filterPathAt(root, r, b), cf.serialize())
-          }
-          Snapshots.readBytesAt(Snapshots.bloomShardPathAt(root, fr, b)).foreach(
-            bb => Snapshots.writeBytesAt(Snapshots.bloomShardPathAt(root, r, b), bb))
+          val cf = CuckooFilter.deserialize(
+            Snapshots.requiredBytesAt(Snapshots.filterPathAt(root, fr, b)))
+          hs.foreach { case (h, _) => cf.remove(h) }
+          Snapshots.writeBytesAt(Snapshots.filterPathAt(root, r, b), cf.serialize())
+          Snapshots.writeBytesAt(
+            Snapshots.bloomShardPathAt(root, r, b),
+            Snapshots.requiredBytesAt(Snapshots.bloomShardPathAt(root, fr, b)))
           b -> r
         }
     }

@@ -1,7 +1,8 @@
 package graft.store
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream,
-  DataOutputStream}
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayInputStream,
+  ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import graft.model.FrontierEntry
 
@@ -22,34 +23,125 @@ import graft.model.FrontierEntry
   *     so the only exchange in the frontier-update path carries the
   *     round's DELTA (selected/blocked/retry/candidate rows) — the
   *     frontier itself never crosses a shuffle;
+  *   - files hold entries SORTED by url_hash and are read/written as
+  *     STREAMS: the update task merges the old file against its sorted
+  *     delta with O(delta) task memory — bucket STATE never resides in
+  *     task memory, so the per-bucket size is bounded by disk, not by
+  *     executor heap (frontierBuckets trades parallelism against file
+  *     count, not against task memory);
   *   - a resume at any parallelism reloads the same bucket files (the
   *     layout is keyed by hash bucket, not partition index), and each
   *     update task writes its own bucket's file executor-side with an
   *     atomic rename — same task-retry story as the filter shards.
-  *
-  * Entries inside a file are sorted by url_hash so file bytes are a
-  * pure function of the set (deterministic across retries/runs).
+  *     File bytes are a pure function of the entry SET (sorted order),
+  *     so speculative duplicate writes are idempotent.
   */
 object FrontierStore {
-  private val Magic = 0x47465231 // "GFR1"
+  private val Magic = 0x47465232 // "GFR2": streamed, marker-terminated
 
+  private def writeEntry(o: DataOutputStream, e: FrontierEntry): Unit = {
+    o.writeByte(1)
+    o.writeUTF(e.url)
+    o.writeUTF(e.url_hash)
+    o.writeUTF(e.host)
+    o.writeLong(e.host_hash)
+    o.writeInt(e.salt)
+    o.writeInt(e.priority)
+    o.writeLong(e.discovery_time)
+    o.writeInt(e.attempt)
+    o.writeInt(e.round)
+  }
+
+  private def readEntry(in: DataInputStream): FrontierEntry =
+    FrontierEntry(in.readUTF(), in.readUTF(), in.readUTF(), in.readLong(),
+                  in.readInt(), in.readInt(), in.readLong(), in.readInt(),
+                  in.readInt())
+
+  /** Push-style streaming writer: entries MUST arrive sorted by
+    * url_hash (the canonical file order). Atomic rename on close.
+    */
+  final class Writer private[FrontierStore] (private val o: DataOutputStream,
+                                             tmp: java.nio.file.Path,
+                                             dest: java.nio.file.Path) {
+    private var last: String = null
+    def add(e: FrontierEntry): Unit = {
+      require(last == null || last <= e.url_hash,
+              s"unsorted frontier write: $last > ${e.url_hash}")
+      last = e.url_hash
+      writeEntry(o, e)
+    }
+    def close(): Unit = {
+      o.writeByte(0)
+      o.close()
+      Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE,
+                 StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  def writer(root: String, round: Int, fb: Int): Writer = {
+    val dest = Paths.get(Snapshots.frontierPathAt(root, round, fb))
+    Files.createDirectories(dest.getParent)
+    val tmp = Paths.get(dest.toString + ".tmp-" + Thread.currentThread().getId)
+    val o = new DataOutputStream(
+      new BufferedOutputStream(Files.newOutputStream(tmp)))
+    o.writeInt(Magic)
+    new Writer(o, tmp, dest)
+  }
+
+  /** Convenience whole-array write (init/revoke/tests): sorts first. */
+  def write(root: String, round: Int, fb: Int,
+            entries: Array[FrontierEntry]): Unit = {
+    val w = writer(root, round, fb)
+    entries.sortBy(_.url_hash).foreach(w.add)
+    w.close()
+  }
+
+  private def entryIterator(in: DataInputStream): Iterator[FrontierEntry] = {
+    def marker(): Int = {
+      val m = in.read()
+      if (m == 0 || m == -1) { in.close(); 0 }
+      else if (m == 1) 1
+      else { in.close(); throw new IllegalStateException(s"corrupt frontier record marker $m") }
+    }
+    new Iterator[FrontierEntry] {
+      private var m = marker()
+      override def hasNext: Boolean = m == 1
+      override def next(): FrontierEntry = {
+        val e = readEntry(in)
+        m = marker()
+        e
+      }
+    }
+  }
+
+  /** Fail-closed streaming read in url_hash order (O(1) memory): the
+    * manifest said this bucket's file is at `round`, so an unreadable
+    * file must fail the round — defaulting to an empty bucket would
+    * silently drop frontier entries. The handle closes on exhaustion;
+    * callers consume fully (Spark tasks do).
+    */
+  def iterateRequired(root: String, round: Int, fb: Int): Iterator[FrontierEntry] = {
+    val path = Snapshots.frontierPathAt(root, round, fb)
+    val p = Paths.get(path)
+    if (!Files.exists(p))
+      throw new IllegalStateException(
+        s"manifest references $path but it is missing/unreadable — " +
+          "failing the round instead of treating state as empty")
+    val in = new DataInputStream(new BufferedInputStream(Files.newInputStream(p)))
+    require(in.readInt() == Magic, "corrupt frontier bucket file")
+    entryIterator(in)
+  }
+
+  def readRequired(root: String, round: Int, fb: Int): Array[FrontierEntry] =
+    iterateRequired(root, round, fb).toArray
+
+  /** In-memory forms of the same format (property tests). */
   def serialize(entries: Array[FrontierEntry]): Array[Byte] = {
-    val sorted = entries.sortBy(_.url_hash)
     val bos = new ByteArrayOutputStream(64 + entries.length * 96)
     val o = new DataOutputStream(bos)
     o.writeInt(Magic)
-    o.writeInt(sorted.length)
-    sorted.foreach { e =>
-      o.writeUTF(e.url)
-      o.writeUTF(e.url_hash)
-      o.writeUTF(e.host)
-      o.writeLong(e.host_hash)
-      o.writeInt(e.salt)
-      o.writeInt(e.priority)
-      o.writeLong(e.discovery_time)
-      o.writeInt(e.attempt)
-      o.writeInt(e.round)
-    }
+    entries.sortBy(_.url_hash).foreach(writeEntry(o, _))
+    o.writeByte(0)
     o.flush()
     bos.toByteArray
   }
@@ -57,24 +149,6 @@ object FrontierStore {
   def deserialize(bytes: Array[Byte]): Array[FrontierEntry] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     require(in.readInt() == Magic, "corrupt frontier bucket file")
-    val n = in.readInt()
-    Array.fill(n) {
-      FrontierEntry(in.readUTF(), in.readUTF(), in.readUTF(), in.readLong(),
-                    in.readInt(), in.readInt(), in.readLong(), in.readInt(),
-                    in.readInt())
-    }
+    entryIterator(in).toArray
   }
-
-  def write(root: String, round: Int, fb: Int,
-            entries: Array[FrontierEntry]): Unit =
-    Snapshots.writeBytesAt(Snapshots.frontierPathAt(root, round, fb),
-                           serialize(entries))
-
-  /** Fail-closed read: the manifest said this bucket's file is at
-    * `round`, so an unreadable file must fail the round — defaulting to
-    * an empty bucket would silently drop frontier entries.
-    */
-  def readRequired(root: String, round: Int, fb: Int): Array[FrontierEntry] =
-    deserialize(
-      Snapshots.requiredBytesAt(Snapshots.frontierPathAt(root, round, fb)))
 }
