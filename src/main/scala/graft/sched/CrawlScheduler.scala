@@ -170,8 +170,28 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
         fb -> es.count(_.priority == 0).toLong },
       counters = Map(
         "frontier" -> frontier.size.toLong,
-        "frontier_pri0" -> frontier.count(_.priority == 0).toLong),
+        "frontier_pri0" -> frontier.count(_.priority == 0).toLong,
+        "cfg_n_buckets" -> cfg.nBuckets.toLong,
+        "cfg_frontier_buckets" -> cfg.frontierBuckets.toLong),
       done = false))
+  }
+
+  /** Structural-config guard: the bucket counts are baked into every
+    * shard/index/frontier file's key space — resuming a checkpoint with
+    * different values would route deltas to the wrong buckets (silent
+    * dedup loss and frontier corruption). Fail fast instead.
+    */
+  private def requireStructuralConfig(m: Snapshots.Manifest): Unit = {
+    def chk(key: String, want: Long): Unit =
+      m.counters.get(key).foreach { have =>
+        if (have != want)
+          throw new IllegalStateException(
+            s"checkpoint was written with $key=$have but this config has " +
+              s"$want — bucket layouts are incompatible; resume with the " +
+              "original value")
+      }
+    chk("cfg_n_buckets", cfg.nBuckets.toLong)
+    chk("cfg_frontier_buckets", cfg.frontierBuckets.toLong)
   }
 
   // ------------------------------------------------------------------
@@ -181,6 +201,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     val nb = cfg.nBuckets
     val nFb = cfg.frontierBuckets
     val m = snaps.readManifest(r - 1)
+    requireStructuralConfig(m)
     // state-table write parallelism: sized from last round's row counts
     // (manifest lineage), NOT from core count — a 32-core session must
     // not write 32 tiny files per round and re-read them as 32 tasks,
@@ -779,7 +800,9 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
         "robots_blocked" -> blockedCnt, "new_urls" -> newCnt,
         "frontier" -> frontierLeft,
         "frontier_pri0" -> newFrontierPri0.values.sum,
-        "spans" -> spansCnt, "docs" -> docsCnt),
+        "spans" -> spansCnt, "docs" -> docsCnt,
+        "cfg_n_buckets" -> cfg.nBuckets.toLong,
+        "cfg_frontier_buckets" -> cfg.frontierBuckets.toLong),
       done = frontierLeft == 0))
 
     (Seq(frontier, gated, selected, mainFetched, pageOuts, seenDelta,
@@ -811,6 +834,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     val latest = snaps.latestRound.getOrElse(
       throw new IllegalStateException("no crawl to revoke from"))
     val m = snaps.readManifest(latest)
+    requireStructuralConfig(m)
     val r = latest + 1
     val nb = cfg.nBuckets
     val root = cfg.outDir
@@ -925,7 +949,9 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
       frontierRounds = frontierRounds,
       frontierCounts = frontierCounts, frontierPri0 = frontierPri0,
       counters = Map("frontier" -> frontierCnt, "frontier_pri0" -> pri0Cnt,
-                     "revoked" -> revokedHashes.size.toLong),
+                     "revoked" -> revokedHashes.size.toLong,
+                     "cfg_n_buckets" -> cfg.nBuckets.toLong,
+                     "cfg_frontier_buckets" -> cfg.frontierBuckets.toLong),
       done = frontierCnt == 0))
     r
   }

@@ -415,6 +415,36 @@ class MultimodalSpec extends SparkSuite {
       graft.ops.HeaderCodec.frameCount(garbage)
     }
   }
+
+  test("header parser fuzz: random and truncated payloads terminate cleanly") {
+    // every call must either succeed or throw — never hang or return
+    // invented metadata from random bytes; truncations of VALID payloads
+    // are the realistic corruption case
+    val rng = new scala.util.Random(99)
+    def tryAll(bytes: Array[Byte]): Unit = {
+      try graft.ops.HeaderCodec.imageMeta(bytes) catch { case _: Exception => () }
+      try graft.ops.HeaderCodec.frameCount(bytes) catch { case _: Exception => () }
+      try graft.ops.HeaderCodec.frameHash(bytes, 0) catch { case _: Exception => () }
+      try graft.ops.HeaderCodec.sampleFrameHashes(bytes, 3).toList
+      catch { case _: Exception => () }
+    }
+    (0 until 200).foreach { _ =>
+      val b = new Array[Byte](rng.nextInt(300)); rng.nextBytes(b); tryAll(b)
+    }
+    val valid = Seq(
+      graft.ops.MediaGen.png(33, 21, alpha = false),
+      graft.ops.MediaGen.jpeg(50, 40),
+      graft.ops.MediaGen.gif(9, 7, 4, seed = 5L))
+    valid.foreach { v =>
+      (0 until 40).foreach { _ =>
+        tryAll(java.util.Arrays.copyOf(v, rng.nextInt(v.length)))
+        // bit flips too
+        val mut = v.clone()
+        mut(rng.nextInt(mut.length)) = rng.nextInt(256).toByte
+        tryAll(mut)
+      }
+    }
+  }
 }
 
 /** Every declared query runs at sf0.001; oracle coverage is consistent. */

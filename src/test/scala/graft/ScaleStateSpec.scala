@@ -95,6 +95,29 @@ class ScaleStateSpec extends SparkSuite {
     }
   }
 
+  test("resuming with a different bucket layout fails fast") {
+    // bucket counts are baked into every shard/index/frontier file's
+    // key space: resuming with other values would silently route deltas
+    // to the wrong buckets (dedup loss) — must be rejected, not guessed
+    val web = WebConfig(seed = 41, nHosts = 3, listPagesPerHost = 2,
+                        detailsPerList = 4)
+    val cfg = CrawlConfig(web = web, outDir = tmpDir("scale-cfg-"),
+                          maxRounds = 40, hostCapacity = 4.0,
+                          hostRefill = 4.0, nBuckets = 16,
+                          frontierBuckets = 16)
+    val sched = new CrawlScheduler(spark, cfg)
+    sched.init()
+    sched.runRound(1)
+    Seq(cfg.copy(frontierBuckets = 8), cfg.copy(nBuckets = 32)).foreach { bad =>
+      val e = intercept[IllegalStateException] {
+        new CrawlScheduler(spark, bad).runRound(2)
+      }
+      assert(e.getMessage.contains("incompatible"), e.getMessage)
+    }
+    // the original layout still resumes fine
+    new CrawlScheduler(spark, cfg).runRound(2)
+  }
+
   test("unsupported manifest versions fail fast") {
     val out = tmpDir("scale-ver-")
     val snaps = new Snapshots(out)
