@@ -312,14 +312,20 @@ object Similarity {
   def ivfTopK(spark: SparkSession, emb: DataFrame, idCol: String,
               vecCol: String, queryIds: Seq[Long], k: Int,
               nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
-              sampleN: Int = 512, iters: Int = 8): Dataset[Scored] = {
+              sampleN: Int = 512, iters: Int = 8,
+              centroidsOpt: Option[Array[Array[Float]]] = None)
+      : Dataset[Scored] = {
     import spark.implicits._
     val base = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-    // deterministic sample: the sampleN smallest ids (TakeOrdered — no
-    // full sort); at corpus scale swap for a seeded hash-range predicate
-    val sample = base.as[(Long, Array[Float])]
-      .orderBy("id").limit(sampleN).collect().map(_._2)
-    val centroids = kmeans(sample, nCells, iters, seed)
+    // default quantizer: seeded k-means over a deterministic sample of
+    // the sampleN smallest ids (TakeOrdered — no full sort); at corpus
+    // scale either swap the sample for a seeded hash-range predicate or
+    // pass [[kmeansDistributed]] output via centroidsOpt
+    val centroids = centroidsOpt.getOrElse {
+      val sample = base.as[(Long, Array[Float])]
+        .orderBy("id").limit(sampleN).collect().map(_._2)
+      kmeans(sample, nCells, iters, seed)
+    }
     val bc = spark.sparkContext.broadcast(centroids)
 
     val cells = base.as[(Long, Array[Float])]
@@ -357,6 +363,75 @@ object Similarity {
         }
         heap.dequeueAll.sorted(ord)
       }
+  }
+
+  /** Distributed Lloyd iterations over the FULL corpus — the
+    * corpus-scale alternative to [[kmeans]]'s driver-side sample
+    * training (sample training stays [[ivfTopK]]'s default: a coarse
+    * quantizer does not need the full corpus — FAISS trains IVF lists
+    * on samples — but when full-data training is wanted, nothing may
+    * collect the corpus).
+    *
+    * Scale shape: per iteration, ONE map-side pass assigns rows to
+    * their nearest broadcast centroid and pre-aggregates
+    * (sum-vector, count) per cell per partition; only
+    * nPartitions × nCells × dim doubles reach the driver, folded in
+    * partition order so the result is deterministic for a fixed input
+    * layout (float addition is order-sensitive; the fold order is
+    * pinned). The corpus never shuffles and never collects.
+    */
+  def kmeansDistributed(spark: SparkSession, emb: DataFrame, idCol: String,
+                        vecCol: String, nCells: Int, iters: Int)
+      : Array[Array[Float]] = {
+    import spark.implicits._
+    val base = emb
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+    // deterministic init: the nCells smallest ids' vectors (TakeOrdered
+    // — no full sort, KB-scale driver traffic)
+    var centroids = base.orderBy("id").limit(nCells).collect()
+      .sortBy(_._1).map(_._2.clone())
+    require(centroids.nonEmpty, "kmeansDistributed needs a non-empty corpus")
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val partials = base
+        .mapPartitions { rows =>
+          val cs = bc.value
+          val dim = cs(0).length
+          val sums = Array.fill(cs.length)(new Array[Double](dim))
+          val counts = new Array[Long](cs.length)
+          rows.foreach { case (_, v) =>
+            val c = nearestCell(v, cs)
+            counts(c) += 1
+            var d = 0
+            while (d < v.length) { sums(c)(d) += v(d); d += 1 }
+          }
+          Iterator.single(
+            (org.apache.spark.TaskContext.getPartitionId(), sums, counts))
+        }
+        .collect()
+        .sortBy(_._1) // pinned fold order => deterministic float sums
+      val dim = centroids(0).length
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      partials.foreach { case (_, ps, pc) =>
+        var c = 0
+        while (c < centroids.length) {
+          counts(c) += pc(c)
+          var d = 0
+          while (d < dim) { sums(c)(d) += ps(c)(d); d += 1 }
+          c += 1
+        }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c) // empty cell keeps its centroid
+        else Array.tabulate(dim)(d => (sums(c)(d) / counts(c)).toFloat)
+      }.toArray
+      bc.destroy()
+      it += 1
+    }
+    centroids
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH

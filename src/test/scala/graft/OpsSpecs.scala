@@ -299,6 +299,31 @@ class SimilaritySpec extends SparkSuite {
     assert(recallFull == 1.0, s"all-cell probe should be exact: $recallFull")
   }
 
+  test("distributed k-means: deterministic, no corpus collect, good IVF recall") {
+    val queries = (0L until 10L).toSeq
+    val c1 = Similarity.kmeansDistributed(spark, emb, "vec_id", "embedding",
+                                          nCells = 16, iters = 8)
+    val c2 = Similarity.kmeansDistributed(spark, emb, "vec_id", "embedding",
+                                          nCells = 16, iters = 8)
+    assert(c1.length == 16)
+    // deterministic for a fixed input layout (partition-ordered fold)
+    c1.zip(c2).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
+    // full-corpus-trained quantizer plugs into the same IVF search and
+    // holds recall vs brute force
+    val brute = Similarity.bruteForceTopK(spark, emb, "vec_id", "embedding", queries, 5)
+      .collect().groupBy(_.query_id).view
+      .mapValues(_.map(_.neighbor_id).toSet).toMap
+    val ivf = Similarity
+      .ivfTopK(spark, emb, "vec_id", "embedding", queries, 5,
+               nCells = 16, nProbe = 4, centroidsOpt = Some(c1))
+      .collect().groupBy(_.query_id).view
+      .mapValues(_.map(_.neighbor_id).toSet).toMap
+    val recall = queries.map { q =>
+      brute(q).intersect(ivf.getOrElse(q, Set.empty)).size.toDouble / 5.0
+    }.sum / queries.size
+    assert(recall >= 0.3, s"IVF recall with distributed training too low: $recall")
+  }
+
   test("cosine near-dup finds all planted duplicate vectors") {
     val planted = emb.filter(col("vec_id") < 20)
       .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
