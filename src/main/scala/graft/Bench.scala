@@ -88,16 +88,21 @@ object Bench {
                        "q25_exact_dedup", "q26_ngram_jaccard", "q27_minhash_lsh",
                        "q28_simhash", "q30_quality", "q33_cosine_topk",
                        "q35_ann_lsh")
-    // warm once (JIT + codegen + file listing), then measure
+    // warm once (JIT + codegen + file listing), then measure each query
+    // three times and report the median — single measurements showed
+    // +/-50% run-to-run noise on the shorter queries
     headline.foreach { n =>
       try SparkEntry.queries(n)(s, sfDir).count()
       catch { case _: Throwable => () }
     }
     val qTimes = headline.map { n =>
-      val t0 = System.nanoTime()
-      val ok = try { SparkEntry.queries(n)(s, sfDir).count(); true }
-               catch { case _: Throwable => false }
-      n -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { SparkEntry.queries(n)(s, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      n -> (if (runs.contains(-1.0)) -1.0 else runs.sorted.apply(1))
     }
     s.stop()
 
