@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.fetch.SimulatedFetcher
 import graft.model.FrontierEntry
-import graft.ops.{Dedup, Extract, FacetSplit, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Extract, FacetSplit, IncrementalLsh, Multimodal, Similarity, TextOps}
 import graft.parse.{CssSelect, HtmlSpans, TrimHtml}
 import graft.sources.{CursorSource, GraphQlSource}
 import graft.sched.{CrawlConfig, CrawlScheduler}
@@ -327,6 +327,25 @@ object SparkEntry {
                             shingleN = 3, numHashes = 32, rowsPerBand = 4,
                             threshold = 1.0)
         .orderBy("id_a", "id_b")
+    }),
+    "q62_incremental_neardup" -> ((s, dir) => {
+      // Incremental near-dup maintenance (IncrementalLsh): the planted
+      // corpus arrives in 3 rounds (id % 3); each round's NEW docs are
+      // checked against the persisted band/shingle index only — per-
+      // round cost is O(new + touched buckets), not O(corpus). The
+      // union of per-round outputs must equal the batch q27 pair set,
+      // each pair tagged with the round the MACHINERY emitted it in —
+      // the oracle independently pins that to the arrival round of the
+      // pair's later member (exactly-once-across-rounds invariant).
+      val corpus = dedupCorpus(s, dir)
+      val idx = java.nio.file.Files.createTempDirectory("graft-inclsh-").toString
+      (0 to 2).map { r =>
+        IncrementalLsh.roundPairs(
+            s, idx, corpus.filter(pmod(col("id"), lit(3)) === r),
+            "id", "text", shingleN = 3, numHashes = 32, rowsPerBand = 4,
+            threshold = 0.5)
+          .withColumn("emit_round", lit(r))
+      }.reduce(_ unionByName _).orderBy("id_a", "id_b")
     }),
     // ---------------- similarity search ----------------
     "q33_cosine_topk" -> ((s, dir) => {
@@ -714,7 +733,7 @@ object SparkEntry {
     * output the exact pair set whenever no true pair is missed, so a
     * hash-exact match here pins LSH recall at 1.0 on this input).
     */
-  private val jaccardPairsSql: String =
+  private val jaccardPairsBodySql: String =
     s"""WITH corpus AS ($dedupCorpusSql),
        |words AS (SELECT id,
        |  list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
@@ -732,8 +751,10 @@ object SparkEntry {
        |  round(i::DOUBLE/(sa.n_grams+sb.n_grams-i),4) AS jaccard
        |FROM inter
        |JOIN sizes sa ON sa.id=id_a JOIN sizes sb ON sb.id=id_b
-       |WHERE i::DOUBLE/(sa.n_grams+sb.n_grams-i) >= 0.5
-       |ORDER BY id_a, id_b""".stripMargin
+       |WHERE i::DOUBLE/(sa.n_grams+sb.n_grams-i) >= 0.5""".stripMargin
+
+  private val jaccardPairsSql: String =
+    jaccardPairsBodySql + "\nORDER BY id_a, id_b"
 
   private def dumpSql(name: String, orderBy: String): String =
     graft.oracle.SeqOracles.dumpSql(name, orderBy)
@@ -881,6 +902,14 @@ object SparkEntry {
          |ORDER BY canonical_id""".stripMargin,
     "q26_ngram_jaccard" -> jaccardPairsSql,
     "q27_minhash_lsh" -> jaccardPairsSql,
+    "q62_incremental_neardup" ->
+      // the incremental union must equal the batch pair set (q27's
+      // oracle), and each pair must be emitted exactly once, in the
+      // arrival round of its LATER member (rounds are id % 3)
+      s"""WITH pairs AS ($jaccardPairsBodySql)
+         |SELECT id_a, id_b, jaccard,
+         |  CAST(greatest(id_a % 3, id_b % 3) AS INT) AS emit_round
+         |FROM pairs ORDER BY id_a, id_b""".stripMargin,
     "q28_simhash" -> dumpSql("q28_simhash", "id_a, id_b"),
     "q58_full_corpus_neardup" ->
       // planted ground truth: every >=3-token doc duplicated verbatim at

@@ -490,3 +490,81 @@ class QueriesSmokeSpec extends SparkSuite {
     assert(empties.isEmpty, s"queries with zero rows: $empties")
   }
 }
+
+/** Incremental LSH maintenance ([[graft.ops.IncrementalLsh]]): rounds
+  * of new docs against a persisted band/shingle index.
+  */
+class IncrementalLshSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.ops.IncrementalLsh
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val corpus = {
+    docs.filter(col("doc_id") < 60).select(col("doc_id").as("id"), col("text"))
+      .union(docs.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 10000).as("id"), col("text")))
+      .union(docs.filter(col("doc_id") >= 30 && col("doc_id") < 60)
+        .select((col("doc_id") + 20000).as("id"),
+                concat(col("text"), lit(" zz qq")).as("text")))
+  }
+
+  test("incremental union equals batch; pairs emit in the later member's round") {
+    val idx = tmpDir("inclsh-")
+    val incr = (0 to 2).flatMap { r =>
+      IncrementalLsh.roundPairs(
+          spark, idx, corpus.filter(pmod(col("id"), lit(3)) === r),
+          "id", "text", shingleN = 3, numHashes = 32, rowsPerBand = 4,
+          threshold = 0.5)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, j) => (a, b, j, r) }
+    }
+    // exactly-once across rounds
+    assert(incr.map(t => (t._1, t._2)).distinct.size == incr.size,
+           "a pair was emitted in more than one round")
+    // emitted in the arrival round of the later member
+    incr.foreach { case (a, b, _, r) =>
+      assert(math.max(a % 3, b % 3) == r, s"pair ($a,$b) emitted in round $r")
+    }
+    // union == batch output (same params)
+    val batch = Dedup.minhashNearDups(corpus, "id", "text", 3, 32, 4, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(incr.map(t => (t._1, t._2, t._3)).toSet == batch)
+    // index now holds the full corpus postings: one more empty round
+    // emits nothing new
+    val extra = IncrementalLsh.roundPairs(
+      spark, idx, corpus.limit(0), "id", "text", 3, 32, 4, 0.5)
+    assert(extra.count() == 0)
+  }
+
+  test("cappedNewPairs suppresses old-old pairs and counts drops") {
+    val old = Seq((0, 10L, 1L), (0, 10L, 2L)).toDF("band", "bucket", "id")
+    val neu = Seq((0, 10L, 3L), (0, 99L, 9L)).toDF("band", "bucket", "id")
+    val pairs = IncrementalLsh.cappedNewPairs(old, neu, cap = 16)
+      .as[(Long, Long)].collect().toSet
+    // (1,2) is old-old: already emitted when 2 arrived — suppressed now;
+    // bucket 99 has a single member: no pair
+    assert(pairs == Set((1L, 3L), (2L, 3L)))
+    // capping: 5 olds + 1 new in one bucket, cap 3 keeps {1,2,3}; only
+    // pairs touching the new id (3) survive the old-old suppression
+    val old2 = Seq((0, 5L, 1L), (0, 5L, 2L), (0, 5L, 4L), (0, 5L, 5L),
+                   (0, 5L, 6L)).toDF("band", "bucket", "id")
+    val neu2 = Seq((0, 5L, 3L)).toDF("band", "bucket", "id")
+    val acc = spark.sparkContext.longAccumulator("incr_dropped")
+    val p2 = IncrementalLsh.cappedNewPairs(old2, neu2, cap = 3, acc = Some(acc))
+      .as[(Long, Long)].collect().toSet
+    assert(p2 == Set((1L, 3L), (2L, 3L)))
+    assert(acc.value == 3L, s"dropped: ${acc.value}")
+  }
+
+  test("untouched buckets never reach the pair-generation exchange") {
+    // old index has 1000 postings in buckets the new round never hashes
+    // into; the semi-join must prune them all before the groupBy
+    val old = (0L until 1000L).map(i => (0, 1000L + i, i)).toDF("band", "bucket", "id")
+    val neu = Seq((0, 7L, 5000L), (0, 7L, 5001L)).toDF("band", "bucket", "id")
+    val pairs = IncrementalLsh.cappedNewPairs(old, neu, cap = 16)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((5000L, 5001L)))
+  }
+}
