@@ -131,6 +131,29 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup of an ingest stream: the FIRST row per
+    * normalized content key passes; any duplicate arriving within the
+    * watermark horizon of that first occurrence is dropped. The
+    * online form of [[graft.ops.Dedup.dropExactDups]] — a crawl's docs
+    * stream dedups as it lands instead of in a batch pass.
+    *
+    * Spark-first: built-in `dropDuplicatesWithinWatermark` keys the
+    * dedup state and expires it at the watermark, so state is bounded
+    * by the horizon (an unbounded-state `dropDuplicates` would grow by
+    * one entry per distinct key forever — the wrong shape at 10^10
+    * docs). The horizon is the contract: a duplicate arriving later
+    * than `watermark` after its original is treated as new — exact
+    * global dedup stays the batch operator's job (or the crawl's
+    * tiered seen set, which this deliberately mirrors: approx-fast
+    * tier online, exact reconciliation offline).
+    */
+  def dedupStream(rows: DataFrame, textCol: String, tsCol: String,
+                  watermark: String = "10 minutes"): DataFrame =
+    rows
+      .withColumn("content_key", TextOps.content_key(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_key")
+
   final case class HostProgress(host: String, pages: Long, spans: Long,
                                 last_round: Int)
 

@@ -188,4 +188,34 @@ class StreamingSpec extends SparkSuite {
     assert(prog("h-0.test").spans == 20)
     assert(prog.values.map(_.pages).sum == 30)
   }
+
+  test("streaming dedup drops in-horizon duplicates, passes firsts (true stream mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = Streams.dedupStream(
+        in.toDF().toDF("ts", "id", "text"), "text", "ts", "60 seconds")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: two distinct texts + an exact dup (whitespace-normalized)
+      in.addData((ts(100), 1L, "alpha beta"), (ts(101), 2L, "gamma"),
+                 (ts(102), 3L, "alpha  beta "))
+      q.processAllAvailable()
+      // batch 2: cross-batch dup within the horizon is dropped too
+      in.addData((ts(130), 4L, "ALPHA beta"))
+      q.processAllAvailable()
+      // advance event time far past the horizon: state for "alpha beta"
+      // expires, so a late re-arrival counts as new (the documented
+      // horizon contract)
+      in.addData((ts(500), 5L, "delta"))
+      q.processAllAvailable()
+      in.addData((ts(600), 6L, "alpha beta"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream").select("id").as[Long]
+        .collect().toSet
+      assert(got == Set(1L, 2L, 5L, 6L), s"got: $got")
+    } finally q.stop()
+  }
 }
