@@ -558,6 +558,28 @@ class IncrementalLshSpec extends SparkSuite {
     assert(acc.value == 3L, s"dropped: ${acc.value}")
   }
 
+  test("incremental pair-gen exchanges carry no shingle arrays") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val oldBands = IncrementalLsh.bands(
+      corpus.filter(pmod(col("id"), lit(2)) === 0), "id", "text")
+    val newBands = IncrementalLsh.bands(
+      corpus.filter(pmod(col("id"), lit(2)) === 1), "id", "text")
+    val pairs = IncrementalLsh.cappedNewPairs(oldBands, newBands, cap = 1024)
+    val plan: SparkPlan = pairs.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p                        => p
+    }
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val fat = e.output.filter(_.dataType == ArrayType(StringType))
+      assert(fat.isEmpty, s"exchange shuffles arrays: ${fat.map(_.name)}")
+    }
+  }
+
   test("untouched buckets never reach the pair-generation exchange") {
     // old index has 1000 postings in buckets the new round never hashes
     // into; the semi-join must prune them all before the groupBy
