@@ -132,7 +132,8 @@ object Bench {
     // the capped ids-only MinHash LSH path. The accumulator proves the
     // bucket caps engaged (or not) — truncation is never silent.
     val s3 = session(cpus)
-    val (dedupDocs, exactSec, exactClusters, lshSec, lshPairs, lshDropped) =
+    val (dedupDocs, exactSec, exactClusters, lshSec, lshPairs, lshDropped,
+         incrSec, incrPairs) =
       try {
         import org.apache.spark.sql.functions._
         val snaps3 = new Snapshots(lastOut)
@@ -152,19 +153,57 @@ object Bench {
               .as("text"))
           .persist()
         val nDocs = copies.count()
-        val t1 = System.nanoTime()
-        val nClusters = graft.ops.Dedup.exactClusters(copies, "id", "text")
-          .filter(col("n_dups") > 1).count()
-        val tExact = (System.nanoTime() - t1) / 1e9
+        // part 3 timings are medians-of-3 like parts 1/2: single runs
+        // swing 2-3x with JIT warmup and machine noise. Counts must not
+        // drift between repeats.
+        def med3(f: => (Double, Long)): (Double, Long) = {
+          val runs = (1 to 3).map(_ => f)
+          require(runs.map(_._2).distinct.size == 1,
+                  s"part-3 drift: ${runs.map(_._2)}")
+          (runs.map(_._1).sorted.apply(1), runs.head._2)
+        }
+        def timed(f: => Long): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val v = f
+          ((System.nanoTime() - t0) / 1e9, v)
+        }
+        val (tExact, nClusters) = med3(timed(
+          graft.ops.Dedup.exactClusters(copies, "id", "text")
+            .filter(col("n_dups") > 1).count()))
         val acc = s3.sparkContext.longAccumulator("bench_lsh_dropped")
-        val t2 = System.nanoTime()
-        val nPairs = graft.ops.Dedup.minhashNearDups(
-          copies, "id", "text", shingleN = 3, numHashes = 32,
-          rowsPerBand = 4, threshold = 1.0, maxBucket = 1024,
-          acc = Some(acc)).count()
-        val tLsh = (System.nanoTime() - t2) / 1e9
+        val (tLsh, nPairs) = med3 {
+          acc.reset() // per-run drop count, not a 3-run sum
+          timed(graft.ops.Dedup.minhashNearDups(
+            copies, "id", "text", shingleN = 3, numHashes = 32,
+            rowsPerBand = 4, threshold = 1.0, maxBucket = 1024,
+            acc = Some(acc)).count())
+        }
+        // incremental maintenance at the same scale: the corpus arrives
+        // in two ingest rounds (id % 2 splits every planted mirror pair
+        // across the rounds: original k=0 is even, mirror k=1 is odd).
+        // Each repeat populates a FRESH index with round 1 (untimed) and
+        // times round 2 — the steady-state maintenance cost. The union
+        // of both rounds' pairs must cover the batch LSH output.
+        var r1 = 0L
+        val (tIncr, r2) = med3 {
+          val idx = java.nio.file.Files
+            .createTempDirectory("bench-inclsh-").toString
+          r1 = graft.ops.IncrementalLsh.roundPairs(
+            s3, idx, copies.filter(pmod(col("id"), lit(2)) === 0), "id",
+            "text", shingleN = 3, numHashes = 32, rowsPerBand = 4,
+            threshold = 1.0, maxBucket = 1024).count()
+          timed(graft.ops.IncrementalLsh.roundPairs(
+            s3, idx, copies.filter(pmod(col("id"), lit(2)) === 1), "id",
+            "text", shingleN = 3, numHashes = 32, rowsPerBand = 4,
+            threshold = 1.0, maxBucket = 1024).count())
+        }
+        // equality whenever caps don't engage (superset under caps —
+        // early rounds cap over fewer bucket members)
+        require(r1 + r2 >= nPairs,
+                s"incremental union ${r1 + r2} < batch $nPairs")
         copies.unpersist()
-        (nDocs, tExact, nClusters, tLsh, nPairs, acc.value.toLong)
+        (nDocs, tExact, nClusters, tLsh, nPairs, acc.value.toLong, tIncr,
+         r1 + r2)
       } finally s3.stop()
 
     val qs = qTimes.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
@@ -180,6 +219,7 @@ object Bench {
         s""""scaling_efficiency":${fmt(eff, 3)}},""" +
         s""""dedup_at_scale":{"docs":$dedupDocs,"exact_sec":${fmt(exactSec, 2)},""" +
         s""""exact_clusters":$exactClusters,"lsh_sec":${fmt(lshSec, 2)},""" +
-        s""""lsh_pairs":$lshPairs,"lsh_dropped_rows":$lshDropped}}""")
+        s""""lsh_pairs":$lshPairs,"lsh_dropped_rows":$lshDropped,""" +
+        s""""incr_round2_sec":${fmt(incrSec, 2)},"incr_pairs":$incrPairs}}""")
   }
 }
