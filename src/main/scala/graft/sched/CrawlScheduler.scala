@@ -50,8 +50,9 @@ final case class RoundResult(round: Int, selected: Long, fetchedOk: Long,
   * frontier ──robots gate──▶ eligible ──+budget join──▶
   *   phase A: groupByKey(host_hash, salt).flatMapGroups(bounded top-k)
   *   phase B: groupByKey(host).flatMapGroups(token bucket, final top-k, seq)
-  * ──repartition (round-robin)──▶ fetch (mapPartitions, Fetcher)
-  * ──▶ parse (HtmlSpans) ─▶ docs / robots / links
+  * ──repartition (round-robin)──▶ fetch+parse (one mapPartitions:
+  *   Fetcher, then HtmlSpans/Robots on the body IN the fetch task —
+  *   raw HTML never persists) ─▶ docs / robots / links
   * links ─▶ canonicalize ─▶ reduce by url_hash ─▶ bloom-shard tier
   *       ─▶ one bucket-keyed pass: cuckoo-shard tier ─▶ exact
   *          per-bucket seen-index LSM segments (SeenIndex — the
@@ -248,31 +249,46 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     val simLat = cfg.simulateLatency
     val maxAtt = cfg.maxAttempts
     val hasPri0 = !m.counters.get("frontier_pri0").contains(0L)
+    // fetch stages are FUSED with parsing: the page body is turned into
+    // spans/links (content) or disallow prefixes (robots.txt) inside
+    // the same task that fetched it, and only the slim FetchOut row is
+    // ever persisted. Raw HTML never enters a round cache — at a 10^7-
+    // page round the body cache alone exceeded executor storage and
+    // pushed the round into spill I/O (measured: ~1.9x per-page cost at
+    // 9M pages vs 1M before this fusion).
     val robotsFetchedOpt =
       if (!hasPri0) None
       else Some(frontier.filter(col("priority") === 0).as[FrontierEntry]
         .repartition(par)
         .mapPartitions { it =>
           val f = SimulatedFetcher(web, simLat)
-          it.map(e => (f.fetch(e), 0))
+          it.map { e =>
+            val fr = f.fetch(e)
+            val pre =
+              if (fr.status == 200) Robots.parse(fr.host, fr.body).disallow_prefixes
+              else Nil
+            FetchOut(fr.url, fr.url_hash, fr.host, UrlCanon.hostHash(fr.host),
+                     fr.status, 0, fr.attempt, fr.priority, fr.discovery_time,
+                     "robots", Nil, Nil, pre)
+          }
         }
         .persist(StorageLevel.MEMORY_AND_DISK))
     val rest =
       if (hasPri0) frontier.filter(col("priority") =!= 0).as[FrontierEntry]
       else frontier
 
-    // rules learned from this round's robots fetches: 200 => parsed;
-    // 404 or retry-exhausted => allow-all (colly's permissive default)
+    // rules learned from this round's robots fetches: 200 => parsed
+    // (inline in the fetch task); 404 or retry-exhausted => allow-all
+    // (colly's permissive default)
     val robotsAll = (robotsFetchedOpt match {
       case None => robots
       case Some(robotsFetched) =>
         val newRobots = robotsFetched.mapPartitions { it =>
-          it.flatMap { case (fr, _) =>
-            if (fr.status == 200)
-              Iterator.single(RobotsRule(fr.host,
-                Robots.parse(fr.host, fr.body).disallow_prefixes))
-            else if (fr.status == 404 || fr.attempt + 1 > maxAtt)
-              Iterator.single(RobotsRule(fr.host, Nil))
+          it.flatMap { o =>
+            if (o.status == 200)
+              Iterator.single(RobotsRule(o.host, o.robots_prefixes))
+            else if (o.status == 404 || o.attempt + 1 > maxAtt)
+              Iterator.single(RobotsRule(o.host, Nil))
             else Iterator.empty
           }
         }
@@ -333,46 +349,51 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // -- fetch (round-robin repartition: politeness already enforced) ---
+    // -- fetch+parse (round-robin repartition: politeness already
+    // enforced; the body is parsed to spans/links in the fetch task and
+    // dropped — see the fusion note at the robots prefetch) -------------
     val mainFetched = selected
       .repartition(par)
       .mapPartitions { it =>
         val f = SimulatedFetcher(web, simLat)
-        it.map(s => (f.fetch(s.e), s.seq))
+        it.map { s =>
+          val fr = f.fetch(s.e)
+          val hh = UrlCanon.hostHash(fr.host)
+          if (fr.status == 200) {
+            val p = HtmlSpans.parse(fr.url, fr.body)
+            FetchOut(fr.url, fr.url_hash, fr.host, hh, fr.status, s.seq,
+                     fr.attempt, fr.priority, fr.discovery_time,
+                     SyntheticWeb.kindOf(fr.url), p.spans, p.links, Nil)
+          } else
+            FetchOut(fr.url, fr.url_hash, fr.host, hh, fr.status, s.seq,
+                     fr.attempt, fr.priority, fr.discovery_time,
+                     SyntheticWeb.kindOf(fr.url), Nil, Nil, Nil)
+        }
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
     val fetched = robotsFetchedOpt.map(_.union(mainFetched)).getOrElse(mainFetched)
 
-    // -- parse 200s into the interleaved span model ----------------------
-    val pageOuts = mainFetched
-      .filter(_._1.status == 200)
-      .mapPartitions { it =>
-        it.map { case (fr, seq) =>
-          val p = HtmlSpans.parse(fr.url, fr.body)
-          PageOut(fr.url, fr.url_hash, fr.host, UrlCanon.hostHash(fr.host),
-                  fr.status, seq, fr.attempt, SyntheticWeb.kindOf(fr.url),
-                  p.spans, p.links, Nil)
-        }
-      }
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // parsed 200s (a filter view of the one persisted fetch output — no
+    // second span-holding cache)
+    val pageOuts = mainFetched.filter(_.status == 200)
 
     val docs = pageOuts.map(p => Doc(p.url_hash, p.url, p.host, r, p.spans))
 
     // -- retries & seen delta -------------------------------------------
     val salts = cfg.salts
     val retries = fetched
-      .filter(t => t._1.status != 200 && t._1.status != 404 && t._1.attempt + 1 <= maxAtt)
-      .map { case (fr, _) =>
-        FrontierEntry(fr.url, fr.url_hash, fr.host, UrlCanon.hostHash(fr.host),
-                      UrlCanon.saltOf(fr.url_hash, salts), fr.priority,
-                      fr.discovery_time, fr.attempt + 1, r)
+      .filter(o => o.status != 200 && o.status != 404 && o.attempt + 1 <= maxAtt)
+      .map { o =>
+        FrontierEntry(o.url, o.url_hash, o.host, o.host_hash,
+                      UrlCanon.saltOf(o.url_hash, salts), o.priority,
+                      o.discovery_time, o.attempt + 1, r)
       }
     val seenDelta = fetched
-      .filter(t => t._1.status == 200 || t._1.status == 404 ||
-        (t._1.status != 200 && t._1.status != 404 && t._1.attempt + 1 > maxAtt))
-      .map { case (fr, _) =>
-        val st = if (fr.status == 200 || fr.status == 404) fr.status else 599
-        SeenEntry(fr.url_hash, UrlCanon.hostHash(fr.host), st, r)
+      .filter(o => o.status == 200 || o.status == 404 ||
+        (o.status != 200 && o.status != 404 && o.attempt + 1 > maxAtt))
+      .map { o =>
+        val st = if (o.status == 200 || o.status == 404) o.status else 599
+        SeenEntry(o.url_hash, o.host_hash, st, r)
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -461,7 +482,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     //      if its hash is unknown to the updated membership set)
     val updPri0 = robotsFetchedOpt match {
       case Some(rf) =>
-        rf.map { t => FUpd(fbucketOf(t._1.url_hash, nFb), 1, t._1.url_hash, None) }
+        rf.map { o => FUpd(fbucketOf(o.url_hash, nFb), 1, o.url_hash, None) }
       case None => spark.emptyDataset[FUpd]
     }
     val frontierUpd = updPri0
@@ -496,9 +517,8 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     val hostStateAll = hostStateUpd.union(newHostRows)
 
     // -- fetch log --------------------------------------------------------
-    val fetchLog = fetched.map { case (fr, seq) =>
-      FetchLogEntry(r, fr.host, UrlCanon.hostHash(fr.host), seq, fr.url,
-                    fr.url_hash, fr.status)
+    val fetchLog = fetched.map { o =>
+      FetchLogEntry(r, o.host, o.host_hash, o.seq, o.url, o.url_hash, o.status)
     }
 
     // -- commit (per-round counters ride the writes as Observations) -----
@@ -805,7 +825,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
         "cfg_frontier_buckets" -> cfg.frontierBuckets.toLong),
       done = frontierLeft == 0))
 
-    (Seq(frontier, gated, selected, mainFetched, pageOuts, seenDelta,
+    (Seq(frontier, gated, selected, mainFetched, seenDelta,
          candSeenFree, robotsAll) ++ robotsFetchedOpt)
       .foreach(_.unpersist(false))
 
@@ -1011,10 +1031,17 @@ object CrawlScheduler {
   def newerSeen(a: SeenEntry, b: SeenEntry): Boolean =
     if (a.first_round != b.first_round) a.first_round > b.first_round
     else a.status <= b.status
-  final case class PageOut(url: String, url_hash: String, host: String,
-                           host_hash: Long, status: Int, seq: Int,
-                           attempt: Int, kind: String, spans: Seq[Span],
-                           links: Seq[String], robots_prefixes: Seq[String])
+  /** Slim fused fetch+parse output — the only thing a round persists
+    * per fetched URL. The raw body is parsed into `spans`/`links`
+    * (content pages) or `robots_prefixes` (robots.txt) INSIDE the fetch
+    * task and never cached: at 10^7-page rounds the body cache alone
+    * exceeded executor storage and turned the round I/O-bound.
+    */
+  final case class FetchOut(url: String, url_hash: String, host: String,
+                            host_hash: Long, status: Int, seq: Int,
+                            attempt: Int, priority: Int, discovery_time: Long,
+                            kind: String, spans: Seq[Span],
+                            links: Seq[String], robots_prefixes: Seq[String])
 
   val entryOrd: Ordering[FrontierEntry] =
     Ordering.by((e: FrontierEntry) => (e.priority, e.discovery_time, e.url_hash))
