@@ -20,8 +20,12 @@ import org.apache.spark.util.LongAccumulator
   *
   *   - the index is two append-only parquet tables under `indexDir`:
   *     `bands` (band, bucket, id — the skinny LSH postings) and
-  *     `shingles` (id, sh — the verification payloads), appended once
-  *     per round (same LSM cadence as the crawl's seen state);
+  *     `shingles` (id, sh — the verification payloads), one `r<k>`
+  *     subdirectory per ingest round (same LSM cadence as the crawl's
+  *     seen state). Reads take only rounds present in BOTH tables and
+  *     a round's writes go to its own slot with overwrite semantics,
+  *     so an append that dies between the two writes is invisible to
+  *     readers and simply redone — never served half, never duplicated;
   *   - a round computes signatures for NEW docs only (row-local,
   *     codegen'd one-pass [[MinHashExpression]]);
   *   - candidate generation joins the new bands against the index on
@@ -135,10 +139,36 @@ object IncrementalLsh {
   private def bandsDir(indexDir: String) = s"$indexDir/bands"
   private def shinglesDir(indexDir: String) = s"$indexDir/shingles"
 
-  private def readOr(spark: SparkSession, path: String, empty: DataFrame): DataFrame =
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
-      spark.read.parquet(path)
-    else empty
+  /** Round subdirectory indices under `dir` (r0, r1, ...). */
+  private def roundIdxs(dir: String): Set[Int] = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(p)) Set.empty
+    else {
+      val out = scala.collection.mutable.Set.empty[Int]
+      val s = java.nio.file.Files.list(p)
+      try s.forEach { c =>
+        val n = c.getFileName.toString
+        if (n.startsWith("r") && n.drop(1).forall(_.isDigit))
+          out += n.drop(1).toInt
+      } finally s.close()
+      out.toSet
+    }
+  }
+
+  /** Rounds safely readable: present in BOTH tables. A round whose
+    * append died between the two writes leaves a dangling subdir that
+    * is ignored on read and overwritten on retry — the index never
+    * serves bands whose verification shingles are missing, and a
+    * retried round cannot append duplicates.
+    */
+  private def completeRounds(indexDir: String): Seq[Int] =
+    (roundIdxs(bandsDir(indexDir)) intersect roundIdxs(shinglesDir(indexDir)))
+      .toSeq.sorted
+
+  private def readRounds(spark: SparkSession, dir: String, rounds: Seq[Int],
+                         empty: DataFrame): DataFrame =
+    if (rounds.isEmpty) empty
+    else spark.read.parquet(rounds.map(k => s"$dir/r$k"): _*)
 
   /** One maintenance round: verified near-dup pairs of `newDocs`
     * against the index (and among themselves), then the index is
@@ -169,12 +199,13 @@ object IncrementalLsh {
       .persist()
     val newBands = bands(newDocs, idCol, textCol, shingleN, numHashes,
                          rowsPerBand)
-    val oldBands = readOr(spark, bandsDir(indexDir),
-                          Seq.empty[(Int, Long, Long)].toDF("band", "bucket", "id")
-                            .select(col("band"), col("bucket"), col("id")))
-    val oldShingles = readOr(spark, shinglesDir(indexDir),
-                             spark.emptyDataset[(Long, Seq[String])]
-                               .toDF("id", "sh"))
+    val complete = completeRounds(indexDir)
+    val oldBands = readRounds(spark, bandsDir(indexDir), complete,
+                              Seq.empty[(Int, Long, Long)].toDF("band", "bucket", "id")
+                                .select(col("band"), col("bucket"), col("id")))
+    val oldShingles = readRounds(spark, shinglesDir(indexDir), complete,
+                                 spark.emptyDataset[(Long, Seq[String])]
+                                   .toDF("id", "sh"))
     // shingle lookup: old store + this round's slice (ids are globally
     // unique across rounds — enforced by the caller's round partition)
     val lookup = oldShingles.select(col("id"), col("sh"))
@@ -189,8 +220,11 @@ object IncrementalLsh {
       .withColumn("jaccard", round(col("jaccard_raw"), 4))
       .select("id_a", "id_b", "jaccard")
       .localCheckpoint() // force BEFORE the append mutates the index
-    newBands.write.mode("append").parquet(bandsDir(indexDir))
-    newShingled.write.mode("append").parquet(shinglesDir(indexDir))
+    // this round's slot: one past the last COMPLETE round — a dangling
+    // slot from a died append is overwritten, never appended beside
+    val k = complete.size
+    newBands.write.mode("overwrite").parquet(s"${bandsDir(indexDir)}/r$k")
+    newShingled.write.mode("overwrite").parquet(s"${shinglesDir(indexDir)}/r$k")
     newShingled.unpersist()
     pairs
   }

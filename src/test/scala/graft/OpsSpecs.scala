@@ -538,6 +538,39 @@ class IncrementalLshSpec extends SparkSuite {
     assert(extra.count() == 0)
   }
 
+  test("a round append that died half-way is invisible and retried cleanly") {
+    val idx = tmpDir("inclsh-crash-")
+    val r0 = IncrementalLsh.roundPairs(
+      spark, idx, corpus.filter(pmod(col("id"), lit(3)) === 0),
+      "id", "text", 3, 32, 4, 0.5)
+    assert(r0.count() >= 0)
+    // simulate a round-1 append that wrote bands but died before
+    // shingles: a dangling bands/r1 slot
+    val round1 = corpus.filter(pmod(col("id"), lit(3)) === 1)
+    IncrementalLsh.bands(round1, "id", "text")
+      .write.parquet(s"$idx/bands/r1")
+    // the dangling slot must not be served: a no-new-docs round against
+    // the index emits nothing (were the dangling bands read, round-1
+    // ids would pair with nothing verifiable or crash the lookup join)
+    val noop = IncrementalLsh.roundPairs(
+      spark, idx, corpus.limit(0), "id", "text", 3, 32, 4, 0.5)
+    assert(noop.count() == 0)
+    // note: the no-op round above consumed slot r1 (overwrote the
+    // dangling bands with an empty round). The retried real round lands
+    // in r2; union across all rounds must still equal batch
+    val incr1 = IncrementalLsh.roundPairs(
+      spark, idx, round1, "id", "text", 3, 32, 4, 0.5)
+    val incr2 = IncrementalLsh.roundPairs(
+      spark, idx, corpus.filter(pmod(col("id"), lit(3)) === 2),
+      "id", "text", 3, 32, 4, 0.5)
+    val all = (r0.union(incr1).union(incr2))
+      .as[(Long, Long, Double)].collect()
+    val batch = Dedup.minhashNearDups(corpus, "id", "text", 3, 32, 4, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(all.length == all.distinct.length, "duplicate pairs emitted")
+    assert(all.toSet == batch)
+  }
+
   test("cappedNewPairs suppresses old-old pairs and counts drops") {
     val old = Seq((0, 10L, 1L), (0, 10L, 2L)).toDF("band", "bucket", "id")
     val neu = Seq((0, 10L, 3L), (0, 99L, 9L)).toDF("band", "bucket", "id")
