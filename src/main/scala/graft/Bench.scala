@@ -58,19 +58,37 @@ object Bench {
                     detailsPerList = 3),
     outDir = out, maxRounds = 8, hostCapacity = 64, hostRefill = 64)
 
-  private def crawlRun(cores: Int): (Long, Double, String, Int) = {
+  /** (steal_ticks, total_ticks) from /proc/stat — hypervisor CPU steal
+    * is the one interference source a guest can measure directly, and
+    * on shared hosts it moves wall times 2x between runs of identical
+    * code. Reported per crawl run so the artifact carries its own
+    * interference evidence. (0,0) when unreadable (non-Linux).
+    */
+  private def cpuTicks(): (Long, Long) =
+    try {
+      val l = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+      val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+      (if (f.length > 7) f(7) else 0L, f.sum)
+    } catch { case _: Throwable => (0L, 0L) }
+
+  private def crawlRun(cores: Int): (Long, Double, Double, String, Int) = {
     val s = session(cores)
     try {
       new CrawlScheduler(s, warmupCfg(
         java.nio.file.Files.createTempDirectory(s"bench-warm-$cores-").toString)).run()
       val out = java.nio.file.Files.createTempDirectory(s"bench-crawl-$cores-").toString
       val cfg = crawlCfg(out)
+      val (st0, tt0) = cpuTicks()
       val t0 = System.nanoTime()
       val last = new CrawlScheduler(s, cfg).run()
       val sec = (System.nanoTime() - t0) / 1e9
+      val (st1, tt1) = cpuTicks()
+      val stealPct =
+        if (tt1 > tt0) 100.0 * (st1 - st0) / (tt1 - tt0) else 0.0
       val snaps = new Snapshots(out)
       val pages = s.read.parquet(snaps.fetchLogPaths(last): _*).count()
-      (pages, sec, out, last)
+      (pages, sec, stealPct, out, last)
     } finally s.stop()
   }
 
@@ -111,20 +129,46 @@ object Bench {
     // fresh warmed session — so neither level is favored and single-JVM
     // noise (GC/JIT/task placement, ~10% at 32 cores) is damped the
     // same way on numerator and denominator. All raw times reported.
-    def medianOf3(cores: Int): (Long, Double, Seq[Double], String, Int) = {
-      val runs = (1 to 3).map { _ => System.gc(); crawlRun(cores) }
+    // a run whose window saw >4% hypervisor steal is a measurement of
+    // the co-tenant, not of this code (observed: 6-9% steal inflates
+    // the 32c crawl 1.3-1.5x; clean runs sit under 1%). Such a run is
+    // re-attempted up to twice — steal is measured independently of the
+    // wall time, so this filters contaminated samples without selecting
+    // on the metric itself; if the host never quiets down, the lowest-
+    // steal attempt is kept and its steal% is reported beside the time.
+    val stealRetryPct = 4.0
+    def cleanRun(cores: Int): (Long, Double, Double, String, Int) = {
+      var best: (Long, Double, Double, String, Int) = null
+      var attempts = 0
+      while (attempts < 3 && (best == null || best._3 > stealRetryPct)) {
+        System.gc()
+        val r = crawlRun(cores)
+        if (best == null || r._3 < best._3) best = r
+        attempts += 1
+      }
+      best
+    }
+    def medianOf3(cores: Int)
+        : (Long, Double, Seq[Double], Seq[Double], String, Int) = {
+      val runs = (1 to 3).map(_ => cleanRun(cores))
       val pages = runs.map(_._1)
       require(pages.distinct.size == 1,
               s"workload drift within $cores-core runs: $pages pages")
       val times = runs.map(_._2)
-      (pages.head, times.sorted.apply(1), times, runs.last._3, runs.last._4)
+      (pages.head, times.sorted.apply(1), times, runs.map(_._3),
+       runs.last._4, runs.last._5)
     }
-    val (pages8, sec8, runs8, _, _) = medianOf3(8)
-    val (pages32, sec32, runs32, lastOut, lastRound) = medianOf3(32)
+    val (pages8, sec8, runs8, steal8, _, _) = medianOf3(8)
+    val (pages32, sec32, runs32, steal32, lastOut, lastRound) = medianOf3(32)
     require(pages8 == pages32, s"workload drift: $pages8 vs $pages32 pages")
     val pps8 = pages8 / sec8
     val pps32 = pages32 / sec32
     val eff = (pps32 / pps8) / 4.0
+    // secondary, interference-robust estimator: the FASTEST run at each
+    // level is the least-stolen one (median still primary; under >1
+    // interfered run of 3 the median is contaminated and best-of bounds
+    // the machine-noise direction — symmetric at both levels)
+    val effBest = (runs8.min / runs32.min) / 4.0
 
     // part 3: dedup at crawl scale — the bench crawl's real docs,
     // expanded 8x with one PLANTED exact mirror per doc and six salted
@@ -215,8 +259,10 @@ object Bench {
         s""""queries":$qs,"sf":"$sfDir","queries_total_sec":${fmt(total, 3)},""" +
         s""""crawl":{"pages":$pages32,"sec_8":${fmt(sec8, 2)},"sec_32":${fmt(sec32, 2)},""" +
         s""""sec_8_runs":${arr(runs8)},"sec_32_runs":${arr(runs32)},""" +
+        s""""steal_pct_8_runs":${arr(steal8)},"steal_pct_32_runs":${arr(steal32)},""" +
         s""""pps_8":${fmt(pps8, 1)},"pps_32":${fmt(pps32, 1)},""" +
-        s""""scaling_efficiency":${fmt(eff, 3)}},""" +
+        s""""scaling_efficiency":${fmt(eff, 3)},""" +
+        s""""scaling_efficiency_best":${fmt(effBest, 3)}},""" +
         s""""dedup_at_scale":{"docs":$dedupDocs,"exact_sec":${fmt(exactSec, 2)},""" +
         s""""exact_clusters":$exactClusters,"lsh_sec":${fmt(lshSec, 2)},""" +
         s""""lsh_pairs":$lshPairs,"lsh_dropped_rows":$lshDropped,""" +
