@@ -69,26 +69,52 @@ object Bench {
       val l = java.nio.file.Files.readAllLines(
         java.nio.file.Paths.get("/proc/stat")).get(0)
       val f = l.trim.split("\\s+").drop(1).map(_.toLong)
-      (if (f.length > 7) f(7) else 0L, f.sum)
+      // sum user..steal only (first 8 fields): guest/guest_nice are
+      // already folded into user/nice on Linux — double-counting them
+      // understates steal% and biases the 4% contamination-retry
+      // threshold toward accepting stolen runs
+      (if (f.length > 7) f(7) else 0L, f.take(8).sum)
     } catch { case _: Throwable => (0L, 0L) }
 
-  private def crawlRun(cores: Int): (Long, Double, Double, String, Int) = {
+  /** Counts Spark job submissions — makes "jobs per crawl round" a
+    * measured artifact field instead of prose (structural scheduler
+    * wins like dropped anti-joins show up here even when wall time is
+    * noise-bound).
+    */
+  private final class JobCount extends org.apache.spark.scheduler.SparkListener {
+    val n = new java.util.concurrent.atomic.AtomicLong
+    override def onJobStart(
+        js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      n.incrementAndGet(); ()
+    }
+  }
+
+  private def crawlRun(cores: Int)
+      : (Long, Double, Double, String, Int, Double) = {
     val s = session(cores)
     try {
       new CrawlScheduler(s, warmupCfg(
         java.nio.file.Files.createTempDirectory(s"bench-warm-$cores-").toString)).run()
       val out = java.nio.file.Files.createTempDirectory(s"bench-crawl-$cores-").toString
       val cfg = crawlCfg(out)
+      val jc = new JobCount
+      s.sparkContext.addSparkListener(jc)
       val (st0, tt0) = cpuTicks()
       val t0 = System.nanoTime()
       val last = new CrawlScheduler(s, cfg).run()
       val sec = (System.nanoTime() - t0) / 1e9
       val (st1, tt1) = cpuTicks()
+      // listener bus is async; run() is blocking so every job already
+      // STARTED — give the bus a beat to drain before reading (outside
+      // the timed window)
+      Thread.sleep(500)
+      s.sparkContext.removeSparkListener(jc)
+      val jobsPerRound = jc.n.get.toDouble / math.max(last, 1)
       val stealPct =
         if (tt1 > tt0) 100.0 * (st1 - st0) / (tt1 - tt0) else 0.0
       val snaps = new Snapshots(out)
       val pages = s.read.parquet(snaps.fetchLogPaths(last): _*).count()
-      (pages, sec, stealPct, out, last)
+      (pages, sec, stealPct, out, last, jobsPerRound)
     } finally s.stop()
   }
 
@@ -137,8 +163,8 @@ object Bench {
     // on the metric itself; if the host never quiets down, the lowest-
     // steal attempt is kept and its steal% is reported beside the time.
     val stealRetryPct = 4.0
-    def cleanRun(cores: Int): (Long, Double, Double, String, Int) = {
-      var best: (Long, Double, Double, String, Int) = null
+    def cleanRun(cores: Int): (Long, Double, Double, String, Int, Double) = {
+      var best: (Long, Double, Double, String, Int, Double) = null
       var attempts = 0
       while (attempts < 3 && (best == null || best._3 > stealRetryPct)) {
         System.gc()
@@ -149,17 +175,20 @@ object Bench {
       best
     }
     def medianOf3(cores: Int)
-        : (Long, Double, Seq[Double], Seq[Double], String, Int) = {
+        : (Long, Double, Seq[Double], Seq[Double], String, Int, Double) = {
       val runs = (1 to 3).map(_ => cleanRun(cores))
       val pages = runs.map(_._1)
       require(pages.distinct.size == 1,
               s"workload drift within $cores-core runs: $pages pages")
       val times = runs.map(_._2)
+      // jobs/round is deterministic up to commit-thread interleaving;
+      // report the median of the three measured values
+      val jpr = runs.map(_._6).sorted.apply(1)
       (pages.head, times.sorted.apply(1), times, runs.map(_._3),
-       runs.last._4, runs.last._5)
+       runs.last._4, runs.last._5, jpr)
     }
-    val (pages8, sec8, runs8, steal8, _, _) = medianOf3(8)
-    val (pages32, sec32, runs32, steal32, lastOut, lastRound) = medianOf3(32)
+    val (pages8, sec8, runs8, steal8, _, _, jpr8) = medianOf3(8)
+    val (pages32, sec32, runs32, steal32, lastOut, lastRound, jpr32) = medianOf3(32)
     require(pages8 == pages32, s"workload drift: $pages8 vs $pages32 pages")
     val pps8 = pages8 / sec8
     val pps32 = pages32 / sec32
@@ -228,19 +257,26 @@ object Bench {
         // Each repeat populates a FRESH index with round 1 (untimed) and
         // times round 2 — the steady-state maintenance cost. The union
         // of both rounds' pairs must cover the batch LSH output.
-        var r1 = 0L
-        val (tIncr, r2) = med3 {
+        // BOTH rounds' counts ride the med3 drift check (packed into
+        // one long) — a repeat whose round-1 count drifts must fail the
+        // distinctness require, not silently skew incr_pairs
+        val (tIncr, packed) = med3 {
           val idx = java.nio.file.Files
             .createTempDirectory("bench-inclsh-").toString
-          r1 = graft.ops.IncrementalLsh.roundPairs(
+          val r1c = graft.ops.IncrementalLsh.roundPairs(
             s3, idx, copies.filter(pmod(col("id"), lit(2)) === 0), "id",
             "text", shingleN = 3, numHashes = 32, rowsPerBand = 4,
             threshold = 1.0, maxBucket = 1024).count()
-          timed(graft.ops.IncrementalLsh.roundPairs(
+          val (t, r2c) = timed(graft.ops.IncrementalLsh.roundPairs(
             s3, idx, copies.filter(pmod(col("id"), lit(2)) === 1), "id",
             "text", shingleN = 3, numHashes = 32, rowsPerBand = 4,
             threshold = 1.0, maxBucket = 1024).count())
+          require(r1c < 1000000000L && r2c < 1000000000L,
+                  s"pair counts overflow pack: $r1c/$r2c")
+          (t, r1c * 1000000000L + r2c)
         }
+        val r1 = packed / 1000000000L
+        val r2 = packed % 1000000000L
         // equality whenever caps don't engage (superset under caps —
         // early rounds cap over fewer bucket members)
         require(r1 + r2 >= nPairs,
@@ -261,6 +297,7 @@ object Bench {
         s""""sec_8_runs":${arr(runs8)},"sec_32_runs":${arr(runs32)},""" +
         s""""steal_pct_8_runs":${arr(steal8)},"steal_pct_32_runs":${arr(steal32)},""" +
         s""""pps_8":${fmt(pps8, 1)},"pps_32":${fmt(pps32, 1)},""" +
+        s""""jobs_per_round_8":${fmt(jpr8, 1)},"jobs_per_round_32":${fmt(jpr32, 1)},""" +
         s""""scaling_efficiency":${fmt(eff, 3)},""" +
         s""""scaling_efficiency_best":${fmt(effBest, 3)}},""" +
         s""""dedup_at_scale":{"docs":$dedupDocs,"exact_sec":${fmt(exactSec, 2)},""" +

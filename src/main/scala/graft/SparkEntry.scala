@@ -404,7 +404,7 @@ object SparkEntry {
                                 threshold = 0.999)
         .orderBy("id_a", "id_b")
     }),
-    // ---------------- multimodal (stubbed decode, real plumbing) -------
+    // ---------------- multimodal (real PNG/JPEG/GIF decode) -----------
     "q37_image_meta" -> ((s, dir) => {
       val media = Multimodal.syntheticMediaTable(s, T(s, dir, "documents"), "doc_id")
       Multimodal.imageMeta(s, media).orderBy("media_ref")

@@ -139,7 +139,15 @@ object IncrementalLsh {
   private def bandsDir(indexDir: String) = s"$indexDir/bands"
   private def shinglesDir(indexDir: String) = s"$indexDir/shingles"
 
-  /** Round subdirectory indices under `dir` (r0, r1, ...). */
+  /** COMMITTED round subdirectory indices under `dir` (r0, r1, ...).
+    * Bare directory existence is not commit evidence — a crash DURING a
+    * parquet write leaves the subdir present but partial (e.g. only
+    * `_temporary`). Completeness is gated on the `_SUCCESS` marker the
+    * Hadoop commit protocol writes only after every task file is
+    * finalized, so a half-written slot reads as absent and is
+    * overwritten on retry. A name must be `r` + at least one digit
+    * (a bare "r" is not a slot, not a crash).
+    */
   private def roundIdxs(dir: String): Set[Int] = {
     val p = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.isDirectory(p)) Set.empty
@@ -148,18 +156,22 @@ object IncrementalLsh {
       val s = java.nio.file.Files.list(p)
       try s.forEach { c =>
         val n = c.getFileName.toString
-        if (n.startsWith("r") && n.drop(1).forall(_.isDigit))
+        if (n.startsWith("r") && n.length > 1 && n.drop(1).forall(_.isDigit)
+            && java.nio.file.Files.exists(c.resolve("_SUCCESS")))
           out += n.drop(1).toInt
       } finally s.close()
       out.toSet
     }
   }
 
-  /** Rounds safely readable: present in BOTH tables. A round whose
-    * append died between the two writes leaves a dangling subdir that
-    * is ignored on read and overwritten on retry — the index never
-    * serves bands whose verification shingles are missing, and a
-    * retried round cannot append duplicates.
+  /** Rounds safely readable: COMMITTED (per `_SUCCESS`) in BOTH tables.
+    * A round whose append died between or during the two writes leaves
+    * a dangling/partial subdir that is ignored on read and overwritten
+    * on retry — the index never serves bands whose verification
+    * shingles are missing or truncated, and a retried round lands in
+    * the same slot, so it cannot duplicate ids across "old" rounds
+    * (which would break cappedNewPairs' disjoint-ids precondition and
+    * admit self-pairs).
     */
   private def completeRounds(indexDir: String): Seq[Int] =
     (roundIdxs(bandsDir(indexDir)) intersect roundIdxs(shinglesDir(indexDir)))

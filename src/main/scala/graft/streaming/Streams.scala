@@ -153,6 +153,9 @@ object Streams {
       .withColumn("content_key", TextOps.content_key(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_key")
+      // internal key must not leak into the caller's schema (state
+      // keying is unaffected by the post-dedup projection)
+      .drop("content_key")
 
   final case class HostProgress(host: String, pages: Long, spans: Long,
                                 last_round: Int)

@@ -571,6 +571,42 @@ class IncrementalLshSpec extends SparkSuite {
     assert(all.toSet == batch)
   }
 
+  test("a slot half-written DURING the shingles write is not complete; bare 'r' dir is ignored") {
+    val idx = tmpDir("inclsh-succ-")
+    val r0 = IncrementalLsh.roundPairs(
+      spark, idx, corpus.filter(pmod(col("id"), lit(3)) === 0),
+      "id", "text", 3, 32, 4, 0.5)
+    assert(r0.count() >= 0)
+    // simulate a crash DURING the round-1 shingles write: bands slot
+    // fully committed (_SUCCESS present), shingles slot present but
+    // uncommitted (only _temporary — no _SUCCESS). Directory-existence
+    // gating would serve these bands without their verification
+    // shingles (silent recall loss) AND push the retry to slot r2,
+    // duplicating round-1 ids across "old" rounds.
+    val round1 = corpus.filter(pmod(col("id"), lit(3)) === 1)
+    IncrementalLsh.bands(round1, "id", "text")
+      .write.parquet(s"$idx/bands/r1")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$idx/shingles/r1/_temporary"))
+    // junk subdirectory named exactly "r" must be ignored, not crash
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$idx/bands/r"))
+    // retry of round 1 lands back in slot r1 (overwrite, no duplicate
+    // ids across rounds — no self-pairs); union across rounds == batch
+    val incr1 = IncrementalLsh.roundPairs(
+      spark, idx, round1, "id", "text", 3, 32, 4, 0.5)
+    val incr2 = IncrementalLsh.roundPairs(
+      spark, idx, corpus.filter(pmod(col("id"), lit(3)) === 2),
+      "id", "text", 3, 32, 4, 0.5)
+    val all = r0.union(incr1).union(incr2)
+      .as[(Long, Long, Double)].collect()
+    assert(all.forall { case (a, b, _) => a != b }, "self-pair emitted")
+    assert(all.length == all.distinct.length, "duplicate pairs emitted")
+    val batch = Dedup.minhashNearDups(corpus, "id", "text", 3, 32, 4, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(all.toSet == batch)
+  }
+
   test("cappedNewPairs suppresses old-old pairs and counts drops") {
     val old = Seq((0, 10L, 1L), (0, 10L, 2L)).toDF("band", "bucket", "id")
     val neu = Seq((0, 10L, 3L), (0, 99L, 9L)).toDF("band", "bucket", "id")
