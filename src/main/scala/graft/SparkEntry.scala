@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 
 import graft.fetch.SimulatedFetcher
 import graft.model.FrontierEntry
-import graft.ops.{Dedup, Extract, FacetSplit, IncrementalLsh, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Extract, FacetSplit, IncrementalAnn, IncrementalLsh, Multimodal, Similarity, TextOps}
 import graft.parse.{CssSelect, HtmlSpans, TrimHtml}
 import graft.sources.{CursorSource, GraphQlSource}
 import graft.sched.{CrawlConfig, CrawlScheduler}
 import graft.store.Snapshots
+import graft.streaming.{Replay, Streams}
 import graft.synthweb.WebConfig
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -404,6 +405,28 @@ object SparkEntry {
                                 threshold = 0.999)
         .orderBy("id_a", "id_b")
     }),
+    "q63_incremental_ann" -> ((s, dir) => {
+      // Incremental embedding near-dup maintenance (IncrementalAnn):
+      // q36's planted corpus arrives in 3 rounds (id % 3); each round's
+      // NEW vectors are checked against the persisted hyperplane band
+      // index only — per-round cost is O(new + touched buckets), not
+      // O(corpus). The union of per-round outputs must equal the batch
+      // q36 pair set, each pair tagged with the round the machinery
+      // emitted it in — the oracle independently pins that to the
+      // arrival round of the pair's later member (exactly-once-across-
+      // rounds invariant, same contract as q62 for text).
+      val e = T(s, dir, "embeddings")
+      val planted = e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+      val corpus = e.union(planted)
+      val idx = java.nio.file.Files.createTempDirectory("graft-incann-").toString
+      (0 to 2).map { r =>
+        IncrementalAnn.roundPairs(
+            s, idx, corpus.filter(pmod(col("vec_id"), lit(3)) === r),
+            "vec_id", "embedding", threshold = 0.999)
+          .withColumn("emit_round", lit(r))
+      }.reduce(_ unionByName _).orderBy("id_a", "id_b")
+    }),
     // ---------------- multimodal (real PNG/JPEG/GIF decode) -----------
     "q37_image_meta" -> ((s, dir) => {
       val media = Multimodal.syntheticMediaTable(s, T(s, dir, "documents"), "doc_id")
@@ -723,6 +746,132 @@ object SparkEntry {
              sum(when(col("status") =!= 200 && col("status") =!= 404, 1L)
                .otherwise(0L)).as("fetched_retryable"))
         .orderBy("round", "bucket")
+    }),
+    // ---------------- streaming (deterministic replay oracles) --------
+    "q64_stream_sessions" -> ((s, dir) => {
+      import s.implicits._
+      // Event-time session windows (flatMapGroupsWithState) in TRUE
+      // stream mode over a deterministic replay log: fetch events
+      // derived from the events table (host = user bucket, status from
+      // event_type), fed ts-sorted in ~1k-row micro-batches so nothing
+      // is watermark-late. Two trailing flush batches on a sentinel
+      // host push the watermark past every real session's close point,
+      // so "emitted by end of log" equals schedule-free sessionization
+      // — the sequential oracle (SeqOracles.q64Dump) never simulates
+      // the batch schedule.
+      val gapSec = 1800
+      val ev = T(s, dir, "events")
+        .select(concat(lit("h"), pmod(col("user_id"), lit(8))).as("host"),
+                col("ts").cast("timestamp").as("ts"),
+                when(col("event_type") === "error", lit(503))
+                  .otherwise(lit(200)).as("status"))
+      // replay prep: the unpartitioned row_number is driver-scale here
+      // (the replay log is a correctness fixture, not the 100 TB path)
+      val chunked = ev.withColumn("batch",
+        ((row_number().over(Window.orderBy("ts", "host")) - 1) / 1000)
+          .cast("int"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0).getTime
+      val nb = chunked.agg(max(col("batch"))).head().getInt(0) + 1
+      val flush = Seq(
+        ("zflush", new java.sql.Timestamp(maxTs + 10L * gapSec * 1000), 200, nb),
+        // half a gap later: advances emission without ever sealing the
+        // sentinel's own session, so the output is identical whether or
+        // not a trailing no-data batch runs
+        ("zflush", new java.sql.Timestamp(maxTs + 10L * gapSec * 1000 + gapSec * 500L),
+         200, nb + 1))
+        .toDF("host", "ts", "status", "batch")
+      val logDir = java.nio.file.Files.createTempDirectory("q64-log-").toString
+      Replay.writeLog(chunked.unionByName(flush), "batch", logDir)
+      Replay.run(s, logDir,
+                 org.apache.spark.sql.Encoders.product[Streams.FetchEvent].schema) {
+        df => Streams.hostSessions(s, df.as[Streams.FetchEvent], gapSec).toDF()
+      }
+        .filter(col("host") =!= "zflush")
+        .orderBy("host", "first_ts")
+    }),
+    "q65_stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      // Streaming exact dedup (dropDuplicatesWithinWatermark) over a
+      // deterministic replay: 60 unique-content docs stream in 10-doc
+      // micro-batches; every third doc re-arrives one batch later
+      // INSIDE the 60 s horizon (whitespace variant = same content key;
+      // must drop), a sentinel batch advances the watermark far past
+      // every entry's expiry, then every fifth doc re-arrives BEYOND
+      // the horizon (state evicted = passes as new: the documented
+      // horizon contract). The survivor rule is pure arithmetic, so the
+      // oracle is native SQL.
+      val docs = T(s, dir, "documents").orderBy("doc_id").limit(60)
+        .withColumn("i", row_number().over(Window.orderBy("doc_id")) - 1)
+      val orig = docs.select(
+        (col("i") / 10).cast("int").as("batch"),
+        (lit(1000L) + col("i") * 10).cast("timestamp").as("ts"),
+        (col("doc_id") * 10).as("id"), col("text"))
+      val dup = docs.filter(col("i") % 3 === 0).select(
+        ((col("i") / 10).cast("int") + 1).as("batch"),
+        (lit(1045L) + col("i") * 10).cast("timestamp").as("ts"),
+        (col("doc_id") * 10 + 1).as("id"),
+        concat(lit("  "), col("text"), lit(" ")).as("text"))
+      val sentinel = Seq(
+        (7, new java.sql.Timestamp(100000L * 1000), -1L, "wm flush sentinel"))
+        .toDF("batch", "ts", "id", "text")
+      val far = docs.filter(col("i") % 5 === 0).select(
+        (lit(8) + (col("i") / 10).cast("int")).as("batch"),
+        (lit(200000L) + col("i") * 10).cast("timestamp").as("ts"),
+        (col("doc_id") * 10 + 2).as("id"),
+        concat(lit("\t"), col("text")).as("text"))
+      val logDir = java.nio.file.Files.createTempDirectory("q65-log-").toString
+      Replay.writeLog(orig.unionByName(dup).unionByName(sentinel)
+                        .unionByName(far), "batch", logDir)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      Replay.run(s, logDir, schema) {
+        df => Streams.dedupStream(df, "text", "ts", "60 seconds")
+      }
+        .filter(col("id") >= 0)
+        .select("id", "text")
+        .orderBy("id")
+    }),
+    "q66_stream_window_counts" -> ((s, dir) => {
+      import s.implicits._
+      // Watermarked tumbling-window counts in TRUE stream mode over the
+      // replayed events table (1-day windows, 1-hour watermark). The
+      // flush pair pushes the final watermark past every real window's
+      // end, so the emitted set equals the batch GROUP BY — oracled in
+      // native SQL. The sentinel's own window can never seal (its close
+      // point stays above the final watermark by construction), so the
+      // output is no-data-batch invariant.
+      val ev = T(s, dir, "events")
+        .select(col("ts").cast("timestamp").as("ts"), col("event_type"),
+                col("value"))
+      val chunked = ev.withColumn("batch",
+        ((row_number().over(Window.orderBy("ts", "event_type", "value")) - 1)
+           / 1000).cast("int"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0).getTime
+      val nb = chunked.agg(max(col("batch"))).head().getInt(0) + 1
+      val day = 86400000L
+      val flush = Seq(
+        (new java.sql.Timestamp(maxTs + 40 * day), "zflush", 0.0, nb),
+        (new java.sql.Timestamp(maxTs + 40 * day + 60000L), "zflush", 0.0, nb + 1))
+        .toDF("ts", "event_type", "value", "batch")
+      val logDir = java.nio.file.Files.createTempDirectory("q66-log-").toString
+      Replay.writeLog(chunked.unionByName(flush), "batch", logDir)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      Replay.run(s, logDir, schema) {
+        df => Streams.windowedEventCounts(df, "1 day", "1 day", "1 hour")
+      }
+        .filter(col("event_type") =!= "zflush")
+        .orderBy("win_start", "event_type")
     })
   )
 
@@ -979,6 +1128,14 @@ object SparkEntry {
       // a hash-exact match pins recall at 1.0 AND zero false positives
       """SELECT vec_id AS id_a, vec_id + 10000 AS id_b, 1.0 AS cosine
         |FROM embeddings WHERE vec_id < 20 ORDER BY id_a""".stripMargin,
+    "q63_incremental_ann" ->
+      // the incremental union must equal the batch pair set (q36's
+      // planted ground truth), and each pair must be emitted exactly
+      // once, in the arrival round of its LATER member (rounds are
+      // id % 3; the +10000 mirror of v arrives in round (v+1) % 3)
+      """SELECT vec_id AS id_a, vec_id + 10000 AS id_b, 1.0 AS cosine,
+        | CAST(greatest(vec_id % 3, (vec_id + 10000) % 3) AS INT) AS emit_round
+        |FROM embeddings WHERE vec_id < 20 ORDER BY id_a""".stripMargin,
     "q37_image_meta" -> dumpSql("q37_image_meta", "media_ref"),
     "q38_frame_sample" -> dumpSql("q38_frame_sample", "media_ref, frame_idx"),
     "q39_media_from_crawl" -> dumpSql("q39_media_from_crawl", "media_ref"),
@@ -1048,6 +1205,30 @@ object SparkEntry {
          |   AS BIGINT) AS fetched_retryable
          |FROM read_parquet('${graft.oracle.SeqOracles.root}/q51_crawl_fetch_log/*.parquet')
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // streaming operators, replay-oracled: q64 diffs against a
+    // sequential sessionization dump (gap merge is not native DuckDB);
+    // q65/q66 reduce to pure batch semantics by replay construction,
+    // so their oracles are native SQL
+    "q64_stream_sessions" -> dumpSql("q64_stream_sessions", "host, first_ts"),
+    "q65_stream_dedup" ->
+      // survivors = every original + every beyond-horizon re-arrival;
+      // in-horizon re-arrivals (i % 3) never appear
+      """WITH d AS (
+        |  SELECT doc_id, text, row_number() OVER (ORDER BY doc_id) - 1 AS i
+        |  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 60)
+        |)
+        |SELECT id, text FROM (
+        |  SELECT doc_id * 10 AS id, text FROM d
+        |  UNION ALL
+        |  SELECT doc_id * 10 + 2 AS id, chr(9) || text AS text FROM d
+        |  WHERE i % 5 = 0
+        |) ORDER BY id""".stripMargin,
+    "q66_stream_window_counts" ->
+      // the replay's final watermark passed every real window's end, so
+      // the streamed append-mode output equals the batch GROUP BY
+      """SELECT date_trunc('day', ts) AS win_start, event_type,
+        | count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q40_taxonomy_unnest" ->
       ("""WITH tax AS (SELECT unnest(from_json('""" + taxonomyJson.replace("'", "''") + """',
         | '[{"id":"INTEGER","name":"VARCHAR","subs":[{"id":"INTEGER","name":"VARCHAR"}]}]')) AS cat)

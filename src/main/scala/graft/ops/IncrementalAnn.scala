@@ -1,0 +1,313 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+import graft.ops.Similarity.{Scored, cosine, nearestCell, probeCells, signatureAt}
+
+/** Incremental maintenance for the EMBEDDING indexes — the vector-side
+  * analogue of [[IncrementalLsh]] (which maintains the text MinHash
+  * index). A training-data pipeline ingests embeddings in the same
+  * per-round cadence as documents (this engine's crawl commits docs per
+  * scheduling round; reference behavior it scales: recursive discovery
+  * keeps appending, indeed/main.go:66-70), so both ANN legs must cost
+  * O(delta) per round, not O(corpus):
+  *
+  *   - [[roundPairs]] — incremental embedding NEAR-DUP maintenance: a
+  *     persisted random-hyperplane band index (same banding as
+  *     [[Similarity.cosineNearDups]]); each round checks its NEW
+  *     vectors against the index only. Union of per-round outputs
+  *     equals the batch output (oracled as q63): hyperplane signatures
+  *     do not depend on arrival round, so end-state bucket membership
+  *     is batch membership. Pair generation reuses
+  *     [[IncrementalLsh.cappedNewPairs]] — old-old pairs were emitted
+  *     in an earlier round, buckets are capped with counted drops, and
+  *     the exact-cosine verify join is broadcast-size-guarded.
+  *   - [[IvfIndex]] — a persisted IVF postings table for ANN top-k
+  *     queries: cell assignments are APPENDED per round against FROZEN
+  *     centroids (assignment is a map-side broadcast pass over the new
+  *     slice only), queries prune to their probed cells via partition
+  *     pruning (`cell=` directory layout), and a re-train cadence
+  *     rebuilds centroids + assignments in a new epoch once enough
+  *     rounds accumulate (the only O(corpus) step, amortized over
+  *     `retrainEvery` rounds — FAISS-style: a coarse quantizer tolerates
+  *     a stale training set between re-trains).
+  *
+  * Index layout and crash safety follow [[RoundSlots]]: parallel
+  * append-only parquet tables with `_SUCCESS`-gated per-round slots —
+  * a died append is invisible to readers and redone in the same slot.
+  */
+object IncrementalAnn {
+
+  /** Skinny hyperplane posting rows (band, bucket, id) — identical
+    * banding to [[Similarity.cosineNearDups]] so incremental and batch
+    * bucket membership agree by construction.
+    */
+  def bands(emb: DataFrame, idCol: String, vecCol: String,
+            tables: Int = 8, bits: Int = 10, seed: Long = 7L): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, vec) =>
+          (0 until tables).iterator
+            .map(t => (t, signatureAt(vec, seed, t, bits).toLong, id))
+        }
+      }
+      .toDF("band", "bucket", "id")
+  }
+
+  private def bandsDir(indexDir: String) = s"$indexDir/bands"
+  private def vecsDir(indexDir: String) = s"$indexDir/vecs"
+
+  private def completeRounds(indexDir: String): Seq[Int] =
+    RoundSlots.completeRounds(Seq(bandsDir(indexDir), vecsDir(indexDir)))
+
+  private def readRounds(spark: SparkSession, dir: String, rounds: Seq[Int],
+                         empty: DataFrame): DataFrame =
+    if (rounds.isEmpty) empty
+    else spark.read.parquet(rounds.map(k => s"$dir/r$k"): _*)
+
+  /** One maintenance round: verified cosine near-dup pairs of `newEmb`
+    * against the persisted index (and among themselves), then the index
+    * is appended with the round's postings + vectors.
+    *
+    * Returns (id_a, id_b, cosine) with id_a < id_b — the same output
+    * contract as [[Similarity.cosineNearDups]]. Vectors never ride the
+    * banded exchange (ids only); they join back once per surviving
+    * capped candidate pair, broadcast-guarded by measured pair count
+    * ([[IncrementalLsh.joinPairsToLookup]]).
+    */
+  def roundPairs(spark: SparkSession, indexDir: String, newEmb: DataFrame,
+                 idCol: String, vecCol: String, threshold: Double,
+                 tables: Int = 8, bits: Int = 10, seed: Long = 7L,
+                 maxBucket: Int = 1024,
+                 acc: Option[LongAccumulator] = None): DataFrame = {
+    import spark.implicits._
+    val newVecs = newEmb
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .persist()
+    val newBands = bands(newEmb, idCol, vecCol, tables, bits, seed)
+    val complete = completeRounds(indexDir)
+    val oldBands = readRounds(spark, bandsDir(indexDir), complete,
+                              Seq.empty[(Int, Long, Long)].toDF("band", "bucket", "id")
+                                .select(col("band"), col("bucket"), col("id")))
+    val oldVecs = readRounds(spark, vecsDir(indexDir), complete,
+                             spark.emptyDataset[(Long, Array[Float])]
+                               .toDF("id", "vec"))
+    // vector lookup: old store + this round's slice (ids are globally
+    // unique across rounds — enforced by the caller's round partition)
+    val lookup = oldVecs.select(col("id"), col("vec")).unionByName(newVecs)
+    val pairsRaw = IncrementalLsh
+      .cappedNewPairs(oldBands, newBands, maxBucket, acc)
+      .localCheckpoint()
+    val nPairRows = pairsRaw.count()
+    val pairs = IncrementalLsh
+      .joinPairsToLookup(spark, pairsRaw, nPairRows, lookup)
+      .select(col("id_a"), col("id_b"), col("payload_a"), col("payload_b"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (ia, ib, va, vb) =>
+        (ia, ib, math.rint(cosine(va, vb) * 10000) / 10000)
+      }
+      .toDF("id_a", "id_b", "cosine")
+      .filter(col("cosine") >= threshold)
+      .localCheckpoint() // force BEFORE the append mutates the index
+    val k = complete.size
+    newBands.write.mode("overwrite").parquet(s"${bandsDir(indexDir)}/r$k")
+    newVecs.write.mode("overwrite").parquet(s"${vecsDir(indexDir)}/r$k")
+    newVecs.unpersist()
+    pairs
+  }
+
+  // ------------------------------------------------------------------
+  // persisted IVF postings (frozen centroids + re-train cadence)
+  // ------------------------------------------------------------------
+
+  /** A persisted IVF ANN index under `indexDir`. Layout:
+    *
+    * {{{
+    *   indexDir/e<j>/cells/r<k>/cell=<c>/...   postings (id, vec), one
+    *                                           slot per appended round,
+    *                                           partitioned by cell
+    *   indexDir/e<j>/centroids/                (cell, vec) — written
+    *                                           LAST: its _SUCCESS is the
+    *                                           epoch's commit marker
+    * }}}
+    *
+    * Epoch commit protocol: an epoch directory without committed
+    * centroids is invisible (a re-train that died mid-build is redone
+    * in the same epoch slot); within an epoch, round slots follow
+    * [[RoundSlots]]. The active epoch is the highest committed one —
+    * appends and queries both resolve it per call, so a reader never
+    * mixes postings across centroid generations (cell ids are only
+    * meaningful against their own epoch's centroids).
+    */
+  final class IvfIndex(spark: SparkSession, indexDir: String,
+                       nCells: Int = 16, iters: Int = 8,
+                       retrainEvery: Int = 0) {
+    import spark.implicits._
+
+    private def epochDir(j: Int) = s"$indexDir/e$j"
+    private def cellsDir(j: Int) = s"${epochDir(j)}/cells"
+    private def centroidsDir(j: Int) = s"${epochDir(j)}/centroids"
+
+    /** Committed epoch indices (centroids `_SUCCESS` present). */
+    private def epochIdxs(): Seq[Int] = {
+      val p = java.nio.file.Paths.get(indexDir)
+      if (!java.nio.file.Files.isDirectory(p)) Seq.empty
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val s = java.nio.file.Files.list(p)
+        try s.forEach { c =>
+          val n = c.getFileName.toString
+          if (n.startsWith("e") && n.length > 1 && n.drop(1).forall(_.isDigit)
+              && java.nio.file.Files.exists(
+                   c.resolve("centroids").resolve("_SUCCESS")))
+            out += n.drop(1).toInt
+        } finally s.close()
+        out.toSeq.sorted
+      }
+    }
+
+    /** Active (highest committed) epoch, or -1 when the index is empty. */
+    def activeEpoch(): Int = epochIdxs().lastOption.getOrElse(-1)
+
+    /** Committed rounds of the active epoch. */
+    def rounds(): Seq[Int] = {
+      val j = activeEpoch()
+      if (j < 0) Seq.empty else RoundSlots.roundIdxs(cellsDir(j)).toSeq.sorted
+    }
+
+    def centroids(): Array[Array[Float]] = {
+      val j = activeEpoch()
+      require(j >= 0, s"IVF index at $indexDir has no committed epoch")
+      spark.read.parquet(centroidsDir(j))
+        .select(col("cell").cast("int"), col("vec"))
+        .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
+    }
+
+    private def writeCentroids(j: Int, cs: Array[Array[Float]]): Unit =
+      cs.zipWithIndex.map { case (v, c) => (c, v) }.toSeq
+        .toDF("cell", "vec")
+        .repartition(1)
+        .write.mode("overwrite").parquet(centroidsDir(j))
+
+    private def assign(emb: DataFrame, idCol: String, vecCol: String,
+                       cs: Array[Array[Float]]): DataFrame = {
+      val bc = spark.sparkContext.broadcast(cs)
+      emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val c = bc.value
+          it.map { case (id, v) => (nearestCell(v, c), id, v) }
+        }
+        .toDF("cell", "id", "vec")
+    }
+
+    private def postings(j: Int): DataFrame = {
+      val rs = RoundSlots.roundIdxs(cellsDir(j)).toSeq.sorted
+      if (rs.isEmpty)
+        spark.emptyDataset[(Int, Long, Array[Float])].toDF("cell", "id", "vec")
+      else
+        // one read per round slot (each slot is its own partition-
+        // discovery root — the r<k> level is a slot, not a partition);
+        // a cell filter still prunes inside every branch of the union
+        rs.map(k => spark.read.parquet(s"${cellsDir(j)}/r$k")
+                      .select(col("cell").cast("int"), col("id"), col("vec")))
+          .reduce(_ unionByName _)
+    }
+
+    /** Append one ingest round of new vectors.
+      *
+      * First-ever append trains epoch-0 centroids on the new slice
+      * (distributed Lloyd — nothing collects the corpus). Subsequent
+      * appends assign against the active epoch's FROZEN centroids in
+      * one map-side broadcast pass over the new slice only — O(delta).
+      * When `retrainEvery` > 0 and the active epoch has accumulated
+      * that many rounds, the append triggers a re-train: new centroids
+      * over the full epoch corpus, all postings re-assigned into epoch
+      * j+1 slot r0 (postings first, centroids last = commit marker).
+      *
+      * Returns (epoch, round) the new slice landed in.
+      */
+    def append(newEmb: DataFrame, idCol: String, vecCol: String): (Int, Int) = {
+      val j0 = activeEpoch()
+      val (j, cs) =
+        if (j0 < 0) {
+          // epoch 0 bootstrap: postings slot first, centroids last
+          val cs = Similarity.kmeansDistributed(spark, newEmb, idCol, vecCol,
+                                                nCells, iters)
+          assign(newEmb, idCol, vecCol, cs)
+            .write.partitionBy("cell").mode("overwrite")
+            .parquet(s"${cellsDir(0)}/r0")
+          writeCentroids(0, cs)
+          return (0, 0)
+        } else (j0, centroids())
+      val k = RoundSlots.roundIdxs(cellsDir(j)).toSeq.sorted.size
+      assign(newEmb, idCol, vecCol, cs)
+        .write.partitionBy("cell").mode("overwrite")
+        .parquet(s"${cellsDir(j)}/r$k")
+      if (retrainEvery > 0 && k + 1 >= retrainEvery) {
+        // re-train into epoch j+1: assignments first, centroids LAST —
+        // a death anywhere before the centroids commit leaves e(j+1)
+        // invisible and e(j) fully serving
+        val all = postings(j)
+        val cs2 = Similarity.kmeansDistributed(spark, all, "id", "vec",
+                                               nCells, iters)
+        assign(all, "id", "vec", cs2)
+          .write.partitionBy("cell").mode("overwrite")
+          .parquet(s"${cellsDir(j + 1)}/r0")
+        writeCentroids(j + 1, cs2)
+        (j + 1, 0)
+      } else (j, k)
+    }
+
+    /** ANN top-k for the given query ids (vectors resolved from the
+      * index) — same semantics as [[Similarity.ivfTopK]]: each query
+      * probes its `nProbe` nearest cells, exact cosine re-rank inside,
+      * all query ids excluded from candidates. The postings scan is
+      * pruned to the probed cells via the `cell=` partition layout —
+      * at corpus scale a query touches ~nProbe/nCells of the files.
+      */
+    def topK(queryIds: Seq[Long], k: Int, nProbe: Int = 4): Dataset[Scored] = {
+      val j = activeEpoch()
+      require(j >= 0, s"IVF index at $indexDir has no committed epoch")
+      val cs = centroids()
+      val bc = spark.sparkContext.broadcast(cs)
+      val all = postings(j)
+      val queries = all
+        .filter(col("id").isin(queryIds.map(Long.box): _*))
+        .select(col("id"), col("vec"))
+        .as[(Long, Array[Float])]
+        .flatMap { case (q, v) =>
+          probeCells(v, bc.value, nProbe).iterator.map(c => (c, q, v))
+        }
+        .toDF("cell", "query_id", "qvec")
+      val probedCells = queries.select("cell").distinct()
+        .as[Int].collect().toSeq
+      val qSet = queryIds.toSet
+      val scored = all
+        // partition-pruned scan: only the probed cells' files are read
+        .filter(col("cell").isin(probedCells.map(Int.box): _*))
+        .join(broadcast(queries), Seq("cell"))
+        .filter(col("id") =!= col("query_id"))
+        .select(col("query_id"), col("id"), col("qvec"), col("vec"))
+        .as[(Long, Long, Array[Float], Array[Float])]
+        .filter(t => !qSet.contains(t._2))
+        .map { case (q, id, qv, v) => Scored(q, id, cosine(qv, v)) }
+      implicit val ord: Ordering[Scored] =
+        Ordering.by((s: Scored) => (-s.sim, s.neighbor_id))
+      scored.groupByKey(_.query_id)
+        .flatMapGroups { (_: Long, it: Iterator[Scored]) =>
+          val heap = scala.collection.mutable.PriorityQueue.empty[Scored](ord)
+          it.foreach { s =>
+            if (heap.size < k) heap.enqueue(s)
+            else if (ord.lt(s, heap.head)) { heap.dequeue(); heap.enqueue(s) }
+          }
+          heap.dequeueAll.sorted(ord)
+        }
+    }
+  }
+}

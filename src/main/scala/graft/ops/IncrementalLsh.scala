@@ -139,43 +139,17 @@ object IncrementalLsh {
   private def bandsDir(indexDir: String) = s"$indexDir/bands"
   private def shinglesDir(indexDir: String) = s"$indexDir/shingles"
 
-  /** COMMITTED round subdirectory indices under `dir` (r0, r1, ...).
-    * Bare directory existence is not commit evidence — a crash DURING a
-    * parquet write leaves the subdir present but partial (e.g. only
-    * `_temporary`). Completeness is gated on the `_SUCCESS` marker the
-    * Hadoop commit protocol writes only after every task file is
-    * finalized, so a half-written slot reads as absent and is
-    * overwritten on retry. A name must be `r` + at least one digit
-    * (a bare "r" is not a slot, not a crash).
-    */
-  private def roundIdxs(dir: String): Set[Int] = {
-    val p = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.isDirectory(p)) Set.empty
-    else {
-      val out = scala.collection.mutable.Set.empty[Int]
-      val s = java.nio.file.Files.list(p)
-      try s.forEach { c =>
-        val n = c.getFileName.toString
-        if (n.startsWith("r") && n.length > 1 && n.drop(1).forall(_.isDigit)
-            && java.nio.file.Files.exists(c.resolve("_SUCCESS")))
-          out += n.drop(1).toInt
-      } finally s.close()
-      out.toSet
-    }
-  }
-
-  /** Rounds safely readable: COMMITTED (per `_SUCCESS`) in BOTH tables.
-    * A round whose append died between or during the two writes leaves
-    * a dangling/partial subdir that is ignored on read and overwritten
-    * on retry — the index never serves bands whose verification
-    * shingles are missing or truncated, and a retried round lands in
-    * the same slot, so it cannot duplicate ids across "old" rounds
-    * (which would break cappedNewPairs' disjoint-ids precondition and
-    * admit self-pairs).
+  /** Rounds safely readable: COMMITTED (per `_SUCCESS`, see
+    * [[RoundSlots]]) in BOTH tables. A round whose append died between
+    * or during the two writes leaves a dangling/partial subdir that is
+    * ignored on read and overwritten on retry — the index never serves
+    * bands whose verification shingles are missing or truncated, and a
+    * retried round lands in the same slot, so it cannot duplicate ids
+    * across "old" rounds (which would break cappedNewPairs'
+    * disjoint-ids precondition and admit self-pairs).
     */
   private def completeRounds(indexDir: String): Seq[Int] =
-    (roundIdxs(bandsDir(indexDir)) intersect roundIdxs(shinglesDir(indexDir)))
-      .toSeq.sorted
+    RoundSlots.completeRounds(Seq(bandsDir(indexDir), shinglesDir(indexDir)))
 
   private def readRounds(spark: SparkSession, dir: String, rounds: Seq[Int],
                          empty: DataFrame): DataFrame =
@@ -197,6 +171,31 @@ object IncrementalLsh {
     * index append — pairs must be computed against the PRE-append
     * index); callers get a small already-computed frame back.
     */
+  /** Estimated serialized bytes per (id_a, id_b) pair row on the
+    * broadcast side (two longs + unsafe-row overhead, rounded up).
+    */
+  private val pairRowBytes = 48L
+
+  /** Join the capped pair set back onto a payload `lookup` table,
+    * guarded by MEASURED pair-set size: broadcast the pair set only
+    * when its estimated bytes fit the session's
+    * autoBroadcastJoinThreshold, else fall back to an unhinted join
+    * (shuffle hash / sort-merge on id). The caps bound the pair set to
+    * O(caps x touched buckets), but that product is config-dependent —
+    * a guard on the measured count beats trusting the bound. `pairsRaw`
+    * must be materialized (counted) — pass its row count.
+    */
+  private[graft] def joinPairsToLookup(spark: SparkSession, pairsRaw: DataFrame,
+                                       nPairRows: Long, lookup: DataFrame)
+      : DataFrame = {
+    val bcLimit = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val fits = bcLimit > 0 && nPairRows * pairRowBytes <= bcLimit
+    val pairSide = if (fits) broadcast(pairsRaw) else pairsRaw
+    pairSide
+      .join(lookup.toDF("id_a", "payload_a"), "id_a")
+      .join(lookup.toDF("id_b", "payload_b"), "id_b")
+  }
+
   def roundPairs(spark: SparkSession, indexDir: String, newDocs: DataFrame,
                  idCol: String, textCol: String,
                  shingleN: Int = 3, numHashes: Int = 32,
@@ -222,9 +221,16 @@ object IncrementalLsh {
     // unique across rounds — enforced by the caller's round partition)
     val lookup = oldShingles.select(col("id"), col("sh"))
       .unionByName(newShingled)
-    val pairs = cappedNewPairs(oldBands, newBands, maxBucket, acc)
-      .join(lookup.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(lookup.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    // materialize the capped pair set so the verify join is planned
+    // from its MEASURED size (broadcast only if it fits — see
+    // joinPairsToLookup); the checkpoint also pins the pair set before
+    // the append below mutates the index
+    val pairsRaw = cappedNewPairs(oldBands, newBands, maxBucket, acc)
+      .localCheckpoint()
+    val nPairRows = pairsRaw.count()
+    val pairs = joinPairsToLookup(spark, pairsRaw, nPairRows, lookup)
+      .withColumnRenamed("payload_a", "sh_a")
+      .withColumnRenamed("payload_b", "sh_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard_raw", col("inter") / greatest(col("uni"), lit(1.0)))

@@ -73,6 +73,9 @@ object SeqOracles {
   final case class Q44Row(host: String, phone: String, n_docs: Long)
   final case class Q61Row(user_id: Long, status: Long, phone: String)
   final case class Q45Row(id: String, count: Long, depth: Int, settled: Boolean)
+  final case class Q64Row(host: String, n_fetches: Long, n_ok: Long,
+                          first_ts: java.sql.Timestamp,
+                          last_ts: java.sql.Timestamp)
 
   // ------------------------------------------------------------------
   // crawl-derived (q50-q52 dumps; q53 aggregates q51's dump in SQL)
@@ -425,6 +428,44 @@ object SeqOracles {
     write(dumpRoot, "q45_facet_split", (leaves ++ frontier).sortBy(_.id).toDF())
   }
 
+  /** q64 session-window oracle: sequential gap-merge sessionization of
+    * the SAME derived fetch-event log the streaming query replays
+    * (host = user bucket, status from event_type). The replay's flush
+    * batches push the watermark past every real session's close point,
+    * so the streamed output must equal ALL sessions — this dump is
+    * schedule-free: a plain per-host fold over ts-sorted events,
+    * merging while the gap is within `gapSec` (the same millisecond
+    * arithmetic the operator contracts, full-precision timestamps kept
+    * for the session bounds).
+    */
+  private def q64Dump(spark: SparkSession, dir: String,
+                      dumpRoot: String): Unit = {
+    import spark.implicits._
+    val gapMs = 1800 * 1000L
+    val evs = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id", "ts", "event_type")
+      .as[(Long, java.sql.Timestamp, String)].collect()
+      .map { case (u, ts, et) =>
+        ("h" + (((u % 8) + 8) % 8), ts, if (et == "error") 503 else 200)
+      }
+    val out = evs.groupBy(_._1).toSeq.flatMap { case (host, es) =>
+      val sorted = es.sortBy(e => (e._2.getTime, e._2.getNanos))
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[Q64Row]
+      var cur: Q64Row = null
+      sorted.foreach { case (_, ts, status) =>
+        val ok = if (status == 200) 1L else 0L
+        if (cur == null) cur = Q64Row(host, 1L, ok, ts, ts)
+        else if (ts.getTime - cur.last_ts.getTime <= gapMs)
+          cur = cur.copy(n_fetches = cur.n_fetches + 1, n_ok = cur.n_ok + ok,
+                         last_ts = if (ts.after(cur.last_ts)) ts else cur.last_ts)
+        else { sessions += cur; cur = Q64Row(host, 1L, ok, ts, ts) }
+      }
+      if (cur != null) sessions += cur
+      sessions
+    }.sortBy(r => (r.host, r.first_ts.getTime, r.first_ts.getNanos))
+    write(dumpRoot, "q64_stream_sessions", out.toDF())
+  }
+
   /** Write every expected table under `dumpRoot`. Individual failures
     * are isolated: the affected query's oracle read fails, the rest
     * stay green.
@@ -444,5 +485,6 @@ object SeqOracles {
     guarded("q37q38")(q37q38Dump(spark, dir, dumpRoot))
     guarded("q45")(q45Dump(spark, dumpRoot))
     guarded("q60")(q60Dump(spark, dir, dumpRoot))
+    guarded("q64")(q64Dump(spark, dir, dumpRoot))
   }
 }

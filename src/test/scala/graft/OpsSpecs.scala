@@ -659,3 +659,141 @@ class IncrementalLshSpec extends SparkSuite {
     assert(pairs == Set((5000L, 5001L)))
   }
 }
+
+/** Incremental ANN maintenance ([[graft.ops.IncrementalAnn]]): the
+  * vector-side analogue of IncrementalLshSpec — near-dup rounds against
+  * a persisted hyperplane index, and the persisted IVF postings table
+  * with frozen centroids + re-train cadence.
+  */
+class IncrementalAnnSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.ops.{IncrementalAnn, IncrementalLsh, Similarity}
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private lazy val corpus = {
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"),
+              col("label"))
+    emb.union(planted).select(col("vec_id").as("id"),
+                              col("embedding").as("vec"))
+  }
+
+  test("incremental union equals batch cosineNearDups; later-member round emit") {
+    val idx = tmpDir("incann-")
+    val incr = (0 to 2).flatMap { r =>
+      IncrementalAnn.roundPairs(
+          spark, idx, corpus.filter(pmod(col("id"), lit(3)) === r),
+          "id", "vec", threshold = 0.9)
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, c) => (a, b, c, r) }
+    }
+    assert(incr.map(t => (t._1, t._2)).distinct.size == incr.size,
+           "a pair was emitted in more than one round")
+    incr.foreach { case (a, b, _, r) =>
+      assert(math.max(a % 3, b % 3) == r, s"pair ($a,$b) emitted in round $r")
+    }
+    val batch = Similarity.cosineNearDups(spark, corpus, "id", "vec",
+                                          threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(incr.map(t => (t._1, t._2, t._3)).toSet == batch)
+    assert(batch.nonEmpty, "degenerate: batch found no near-dups at 0.9")
+    // index now holds the whole corpus: an empty extra round is a no-op
+    val extra = IncrementalAnn.roundPairs(
+      spark, idx, corpus.limit(0), "id", "vec", threshold = 0.9)
+    assert(extra.count() == 0)
+  }
+
+  test("verify join falls back to a shuffle join when the pair set exceeds the broadcast limit") {
+    val pairs = (1L to 500L).flatMap(a => (a + 1 to math.min(a + 3, 500L))
+      .map(b => (a, b))).toDF("id_a", "id_b").localCheckpoint()
+    val n = pairs.count()
+    val lookup = (1L to 500L).map(i => (i, Array.fill(4)(i.toFloat)))
+      .toDF("id", "vec")
+    // count join operators in the FINAL (post-AQE) plan rendering —
+    // QueryStageExec wrappers hide subtrees from children-walks
+    def countIn(df: org.apache.spark.sql.DataFrame, op: String): Int = {
+      df.collect() // force execution so AQE finalizes the plan
+      val s = df.queryExecution.executedPlan.toString
+      s.sliding(op.length).count(_ == op)
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // limit far below n * 48 bytes: guard must NOT broadcast the pair
+      // set (AQE may still broadcast other small sides; assert the
+      // guard's own decision via the row-count arithmetic too)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      assert(n * 48L > 1024L)
+      val big = IncrementalLsh.joinPairsToLookup(spark, pairs, n, lookup)
+      assert(big.count() == n) // completes, correct cardinality
+      assert(countIn(big, "BroadcastHashJoin") == 0,
+             "guard must not broadcast an over-limit pair set")
+      // and with a generous limit the pair side IS broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (10 << 20).toString)
+      val small = IncrementalLsh.joinPairsToLookup(spark, pairs, n, lookup)
+      assert(countIn(small, "BroadcastHashJoin") >= 2,
+             "expected broadcast pair joins")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("IvfIndex: appended rounds answer queries identically to batch ivfTopK") {
+    val idx = new IncrementalAnn.IvfIndex(
+      spark, tmpDir("ivfidx-"), nCells = 8, iters = 4)
+    val rounds = (0 to 2).map(r => corpus.filter(pmod(col("id"), lit(3)) === r))
+    val (e0, r0) = idx.append(rounds(0), "id", "vec")
+    assert((e0, r0) == (0, 0))
+    val (e1, r1) = idx.append(rounds(1), "id", "vec")
+    val (e2, r2) = idx.append(rounds(2), "id", "vec")
+    assert((e1, r1) == (0, 1) && (e2, r2) == (0, 2))
+    val qids = (0L until 5L).toSeq
+    val got = idx.topK(qids, k = 5, nProbe = 3).collect()
+      .map(s => (s.query_id, s.neighbor_id, s.sim)).sortBy(t => (t._1, -t._3, t._2))
+    // batch over the same corpus with the SAME (frozen) centroids
+    val cs = idx.centroids()
+    val want = Similarity.ivfTopK(spark, corpus, "id", "vec", qids, 5,
+                                  nCells = 8, nProbe = 3,
+                                  centroidsOpt = Some(cs)).collect()
+      .map(s => (s.query_id, s.neighbor_id, s.sim)).sortBy(t => (t._1, -t._3, t._2))
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+  }
+
+  test("IvfIndex: retrain cadence opens a new committed epoch; answers stay batch-equal") {
+    val idx = new IncrementalAnn.IvfIndex(
+      spark, tmpDir("ivfidx-rt-"), nCells = 8, iters = 4, retrainEvery = 2)
+    val rounds = (0 to 2).map(r => corpus.filter(pmod(col("id"), lit(3)) === r))
+    idx.append(rounds(0), "id", "vec")            // e0/r0
+    val (e1, _) = idx.append(rounds(1), "id", "vec") // e0/r1 -> retrain -> e1/r0
+    assert(e1 == 1, s"expected retrain into epoch 1, got $e1")
+    assert(idx.activeEpoch() == 1 && idx.rounds() == Seq(0))
+    val (e2, r2) = idx.append(rounds(2), "id", "vec") // e1/r1 -> retrain -> e2/r0
+    assert((e2, r2) == (2, 0))
+    val qids = (0L until 5L).toSeq
+    val got = idx.topK(qids, k = 5, nProbe = 3).collect()
+      .map(s => (s.query_id, s.neighbor_id, s.sim)).sortBy(t => (t._1, -t._3, t._2))
+    val want = Similarity.ivfTopK(spark, corpus, "id", "vec", qids, 5,
+                                  nCells = 8, nProbe = 3,
+                                  centroidsOpt = Some(idx.centroids())).collect()
+      .map(s => (s.query_id, s.neighbor_id, s.sim)).sortBy(t => (t._1, -t._3, t._2))
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+  }
+
+  test("IvfIndex: an epoch without committed centroids is invisible; retry redoes it") {
+    val dir = tmpDir("ivfidx-crash-")
+    val idx = new IncrementalAnn.IvfIndex(spark, dir, nCells = 4, iters = 2)
+    val half = corpus.filter(pmod(col("id"), lit(2)) === 0)
+    idx.append(half, "id", "vec")
+    // simulate a re-train that died after writing e1's postings but
+    // before committing its centroids: e1 must be invisible
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/e1/cells/r0"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/e1/centroids/_temporary"))
+    assert(idx.activeEpoch() == 0)
+    val rest = corpus.filter(pmod(col("id"), lit(2)) === 1)
+    val (e, r) = idx.append(rest, "id", "vec")
+    assert((e, r) == (0, 1), s"append landed in ($e,$r)")
+    val qids = (0L until 3L).toSeq
+    val got = idx.topK(qids, k = 3, nProbe = 2).collect()
+    assert(got.nonEmpty)
+  }
+}

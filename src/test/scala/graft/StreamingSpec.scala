@@ -189,6 +189,78 @@ class StreamingSpec extends SparkSuite {
     assert(prog.values.map(_.pages).sum == 30)
   }
 
+  test("open-interval state holds bridge/backward-extend/interior fill; sealed sessions are final") {
+    // Pins the documented state boundary (Streams.scala hostSessions
+    // doc): BEFORE the watermark seals an interval, aggregate state
+    // (counts + bounds) admits ANY on-time reordering — an out-of-order
+    // event may bridge two open intervals, extend one backward before
+    // its first_ts, or fill its interior. AFTER the seal, the emitted
+    // aggregate is final: a later event inside the sealed span is
+    // watermark-late and dropped, never appended or re-emitted.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams.FetchEvent
+    implicit val sq = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val in = MemoryStream[FetchEvent]
+    val q = Streams.hostSessions(spark, in.toDS(), gapSeconds = 100)
+      .writeStream.format("memory").queryName("sessions_boundary")
+      .outputMode("append").start()
+    try {
+      // two open intervals [300,300] and [460,460] (160 s apart > gap)
+      in.addData(FetchEvent("h1", ts(300), 200), FetchEvent("h1", ts(460), 404))
+      q.processAllAvailable()
+      // watermark is now 360 (= 460 - gap). An on-time out-of-order
+      // event at 370 backward-extends [460] (460-370 <= gap) AND
+      // bridges to [300] (370-300 <= gap): one open interval [300,460]
+      in.addData(FetchEvent("h1", ts(370), 200))
+      q.processAllAvailable()
+      // interior fill: 420 lies inside the open interval — counts up,
+      // bounds unchanged
+      in.addData(FetchEvent("h1", ts(420), 200))
+      q.processAllAvailable()
+      assert(spark.table("sessions_boundary").count() == 0) // still open
+      // seal: watermark moves to 900 > close point 560
+      in.addData(FetchEvent("h2", ts(1000), 200))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_boundary").filter(col("host") === "h1")
+        .as[graft.streaming.Streams.HostSession].collect()
+      assert(closed.length == 1, s"got: ${closed.toSeq}")
+      assert(closed.head.first_ts == ts(300) && closed.head.last_ts == ts(460))
+      assert(closed.head.n_fetches == 4 && closed.head.n_ok == 3)
+      // NOT held: an event inside the sealed span arriving after the
+      // seal is watermark-late — dropped, the emitted aggregate never
+      // changes and no fragment session appears
+      in.addData(FetchEvent("h1", ts(400), 200))
+      q.processAllAvailable()
+      in.addData(FetchEvent("h2", ts(2500), 200))
+      q.processAllAvailable()
+      val after = spark.table("sessions_boundary").filter(col("host") === "h1")
+        .as[graft.streaming.Streams.HostSession].collect()
+      assert(after.length == 1 && after.head.n_fetches == 4,
+             s"late event mutated a sealed session: ${after.toSeq}")
+    } finally q.stop()
+  }
+
+  test("q65 replay: in-horizon re-arrivals drop, beyond-horizon re-arrivals pass") {
+    val got = SparkEntry.queries("q65_stream_dedup")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val ids = got.map(_.getAs[Long]("id"))
+    assert(ids.length == 60 + 12, s"got ${ids.length} rows")
+    assert(ids.count(_ % 10 == 0) == 60)   // every original
+    assert(ids.count(_ % 10 == 1) == 0)    // no in-horizon duplicate
+    assert(ids.count(_ % 10 == 2) == 12)   // every beyond-horizon re-arrival
+  }
+
+  test("q66 replay: streamed windowed counts equal the batch GROUP BY") {
+    val got = SparkEntry.queries("q66_stream_window_counts")(
+      spark, "/root/testdata/sf0.001").collect().map(_.toString).sorted.toSeq
+    val want = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .groupBy(date_trunc("day", col("ts")).as("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("streaming dedup drops in-horizon duplicates, passes firsts (true stream mode)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
