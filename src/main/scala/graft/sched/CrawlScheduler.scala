@@ -31,7 +31,7 @@ final case class CrawlConfig(
     hostRefill: Double = 8.0, // tokens refilled per scheduling round
     bloomBits: Int = 1 << 21, // TOTAL bloom bits (sharded across buckets)
     bloomHashes: Int = 5,
-    compactEvery: Int = 8, // seen LSM cadence (delta window + index merge)
+    compactEvery: Int = 8, // LSM cadence (seen delta window + index/frontier segment merge)
     simulateLatency: Boolean = false
 ) {
   /** Per-bucket bloom shard size; constant across rounds so shards stay
@@ -100,17 +100,19 @@ final case class RoundResult(round: Int, selected: Long, fetchedOk: Long,
   *     entirely — in steady state only discovery rounds pay it.
   *   - all state tables round-trip through storage each round, which
   *     truncates lineage (no ever-growing DAG) and is the checkpoint.
-  *   - the frontier is hash-bucketed by url_hash into binary bucket
-  *     files ([[graft.store.FrontierStore]], manifest-tracked like the
-  *     filter shards). Candidate exclusion is NOT a join: removals
-  *     (fetched/blocked/selected hashes) and additions (retries,
-  *     tier-surviving candidates) shuffle — delta-sized rows only — to
-  *     one update task per touched bucket, which loads its bucket file,
-  *     applies the delta with exact set semantics, and rewrites only
-  *     that bucket. The frontier itself never crosses a shuffle, and
-  *     the per-round rewrite is O(touched buckets), not O(|frontier|):
-  *     at a 10^10-entry frontier a drain-phase round touches only the
-  *     buckets its deltas land in.
+  *   - the frontier is hash-bucketed by url_hash into binary LSM
+  *     segment stacks ([[graft.store.FrontierStore]], manifest-tracked
+  *     like the seen-index segments). Candidate exclusion is NOT a
+  *     join: removals (fetched/blocked/selected hashes) and additions
+  *     (retries, tier-surviving candidates) shuffle — delta-sized rows
+  *     only — to one update task per touched bucket, which streams its
+  *     bucket's merged segment view, applies the delta with exact set
+  *     semantics, and appends ONE delta segment (entries + tombstones);
+  *     segments compact to a full base on the compactEvery cadence.
+  *     The frontier itself never crosses a shuffle, and the per-round
+  *     WRITE is O(|delta|) records, not O(touched-bucket size): at a
+  *     10^10-entry frontier a drain-phase round writes only the
+  *     handful of records its deltas produce.
   *   - the seen table is a two-level parquet LSM: per-round deltas fold
   *     into a level-1 run every `compactEvery` rounds (O(window delta)),
   *     runs fold into the seen_full base only every compactEvery² rounds
@@ -165,7 +167,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
         "robots" -> snaps.tablePath(0, "robots")),
       seenDeltaRounds = Seq(0), seenRunRounds = Nil, seenFullRound = -1,
       filterRounds = Map.empty, seenIndexSegs = Map.empty,
-      frontierRounds = byFb.keys.map(_ -> 0).toMap,
+      frontierSegs = byFb.keys.map(_ -> Seq(0)).toMap,
       frontierCounts = byFb.map { case (fb, es) => fb -> es.size.toLong },
       frontierPri0 = byFb.map { case (fb, es) =>
         fb -> es.count(_.priority == 0).toLong },
@@ -219,14 +221,16 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     // gate): executors keep their slice in memory or local disk instead
     // of re-deserializing every bucket from shared storage, then drop
     // it at commit — the frontier still never lives past its round.
-    val frontierRounds = m.frontierRounds
+    val frontierSegs = m.frontierSegs
     val frontier: Dataset[FrontierEntry] = spark
       .createDataset(spark.sparkContext.parallelize(
-        frontierRounds.toSeq.sortBy(_._1),
-        math.min(frontierRounds.size.max(1),
+        frontierSegs.toSeq.sortBy(_._1),
+        math.min(frontierSegs.size.max(1),
                  spark.sparkContext.defaultParallelism)))
-      .flatMap { case (fb, fr) =>
-        FrontierStore.iterateRequired(root, fr, fb) // streamed, O(1) mem
+      .flatMap { case (fb, segs) =>
+        // streamed k-way newest-wins merge of the bucket's LSM segment
+        // stack, O(#segments) buffered heads
+        FrontierStore.iterateMergedRequired(root, fb, segs)
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
     val robots = readT[RobotsRule](m.tables("robots"))
@@ -568,11 +572,16 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
         .write.mode("overwrite").parquet(snaps.tablePath(r, "seen_delta"))
     }
     // frontier bucket update: ONE group task per TOUCHED bucket streams
-    // its (url_hash-sorted) bucket file through a sorted merge against
-    // the round's delta and stream-writes the new file executor-side
-    // (atomic rename => retry-safe; file bytes are a pure function of
-    // the set => speculative duplicates are idempotent). Task memory is
-    // O(this bucket's DELTA) — removal hash sets plus sorted
+    // the bucket's merged LSM segment stack through a sorted merge
+    // against the round's delta and appends ONE new segment
+    // executor-side (atomic rename => retry-safe; segment bytes are a
+    // pure function of the delta => speculative duplicates are
+    // idempotent). Normally the segment holds only the round's DELTA —
+    // entry records for retries/accepted candidates, tombstones for
+    // removals — so write cost is O(delta); once the bucket's stack
+    // reaches compactEvery segments the task writes the full surviving
+    // set instead (a compacted base, resetting the stack). Task memory
+    // is O(this bucket's DELTA) — removal hash sets plus sorted
     // retry/candidate buffers; the bucket's STATE only ever streams, so
     // bucket size is bounded by disk, not executor heap. Only
     // nFb-bounded stat rows reach the driver.
@@ -582,6 +591,12 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     //             candidate — mutually exclusive by construction
     //   E-membership (candidate exclusion) = retry present, or old
     //             present && !remBoth (selected rows STAY members)
+    // Delta-segment records realizing it: retry => ENTRY (replaces old);
+    // old removed with an accepted candidate => ENTRY(candidate)
+    // (replacement, no tombstone needed); old removed otherwise =>
+    // TOMBSTONE; old surviving untouched => no record; accepted
+    // candidate on an absent hash => ENTRY.
+    val fCompactEvery = cfg.compactEvery
     val frontF = Future {
       frontierUpd
         .groupByKey(_.fb)
@@ -606,15 +621,18 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
             e.url_hash)).iterator.buffered
           val candIt = candsB.sortInPlace()(Ordering.by((e: FrontierEntry) =>
             (e.url_hash, e.priority, e.discovery_time))).iterator.buffered
-          val oldIt = frontierRounds.get(fb)
-            .map(fr => FrontierStore.iterateRequired(root, fr, fb))
-            .getOrElse(Iterator.empty[FrontierEntry]).buffered
+          val segRounds = frontierSegs.getOrElse(fb, Nil)
+          val oldIt = FrontierStore.iterateMergedRequired(root, fb, segRounds)
+            .buffered
+          val compact = segRounds.size + 1 >= fCompactEvery
           val w = FrontierStore.writer(root, r, fb)
           var n = 0L
           var nNew = 0L
           var nPri0 = 0L
-          def emit(e: FrontierEntry): Unit = {
-            w.add(e); n += 1; if (e.priority == 0) nPri0 += 1
+          // logical survivor (counts always; bytes only when compacting)
+          def emit(e: FrontierEntry, delta: Boolean): Unit = {
+            if (compact || delta) w.add(e)
+            n += 1; if (e.priority == 0) nPri0 += 1
           }
           while (oldIt.hasNext || retIt.hasNext || candIt.hasNext) {
             var h: String = null
@@ -623,27 +641,37 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
               h = retIt.head.url_hash
             if (candIt.hasNext && (h == null || candIt.head.url_hash < h))
               h = candIt.head.url_hash
-            var eMember = false
+            var retryE: FrontierEntry = null
             while (retIt.hasNext && retIt.head.url_hash == h) {
               val e = retIt.next()
-              if (!eMember) emit(e) // retries are hash-unique; defensive
-              eMember = true
+              if (retryE == null) retryE = e // retries are hash-unique; defensive
             }
-            while (oldIt.hasNext && oldIt.head.url_hash == h) {
-              val e = oldIt.next()
-              if (!remBoth.contains(h)) {
-                if (!eMember && !selSet.contains(h)) emit(e)
-                eMember = true
-              }
-            }
+            var oldE: FrontierEntry = null
+            while (oldIt.hasNext && oldIt.head.url_hash == h)
+              oldE = oldIt.next() // merged view is hash-unique
+            var candE: FrontierEntry = null
             while (candIt.hasNext && candIt.head.url_hash == h) {
               val c = candIt.next()
-              if (!eMember) { emit(c); nNew += 1; eMember = true }
+              if (candE == null) candE = c
             }
+            if (retryE != null) emit(retryE, delta = true)
+            else if (oldE != null) {
+              if (remBoth.contains(h)) {
+                // old removed; its hash is NOT an exclusion member, so a
+                // re-discovered candidate re-enters (replaces old)
+                if (candE != null) { emit(candE, delta = true); nNew += 1 }
+                else if (!compact) w.drop(h)
+              } else if (selSet.contains(h)) {
+                // removed from the frontier but an exclusion member this
+                // round (candidates stay excluded); future exclusion is
+                // the seen index's job
+                if (!compact) w.drop(h)
+              } else emit(oldE, delta = false) // untouched survivor
+            } else if (candE != null) { emit(candE, delta = true); nNew += 1 }
           }
           w.close()
           FrontierStat(fb, n, nNew, retriesB.size.toLong, nPri0,
-                       nBlockedRemoved)
+                       nBlockedRemoved, compacted = compact)
         }
         .collect()
     }
@@ -797,8 +825,12 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     val docsCnt = if (okMain > 0) obsL(obsDocs, "n") else 0L
     // frontier counters: touched buckets from this round's stats,
     // untouched buckets carried from the manifest — totals never
-    // require reading untouched buckets
-    val newFrontierRounds = frontierRounds ++ frontierStats.map(s => s.fb -> r)
+    // require reading untouched buckets. A touched bucket either
+    // appends this round's delta segment to its stack or (on the
+    // compactEvery cadence) resets the stack to the compacted base.
+    val newFrontierSegs = frontierSegs ++ frontierStats.map(s =>
+      s.fb -> (if (s.compacted) Seq(r)
+               else frontierSegs.getOrElse(s.fb, Nil) :+ r))
     val newFrontierCounts = m.frontierCounts ++ frontierStats.map(s => s.fb -> s.n)
     val newFrontierPri0 = m.frontierPri0 ++ frontierStats.map(s => s.fb -> s.n_pri0)
     val frontierLeft = newFrontierCounts.values.sum
@@ -813,7 +845,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
       seenDeltaRounds = seenDeltaRounds, seenRunRounds = seenRunRounds,
       seenFullRound = seenFullRound,
       filterRounds = newFilterRounds, seenIndexSegs = newSeenIndexSegs,
-      frontierRounds = newFrontierRounds,
+      frontierSegs = newFrontierSegs,
       frontierCounts = newFrontierCounts, frontierPri0 = newFrontierPri0,
       counters = Map(
         "selected" -> selectedCnt, "fetched_ok" -> okCnt,
@@ -923,21 +955,22 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
       Fetcher.entryOf(u, SyntheticWeb.priorityOf(u), r.toLong * 1000000L + i,
                       0, r, cfg.salts)
     }.distinctBy(_.url_hash)
-    var frontierRounds = m.frontierRounds
+    var frontierSegs = m.frontierSegs
     var frontierCounts = m.frontierCounts
     var frontierPri0 = m.frontierPri0
     val acceptedReseeds = scala.collection.mutable.ArrayBuffer.empty[FrontierEntry]
     reseedEntries.groupBy(e => fbucketOf(e.url_hash, cfg.frontierBuckets))
       .foreach { case (fb, es) =>
-        val old = frontierRounds.get(fb)
-          .map(fr => FrontierStore.readRequired(root, fr, fb))
-          .getOrElse(Array.empty[FrontierEntry])
+        val old = FrontierStore.readMergedRequired(
+          root, fb, frontierSegs.getOrElse(fb, Nil))
         val have = old.iterator.map(_.url_hash).toSet
         val add = es.filterNot(e => have(e.url_hash))
         if (add.nonEmpty) {
+          // revoke is administrative-scale: write a compacted full
+          // segment, resetting the bucket's stack
           val out = old ++ add
           FrontierStore.write(root, r, fb, out)
-          frontierRounds += fb -> r
+          frontierSegs += fb -> Seq(r)
           frontierCounts += fb -> out.length.toLong
           frontierPri0 += fb -> out.count(_.priority == 0).toLong
           acceptedReseeds ++= add
@@ -966,7 +999,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
       seenDeltaRounds = Nil, seenRunRounds = Nil, seenFullRound = r,
       filterRounds = m.filterRounds ++ updatedBuckets,
       seenIndexSegs = m.seenIndexSegs ++ updatedIdxBuckets,
-      frontierRounds = frontierRounds,
+      frontierSegs = frontierSegs,
       frontierCounts = frontierCounts, frontierPri0 = frontierPri0,
       counters = Map("frontier" -> frontierCnt, "frontier_pri0" -> pri0Cnt,
                      "revoked" -> revokedHashes.size.toLong,
@@ -1019,7 +1052,8 @@ object CrawlScheduler {
   final case class FUpd(fb: Int, op: Int, hash: String,
                         e: Option[FrontierEntry])
   final case class FrontierStat(fb: Int, n: Long, n_new: Long, n_retry: Long,
-                                n_pri0: Long, n_blocked: Long)
+                                n_pri0: Long, n_blocked: Long,
+                                compacted: Boolean)
 
   /** Frontier storage bucket of a url_hash (first 60 bits of the hex
     * sha-256, mod nFb) — independent of the host-hash filter buckets.

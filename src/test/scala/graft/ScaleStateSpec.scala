@@ -28,26 +28,84 @@ class ScaleStateSpec extends SparkSuite {
     val mLast = snaps.readManifest(last)
     assert(mLast.done)
 
-    // carry-forward: the final manifest references bucket files written
+    // carry-forward: the final manifest references segment files written
     // at DIFFERENT rounds — untouched buckets were never rewritten
-    assert(mLast.frontierRounds.values.toSet.size > 1,
-           s"every bucket rewritten every round: ${mLast.frontierRounds}")
-    // drain-phase rounds rewrite strictly fewer buckets than exist
+    assert(mLast.frontierSegs.values.flatten.toSet.size > 1,
+           s"every bucket rewritten every round: ${mLast.frontierSegs}")
+    // drain-phase rounds touch strictly fewer buckets than exist
     val writtenPerRound = (1 to last).map(r => frontierFilesAt(cfg.outDir, r).size)
-    assert(writtenPerRound.min < mLast.frontierRounds.size,
+    assert(writtenPerRound.min < mLast.frontierSegs.size,
            s"no round wrote fewer buckets than tracked: $writtenPerRound")
-    // a referenced untouched file is bit-identical to what its write
-    // round produced (nothing copied it forward)
-    mLast.frontierRounds.foreach { case (fb, fr) =>
-      val f = new java.io.File(Snapshots.frontierPathAt(cfg.outDir, fr, fb))
-      assert(f.exists(), s"referenced bucket file missing: $f")
+    // every referenced segment file exists (nothing copied it forward)
+    mLast.frontierSegs.foreach { case (fb, segs) =>
+      segs.foreach { fr =>
+        val f = new java.io.File(Snapshots.frontierPathAt(cfg.outDir, fr, fb))
+        assert(f.exists(), s"referenced segment file missing: $f")
+      }
     }
-    // manifest counts equal an actual read of every referenced bucket
-    val readTotal = mLast.frontierRounds.toSeq.map { case (fb, fr) =>
-      FrontierStore.readRequired(cfg.outDir, fr, fb).length.toLong
+    // manifest counts equal an actual merged read of every bucket stack
+    val readTotal = mLast.frontierSegs.toSeq.map { case (fb, segs) =>
+      FrontierStore.readMergedRequired(cfg.outDir, fb, segs).length.toLong
     }.sum
     assert(mLast.frontierCounts.values.sum == readTotal)
     assert(readTotal == 0L, "a drained crawl ends with an empty frontier")
+  }
+
+  test("frontier maintenance writes O(delta) records per round") {
+    // compactEvery high => no compactions: EVERY frontier write must be
+    // a delta-only segment whose RECORD count tracks the round's delta
+    // (adds + removals from the manifest counters), never the bucket's
+    // state size — the frontier analogue of the seen index's
+    // 32-bytes-per-delta assertion. A full-bucket rewrite carries every
+    // untouched surviving entry and blows through the bound.
+    val cfg = CrawlConfig(
+      web = WebConfig(seed = 31, nHosts = 4, listPagesPerHost = 3,
+                      detailsPerList = 6, crossHostLinkPct = 10),
+      outDir = tmpDir("scale-fdelta-"), maxRounds = 60,
+      hostCapacity = 4.0, hostRefill = 4.0, frontierBuckets = 16,
+      compactEvery = 1000)
+    val last = new CrawlScheduler(spark, cfg).run()
+    val snaps = new Snapshots(cfg.outDir)
+    assert(snaps.readManifest(last).done)
+    (1 to last).foreach { r =>
+      val m = snaps.readManifest(r)
+      val records = frontierFilesAt(cfg.outDir, r).map { f =>
+        val fb = f.getName.stripPrefix("fb-").stripSuffix(".bin").toInt
+        FrontierStore.iterateRecordsRequired(cfg.outDir, r, fb).size.toLong
+      }.sum
+      // per-hash the segment holds at most one record, sourced from the
+      // round's delta ops only: selected rows (retry entry or
+      // tombstone), accepted candidates (entries), robots/blocked
+      // removals (tombstones). selected counts robots seq-0 fetches too,
+      // so 2x(selected + new + blocked) is a strict delta-side envelope.
+      val deltaBound = 2L * (m.counters.getOrElse("selected", 0L) +
+        m.counters.getOrElse("new_urls", 0L) +
+        m.counters.getOrElse("robots_blocked", 0L)) + 4L
+      assert(records <= deltaBound,
+             s"round $r: frontier segment records $records exceed the " +
+               s"delta envelope $deltaBound — maintenance is rewriting " +
+               "state, not appending deltas")
+    }
+    // and the merged view still drains to empty
+    val mLast = snaps.readManifest(last)
+    assert(mLast.frontierSegs.toSeq.map { case (fb, segs) =>
+      FrontierStore.readMergedRequired(cfg.outDir, fb, segs).length.toLong
+    }.sum == 0L)
+  }
+
+  test("frontier segments compact on the compactEvery cadence") {
+    val cfg = CrawlConfig(
+      web = WebConfig(seed = 31, nHosts = 4, listPagesPerHost = 3,
+                      detailsPerList = 6, crossHostLinkPct = 10),
+      outDir = tmpDir("scale-fcomp-"), maxRounds = 60,
+      hostCapacity = 4.0, hostRefill = 4.0, frontierBuckets = 16,
+      compactEvery = 3)
+    val last = new CrawlScheduler(spark, cfg).run()
+    val m = new Snapshots(cfg.outDir).readManifest(last)
+    m.frontierSegs.foreach { case (fb, segs) =>
+      assert(segs.size <= cfg.compactEvery,
+             s"frontier bucket $fb segments never compacted: $segs")
+    }
   }
 
   test("seen-index maintenance writes O(delta) bytes per round") {
@@ -143,7 +201,7 @@ class ScaleStateSpec extends SparkSuite {
     sched.init()
     sched.runRound(1)
     val m = new Snapshots(cfg.outDir).readManifest(1)
-    val (fb, fr) = m.frontierRounds.head
+    val (fb, fr) = m.frontierSegs.map { case (b, segs) => b -> segs.last }.head
     val lost = new java.io.File(Snapshots.frontierPathAt(cfg.outDir, fr, fb))
     assert(lost.delete(), s"could not delete $lost")
     val e = intercept[Exception] { sched.runRound(2) }
