@@ -121,6 +121,97 @@ object Bench {
   private def fmt(v: Double, decimals: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
 
+  /** Median-of-3 timing with a count-drift guard: a repeat whose
+    * invariant count differs must fail loudly, never skew the median.
+    */
+  private def med3(f: => (Double, Long)): (Double, Long) = {
+    val runs = (1 to 3).map(_ => f)
+    require(runs.map(_._2).distinct.size == 1,
+            s"bench drift: ${runs.map(_._2)}")
+    (runs.map(_._1).sorted.apply(1), runs.head._2)
+  }
+
+  private def timed(f: => Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val v = f
+    ((System.nanoTime() - t0) / 1e9, v)
+  }
+
+  /** Part-4 body (factored so it is independently runnable): returns
+    * (vectors, batch_sec, batch_pairs, incr_round2_sec, incr_pairs).
+    */
+  private[graft] def annAtScale(s4: SparkSession, sfDir: String)
+      : (Long, Double, Long, Double, Long, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val base = s4.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id0"), col("embedding"))
+    val vecs = base.crossJoin(
+        s4.range(0, 64).select(col("id").cast("int").as("k")))
+      .select(
+        (col("id0") * 64 + col("k")).as("id"),
+        when(col("k") <= 1, col("embedding"))
+          .otherwise(
+            // k >= 2: an INDEPENDENT hash-random vector per (id0, k) —
+            // entries uniform in [-1, 1] via xxhash64, so pairwise
+            // cosine concentrates near 0 (std ~ 1/8 at 64 dims), nowhere
+            // near the 0.9999 threshold: the planted k=0/k=1 mirrors are
+            // the exact expected pair set. (Sinusoid or scaled-copy
+            // designs are wrong here — same-frequency sinusoids
+            // correlate as cos(phase delta), and sin-phase aliasing
+            // makes some scaled copies near-identical.)
+            transform(sequence(lit(0), lit(63)),
+                      i => ((pmod(xxhash64(col("id0") * 64 + col("k"), i),
+                                  lit(2001)) - 1000) / 1000.0).cast("float")))
+          .as("vec"))
+      .persist()
+    val nVecs = vecs.count()
+    // 16-bit band buckets: at 128k vectors, 10-bit banding (the
+    // small-corpus default) leaves ~125 unrelated vectors per bucket and
+    // quadratic candidate generation dominates (~64M candidate pairs,
+    // measured 2 min); 2^16 buckets keep random collisions rare while
+    // identical mirrors still share every band (recall 1.0 structural).
+    // Band resolution scales with corpus size — the same dial a 100 TB
+    // deployment turns.
+    val bandBits = 16
+    val (tBatch, nBatchPairs) = med3(timed(
+      graft.ops.Similarity.cosineNearDups(s4, vecs, "id", "vec",
+                                          threshold = 0.9999,
+                                          bits = bandBits).count()))
+    // two regimes, both against a FRESH index per repeat:
+    //   - round 2 = the other HALF of the corpus (64k new vectors) —
+    //     every bucket is touched, so the pass is batch-shaped work
+    //     plus index I/O (the union-equals-batch contract lives here);
+    //   - round 3 = a SMALL delta (2,000 new exact mirrors of the
+    //     originals) against the full 128k index — the steady-state
+    //     maintenance regime where per-round cost is O(delta), the
+    //     number that separates incremental from batch.
+    val delta = base.select((lit(10000000L) + col("id0")).as("id"),
+                            col("embedding").as("vec"))
+    val incrRuns = (1 to 3).map { _ =>
+      val idx = java.nio.file.Files
+        .createTempDirectory("bench-incann-").toString
+      val r1c = graft.ops.IncrementalAnn.roundPairs(
+        s4, idx, vecs.filter(pmod(col("id"), lit(2)) === 0), "id",
+        "vec", threshold = 0.9999, bits = bandBits).count()
+      val (t2, r2c) = timed(graft.ops.IncrementalAnn.roundPairs(
+        s4, idx, vecs.filter(pmod(col("id"), lit(2)) === 1), "id",
+        "vec", threshold = 0.9999, bits = bandBits).count())
+      val (t3, r3c) = timed(graft.ops.IncrementalAnn.roundPairs(
+        s4, idx, delta, "id", "vec", threshold = 0.9999,
+        bits = bandBits).count())
+      ((t2, t3), (r1c + r2c, r3c))
+    }
+    require(incrRuns.map(_._2).distinct.size == 1,
+            s"ann bench drift: ${incrRuns.map(_._2)}")
+    val tIncr = incrRuns.map(_._1._1).sorted.apply(1)
+    val tIncrSmall = incrRuns.map(_._1._2).sorted.apply(1)
+    val (annUnion, annSmallPairs) = incrRuns.head._2
+    require(annUnion >= nBatchPairs,
+            s"ann incremental union $annUnion < batch $nBatchPairs")
+    vecs.unpersist()
+    (nVecs, tBatch, nBatchPairs, tIncr, annUnion, tIncrSmall, annSmallPairs)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -228,18 +319,7 @@ object Bench {
         val nDocs = copies.count()
         // part 3 timings are medians-of-3 like parts 1/2: single runs
         // swing 2-3x with JIT warmup and machine noise. Counts must not
-        // drift between repeats.
-        def med3(f: => (Double, Long)): (Double, Long) = {
-          val runs = (1 to 3).map(_ => f)
-          require(runs.map(_._2).distinct.size == 1,
-                  s"part-3 drift: ${runs.map(_._2)}")
-          (runs.map(_._1).sorted.apply(1), runs.head._2)
-        }
-        def timed(f: => Long): (Double, Long) = {
-          val t0 = System.nanoTime()
-          val v = f
-          ((System.nanoTime() - t0) / 1e9, v)
-        }
+        // drift between repeats (med3's require).
         val (tExact, nClusters) = med3(timed(
           graft.ops.Dedup.exactClusters(copies, "id", "text")
             .filter(col("n_dups") > 1).count()))
@@ -286,6 +366,20 @@ object Bench {
          r1 + r2)
       } finally s3.stop()
 
+    // part 4: ANN at scale — the embeddings table expanded 64x
+    // (~128k vectors at sf0.1): k=0 original, k=1 an EXACT mirror (the
+    // planted cosine-1.0 pair), k=2.. deterministically perturbed
+    // (elementwise scale in [0.7, 1.3] — cosine vs original ~0.96,
+    // far below the 0.9999 threshold). Batch hyperplane-banded near-dup
+    // vs incremental maintenance (IncrementalAnn): the corpus arrives
+    // in two rounds split so every mirror pair straddles them (k
+    // parity); round 2 — new vectors against the persisted band index —
+    // is the steady-state maintenance cost.
+    val s4 = session(cpus)
+    val (annVecs, annBatchSec, annBatchPairs, annIncrSec, annIncrPairs,
+         annSmallSec, annSmallPairs) =
+      try annAtScale(s4, sfDir) finally s4.stop()
+
     val qs = qTimes.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
     val total = qTimes.filter(_._2 >= 0).map(_._2).sum
@@ -303,6 +397,11 @@ object Bench {
         s""""dedup_at_scale":{"docs":$dedupDocs,"exact_sec":${fmt(exactSec, 2)},""" +
         s""""exact_clusters":$exactClusters,"lsh_sec":${fmt(lshSec, 2)},""" +
         s""""lsh_pairs":$lshPairs,"lsh_dropped_rows":$lshDropped,""" +
-        s""""incr_round2_sec":${fmt(incrSec, 2)},"incr_pairs":$incrPairs}}""")
+        s""""incr_round2_sec":${fmt(incrSec, 2)},"incr_pairs":$incrPairs},""" +
+        s""""ann_at_scale":{"vecs":$annVecs,"batch_sec":${fmt(annBatchSec, 2)},""" +
+        s""""batch_pairs":$annBatchPairs,"incr_round2_sec":${fmt(annIncrSec, 2)},""" +
+        s""""incr_pairs":$annIncrPairs,""" +
+        s""""incr_small_delta_sec":${fmt(annSmallSec, 2)},""" +
+        s""""incr_small_delta_pairs":$annSmallPairs}}""")
   }
 }

@@ -747,6 +747,68 @@ object SparkEntry {
                .otherwise(0L)).as("fetched_retryable"))
         .orderBy("round", "bucket")
     }),
+    "q67_training_shard" -> ((s, _) => {
+      // The full training-data pipeline as ONE query over the crawl
+      // output: extract (text spans -> page text), exact dedup
+      // (content_key, keep min doc_id), near-dup (MinHash LSH at
+      // jaccard 1.0 — equal shingle sets survive exact dedup when only
+      // punctuation differs; drop the higher id of every verified
+      // pair), token/quality/lang-id annotation with a minimum-length
+      // gate, and per-doc multimodal metadata joined back — the
+      // committed training-shard table. Every stage is the same library
+      // operator the standalone queries test; the oracle recomposes the
+      // semantics in SQL over the INDEPENDENT SeqOracles sequential
+      // dumps (q50/q52/q39), so the composition is checked end to end.
+      val snaps = new Snapshots(CrawlOnce.dir(s))
+      val docs = s.read.parquet(snaps.docsPaths(CrawlOnce.lastRound(s)): _*)
+      val texts = docs.select(
+          col("doc_id"), col("url"), col("host"),
+          concat_ws(" ",
+            transform(filter(col("spans"),
+                             sp => sp.getField("kind") === lit("text")),
+                      sp => sp.getField("text"))).as("text"))
+        .withColumn("content_key", TextOps.content_key(col("text")))
+      // exact dedup: one shuffle on the 64-char key, keep-min winner
+      val keep = texts.groupBy("content_key").agg(min(col("doc_id")).as("doc_id"))
+      val exact = texts.join(keep, Seq("content_key", "doc_id"))
+      // doc_id is a sha-256 hex STRING; the near-dup machinery keys on
+      // longs, so give survivors an order-PRESERVING numeric surrogate
+      // (drop-the-higher then agrees with the oracle's lexicographic
+      // doc_id comparison). row_number is driver-scale here (crawl
+      // fixture); at corpus scale the 60-bit hex prefix serves the same
+      // role.
+      val sid = exact.withColumn(
+        "nid", row_number().over(Window.orderBy("doc_id")).cast("long"))
+      val nearDrop = Dedup.minhashNearDups(sid, "nid", "text",
+                                           shingleN = 3, numHashes = 32,
+                                           rowsPerBand = 4, threshold = 1.0)
+        .select(col("id_b").as("nid")).distinct()
+      val deduped = sid.join(nearDrop, Seq("nid"), "left_anti").drop("nid")
+      // multimodal: per-doc image refs joined to the decoded metadata
+      // (tiny dimension -> broadcast)
+      val meta = Multimodal.imageMeta(s, Multimodal.mediaTableFromDocs(s, docs))
+      val imgPerDoc = docs
+        .select(col("doc_id"), explode(col("spans")).as("sp"))
+        .filter(col("sp.kind") === "image")
+        .select(col("doc_id"), col("sp.media_ref").as("media_ref")).distinct()
+        .join(broadcast(meta.select(col("media_ref"), col("n_bytes"))),
+              Seq("media_ref"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_images"), sum(col("n_bytes")).as("img_bytes"))
+      deduped
+        .withColumn("n_tokens", TextOps.token_count(col("text")).cast("long"))
+        .filter(col("n_tokens") >= 5)
+        .withColumn("lang_pred", TextOps.lang_id(col("text")))
+        .withColumn("stop_ratio", TextOps.stopword_ratio(col("text")))
+        .withColumn("mean_wlen", TextOps.mean_word_len(col("text")))
+        .join(imgPerDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("url"), col("host"), col("lang_pred"),
+                col("n_tokens"), col("stop_ratio"), col("mean_wlen"),
+                col("content_key"),
+                coalesce(col("n_images"), lit(0L)).as("n_images"),
+                coalesce(col("img_bytes"), lit(0L)).as("img_bytes"))
+        .orderBy("doc_id")
+    }),
     // ---------------- streaming (deterministic replay oracles) --------
     "q64_stream_sessions" -> ((s, dir) => {
       import s.implicits._
@@ -1205,6 +1267,101 @@ object SparkEntry {
          |   AS BIGINT) AS fetched_retryable
          |FROM read_parquet('${graft.oracle.SeqOracles.root}/q51_crawl_fetch_log/*.parquet')
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q67_training_shard" ->
+      // end-to-end pipeline oracle: recomposed in SQL over the
+      // INDEPENDENT sequential dumps — q52 (spans) for text assembly
+      // and image refs, q50 for the doc list, q39 for decoded image
+      // metadata. Near-dup at jaccard 1.0 == equal 3-shingle sets
+      // (i = |A∩B| = |A| = |B|), the same structural guarantee q58
+      // rides; token/stop/lang formulas are q29/q30/q31's.
+      s"""WITH d AS (SELECT doc_id, url, host
+         |  FROM read_parquet('${graft.oracle.SeqOracles.root}/q50_crawl_docs/*.parquet')),
+         |sp AS (SELECT *
+         |  FROM read_parquet('${graft.oracle.SeqOracles.root}/q52_crawl_spans/*.parquet')),
+         |t0 AS (SELECT doc_id, string_agg(text, ' ' ORDER BY "offset") AS text
+         |       FROM sp WHERE kind = 'text' GROUP BY doc_id),
+         |texts AS (SELECT d.doc_id, d.url, d.host,
+         |                 coalesce(t0.text, '') AS text,
+         |                 sha256(regexp_replace(lower(trim(coalesce(t0.text, ''))),
+         |                                       '\\s+', ' ', 'g')) AS content_key
+         |          FROM d LEFT JOIN t0 USING (doc_id)),
+         |keep AS (SELECT content_key, min(doc_id) AS doc_id
+         |         FROM texts GROUP BY 1),
+         |exact AS (SELECT t.* FROM texts t
+         |          JOIN keep k ON t.doc_id = k.doc_id
+         |                     AND t.content_key = k.content_key),
+         |words AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+         |              x -> x <> '') AS ws FROM exact),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2],' ') AS gram
+         |  FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) g
+         |  WHERE len(ws) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1,2),
+         |drops AS (SELECT DISTINCT id_b AS doc_id FROM inter
+         |          JOIN sizes sa ON sa.doc_id = id_a
+         |          JOIN sizes sb ON sb.doc_id = id_b
+         |          WHERE i = sa.n_grams AND i = sb.n_grams),
+         |deduped AS (SELECT e.* FROM exact e
+         |            LEFT JOIN drops x USING (doc_id) WHERE x.doc_id IS NULL),
+         |qw AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+         |              x -> x <> '') AS ws FROM deduped),
+         |lw AS (SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^\\p{L}]+'),
+         |                x -> x <> '') AS ws,
+         |    length(regexp_replace(text, '\\s+', '', 'g')) AS total_chars,
+         |    length(regexp_replace(text,
+         |      '[^\\x{4e00}-\\x{9fff}\\x{3400}-\\x{4dbf}]', '', 'g')) AS cjk
+         |  FROM deduped),
+         |lh AS (SELECT doc_id, ws, total_chars, cjk,
+         |    len(list_filter(ws, x -> x IN
+         |      ('the','and','of','is','to','in','that','it','with','for'))) AS h_en,
+         |    len(list_filter(ws, x -> x IN
+         |      ('der','die','das','und','ist','nicht','mit','ein','zu','von'))) AS h_de,
+         |    len(list_filter(ws, x -> x IN
+         |      ('el','la','los','las','que','es','en','un','una','por'))) AS h_es,
+         |    len(list_filter(ws, x -> x IN
+         |      ('le','la','les','et','est','un','une','dans','pour','que'))) AS h_fr
+         |  FROM lw),
+         |ann AS (SELECT dd.doc_id,
+         |  CAST(CASE WHEN length(trim(dd.text))=0 THEN 0
+         |       ELSE len(regexp_split_to_array(trim(dd.text),'\\s+')) END
+         |    AS BIGINT) AS n_tokens,
+         |  round(len(list_filter(qw.ws, x -> x IN
+         |    ('the','a','an','of','and','or','to','in','is','it')))::DOUBLE
+         |    / greatest(len(qw.ws),1), 4) AS stop_ratio,
+         |  round(list_sum(list_transform(qw.ws, x -> length(x)))::DOUBLE
+         |    / greatest(len(qw.ws),1), 4) AS mean_wlen,
+         |  CASE
+         |    WHEN lh.total_chars > 0 AND lh.cjk::DOUBLE / lh.total_chars > 0.2
+         |      THEN 'zh'
+         |    WHEN len(lh.ws) = 0 OR greatest(h_en,h_de,h_es,h_fr) = 0 THEN 'und'
+         |    WHEN h_en = greatest(h_en,h_de,h_es,h_fr) THEN 'en'
+         |    WHEN h_de = greatest(h_de,h_es,h_fr) THEN 'de'
+         |    WHEN h_es = greatest(h_es,h_fr) THEN 'es'
+         |    ELSE 'fr'
+         |  END AS lang_pred
+         |  FROM deduped dd JOIN qw USING (doc_id) JOIN lh USING (doc_id)),
+         |img0 AS (SELECT DISTINCT doc_id, media_ref FROM sp WHERE kind = 'image'),
+         |imgs AS (SELECT i.doc_id, count(*) AS n_images,
+         |                CAST(sum(m.n_bytes) AS BIGINT) AS img_bytes
+         |         FROM img0 i
+         |         JOIN read_parquet('${graft.oracle.SeqOracles.root}/q39_media_from_crawl/*.parquet') m
+         |           USING (media_ref)
+         |         GROUP BY 1)
+         |SELECT dd.doc_id, dd.url, dd.host, ann.lang_pred, ann.n_tokens,
+         |       ann.stop_ratio, ann.mean_wlen, dd.content_key,
+         |       coalesce(imgs.n_images, 0) AS n_images,
+         |       coalesce(imgs.img_bytes, 0) AS img_bytes
+         |FROM deduped dd JOIN ann USING (doc_id)
+         |LEFT JOIN imgs USING (doc_id)
+         |WHERE ann.n_tokens >= 5
+         |ORDER BY dd.doc_id""".stripMargin,
     // streaming operators, replay-oracled: q64 diffs against a
     // sequential sessionization dump (gap merge is not native DuckDB);
     // q65/q66 reduce to pure batch semantics by replay construction,
