@@ -427,6 +427,30 @@ object SparkEntry {
           .withColumn("emit_round", lit(r))
       }.reduce(_ unionByName _).orderBy("id_a", "id_b")
     }),
+    "q68_ivf_index_topk" -> ((s, dir) => {
+      // The persisted IVF index lifecycle as one query (the ANN-query
+      // analogue of q63's near-dup maintenance; reference behavior it
+      // scales: the same round-append ingest as indeed/main.go:66-70
+      // discovery): the embeddings corpus arrives in 3 ingest rounds;
+      // epoch-0 centroids train on round 0 and FREEZE, rounds append
+      // cell assignments O(delta) map-side; retrainEvery=2 exercises
+      // the epoch re-train protocol twice, so the final active epoch's
+      // centroids are trained over the FULL corpus — which is what the
+      // sequential oracle recomputes (a posting lost or duplicated in
+      // any round/epoch transition breaks the neighbor compare).
+      val idxDir =
+        java.nio.file.Files.createTempDirectory("graft-q68-ivf-").toString
+      val e = T(s, dir, "embeddings")
+      val idx = new IncrementalAnn.IvfIndex(s, idxDir, nCells = 16,
+                                            iters = 4, retrainEvery = 2)
+      (0 to 2).foreach { r =>
+        idx.append(e.filter(pmod(col("vec_id"), lit(3)) === r),
+                   "vec_id", "embedding")
+      }
+      idx.topK((0L until 10L).toSeq, k = 5, nProbe = 4).toDF()
+        .withColumn("sim", round(col("sim"), 4))
+        .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+    }),
     // ---------------- multimodal (real PNG/JPEG/GIF decode) -----------
     "q37_image_meta" -> ((s, dir) => {
       val media = Multimodal.syntheticMediaTable(s, T(s, dir, "documents"), "doc_id")
@@ -1184,6 +1208,8 @@ object SparkEntry {
         |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin,
     "q35_ann_lsh" -> dumpSql("q35_ann_lsh", "query_id, sim DESC, neighbor_id"),
     "q57_ann_ivf" -> dumpSql("q57_ann_ivf", "query_id, sim DESC, neighbor_id"),
+    "q68_ivf_index_topk" ->
+      dumpSql("q68_ivf_index_topk", "query_id, sim DESC, neighbor_id"),
     "q36_embedding_neardup" ->
       // planted ground truth: every vec_id<20 is duplicated at +10000
       // with an identical embedding (cosine exactly 1.0 after rounding);

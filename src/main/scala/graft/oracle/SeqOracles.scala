@@ -297,6 +297,63 @@ object SeqOracles {
           out.sortBy(r => (r.query_id, -r.sim, r.neighbor_id)).toSeq.toDF())
   }
 
+  /** Sequential oracle for q68's persisted-IVF-index lifecycle. With
+    * retrainEvery=2 and 3 ingest rounds the index ends on an epoch whose
+    * centroids were re-trained over the FULL corpus (Lloyd initialized
+    * from the nCells smallest ids — the init never depends on earlier
+    * epochs), so the expected answer is: one sequential Lloyd over the
+    * whole table, then the q57-style assignment/probe/re-rank loops in
+    * plain Scala. Lloyd accumulates in DOUBLE and rounds to float only
+    * at the division, exactly like `Similarity.kmeansDistributed` — the
+    * ~1e-13 relative error of double-summing a few thousand floats is
+    * far below float's ulp, so summation order cannot move the float
+    * centroids. The geometry primitives (nearestCell/probeCells/cosine)
+    * are shared, as in q57; everything the index adds — round slots,
+    * epoch commits, posting survival — is independent and breaks this
+    * compare if a vector is lost or duplicated anywhere in the
+    * append/re-train chain.
+    */
+  private def q68Dump(spark: SparkSession, dir: String, dumpRoot: String): Unit = {
+    import spark.implicits._
+    val (nCells, iters, nProbe, k) = (16, 4, 4, 5)
+    val all = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    val dim = all.head._2.length
+    var cs = all.take(nCells).map(_._2.clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cs.length)(new Array[Double](dim))
+      val counts = new Array[Long](cs.length)
+      all.foreach { case (_, v) =>
+        val c = Similarity.nearestCell(v, cs)
+        counts(c) += 1
+        var d = 0
+        while (d < dim) { sums(c)(d) += v(d); d += 1 }
+      }
+      cs = cs.indices.map { c =>
+        if (counts(c) == 0) cs(c)
+        else Array.tabulate(dim)(d => (sums(c)(d) / counts(c)).toFloat)
+      }.toArray
+      it += 1
+    }
+    val centroids = cs
+    val cellOf: Map[Long, Int] =
+      all.map { case (id, v) => id -> Similarity.nearestCell(v, centroids) }.toMap
+    val queryIds = (0L until 10L).toSet
+    val out = all.filter(t => queryIds.contains(t._1)).flatMap { case (q, qv) =>
+      val probes = Similarity.probeCells(qv, centroids, nProbe).toSet
+      all.iterator
+        .filter(t => !queryIds.contains(t._1) && probes.contains(cellOf(t._1)))
+        .map(t => (t._1, Similarity.cosine(qv, t._2)))
+        .toVector
+        .sortBy(c => (-c._2, c._1)).take(k)
+        .map { case (id, sim) => Q35Row(q, id, round4(sim)) }
+    }
+    write(dumpRoot, "q68_ivf_index_topk",
+          out.sortBy(r => (r.query_id, -r.sim, r.neighbor_id)).toSeq.toDF())
+  }
+
   /** Expected multimodal metadata recomputed from [[MediaGen]]'s pure
     * parameter functions (dims/channels/frame counts) and the pixel
     * contract (frame hashes fold the pixel FUNCTION directly) — the
@@ -482,6 +539,7 @@ object SeqOracles {
     guarded("q32")(q32Dump(spark, dir, dumpRoot))
     guarded("q35")(q35Dump(spark, dir, dumpRoot))
     guarded("q57")(q57Dump(spark, dir, dumpRoot))
+    guarded("q68")(q68Dump(spark, dir, dumpRoot))
     guarded("q37q38")(q37q38Dump(spark, dir, dumpRoot))
     guarded("q45")(q45Dump(spark, dumpRoot))
     guarded("q60")(q60Dump(spark, dir, dumpRoot))

@@ -15,6 +15,7 @@ class OracleDumpSpec extends SparkSuite {
   /** Queries oracled by a parquet dump (name -> dump dir name). */
   private val dumpQueries = Seq(
     "q28_simhash", "q32_fingerprint", "q35_ann_lsh", "q57_ann_ivf",
+    "q68_ivf_index_topk",
     "q37_image_meta",
     "q38_frame_sample", "q39_media_from_crawl", "q43_next_data_extract",
     "q44_enrich_join", "q45_facet_split", "q50_crawl_docs",
