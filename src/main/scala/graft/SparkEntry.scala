@@ -427,6 +427,37 @@ object SparkEntry {
           .withColumn("emit_round", lit(r))
       }.reduce(_ unionByName _).orderBy("id_a", "id_b")
     }),
+    "q69_salted_join" -> ((s, dir) => {
+      // Skew.saltedJoin under a deliberately hot key: 90% of events map
+      // to one customer, the regime where an unsalted shuffle puts 90%
+      // of the big side in one task. The salted join's contract is
+      // exact inner-join equality — oracled as the plain SQL join.
+      val ev = T(s, dir, "events")
+        .select(col("event_id"), col("value"),
+                when(pmod(col("user_id"), lit(10)) < 9, lit(1L))
+                  .otherwise(pmod(col("user_id"), lit(150)) + 1)
+                  .as("c_custkey"))
+      val cust = T(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      graft.ops.Skew.saltedJoin(ev, cust, "c_custkey", salts = 8)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_events"),
+             round(sum(col("value")), 2).as("sum_value"))
+        .orderBy("c_nationkey")
+    }),
+    "q70_two_phase_topk" -> ((s, dir) => {
+      // Skew.topKByGroup: the window-free two-phase top-k whose task
+      // memory is O(k) regardless of group size — oracled against the
+      // single-window ROW_NUMBER formulation it must equal exactly
+      // (the order includes a unique tiebreak, so both are total).
+      graft.ops.Skew.topKByGroup(
+          T(s, dir, "orders")
+            .select(col("o_orderpriority"), col("o_totalprice"),
+                    col("o_orderkey")),
+          "o_orderpriority",
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 5)
+        .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
+                 col("o_orderkey"))
+    }),
     "q68_ivf_index_topk" -> ((s, dir) => {
       // The persisted IVF index lifecycle as one query (the ANN-query
       // analogue of q63's near-dup maintenance; reference behavior it
@@ -1210,6 +1241,24 @@ object SparkEntry {
     "q57_ann_ivf" -> dumpSql("q57_ann_ivf", "query_id, sim DESC, neighbor_id"),
     "q68_ivf_index_topk" ->
       dumpSql("q68_ivf_index_topk", "query_id, sim DESC, neighbor_id"),
+    "q69_salted_join" ->
+      // the salted join must equal the plain inner join bit-for-bit
+      """SELECT c_nationkey, count(*) AS n_events,
+        | round(sum(value),2) AS sum_value
+        |FROM (SELECT event_id, value,
+        |        CASE WHEN user_id % 10 < 9 THEN 1
+        |             ELSE user_id % 150 + 1 END AS c_custkey
+        |      FROM events) e
+        |JOIN customer USING (c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q70_two_phase_topk" ->
+      """SELECT o_orderpriority, o_totalprice, o_orderkey
+        |FROM (SELECT o_orderpriority, o_totalprice, o_orderkey,
+        |        row_number() OVER (PARTITION BY o_orderpriority
+        |                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 5
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
     "q36_embedding_neardup" ->
       // planted ground truth: every vec_id<20 is duplicated at +10000
       // with an identical embedding (cosine exactly 1.0 after rounding);

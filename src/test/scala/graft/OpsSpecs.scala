@@ -777,6 +777,60 @@ class IncrementalAnnSpec extends SparkSuite {
     assert(got.nonEmpty && got.toSeq == want.toSeq)
   }
 
+  test("IvfIndex.topK: postings scan is partition-pruned to probed cells; no vector rides a shuffle") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val dir = tmpDir("ivfidx-prune-")
+    val idx = new IncrementalAnn.IvfIndex(spark, dir, nCells = 8, iters = 4)
+    idx.append(corpus.filter(pmod(col("id"), lit(2)) === 0), "id", "vec")
+    idx.append(corpus.filter(pmod(col("id"), lit(2)) === 1), "id", "vec")
+    // AQE's QueryStageExec leaves hide scan nodes (and their metrics)
+    // from a plain collect — run this plan-shape probe with AQE off;
+    // the broadcast is an explicit hint, so the join shape is unchanged
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = idx.topK(Seq(0L, 1L), k = 3, nProbe = 1).toDF()
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p                        => p
+      }
+      // the claim in PLANS.md: a candidate scan reads ~nProbe/nCells of
+      // the postings files via the cell= layout. The query-vector-
+      // resolution scan legitimately filters by id, not cell — so the
+      // cell-filtered scans are exactly the candidate side (one per
+      // appended round), and THEY must prune.
+      val scans = plan.collect {
+        case s: FileSourceScanExec
+            if s.partitionFilters.exists(_.references.exists(_.name == "cell"))
+          => s
+      }
+      assert(scans.size >= 2,
+             s"expected a cell-filtered candidate scan per round, got ${scans.size}")
+      // behavioral proof the filter PRUNED: the candidate scans together
+      // read strictly fewer parquet files than exist under the cells
+      // layout (2 queries x nProbe=1 probe at most 2 of the 8 cells)
+      val onDisk = {
+        val s = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(s"$dir/e0/cells"))
+        try s.filter(p => p.getFileName.toString.endsWith(".parquet")).count()
+        finally s.close()
+      }
+      val scanned = scans.map(_.metrics("numFiles").value).sum
+      assert(scanned < onDisk,
+             s"no pruning: scanned $scanned of $onDisk postings files")
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      exchanges.foreach { e =>
+        val fat = e.output.filter(_.dataType == ArrayType(FloatType))
+        assert(fat.isEmpty,
+               s"IvfIndex.topK shuffles vectors: ${fat.map(_.name)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("IvfIndex: an epoch without committed centroids is invisible; retry redoes it") {
     val dir = tmpDir("ivfidx-crash-")
     val idx = new IncrementalAnn.IvfIndex(spark, dir, nCells = 4, iters = 2)
