@@ -59,8 +59,22 @@ object IncrementalAnn {
       .toDF("band", "bucket", "id")
   }
 
-  private def bandsDir(indexDir: String) = s"$indexDir/bands"
-  private def vecsDir(indexDir: String) = s"$indexDir/vecs"
+  // table dirs live inside the ACTIVE generation (RoundSlots'
+  // compaction layer — same LSM fold as [[IncrementalLsh.compact]])
+  private def bandsDir(indexDir: String) =
+    s"${RoundSlots.genDir(indexDir, RoundSlots.activeGen(indexDir))}/bands"
+  private def vecsDir(indexDir: String) =
+    s"${RoundSlots.genDir(indexDir, RoundSlots.activeGen(indexDir))}/vecs"
+
+  /** Fold all complete rounds into a fresh single-slot generation and
+    * drop superseded generations (crash-safe, marker-committed).
+    */
+  def compact(spark: SparkSession, indexDir: String): Boolean = {
+    val folded = RoundSlots.compactTables(spark, indexDir,
+                                          Seq("bands", "vecs"))
+    if (folded) RoundSlots.gcOldGenerations(indexDir)
+    folded
+  }
 
   private def completeRounds(indexDir: String): Seq[Int] =
     RoundSlots.completeRounds(Seq(bandsDir(indexDir), vecsDir(indexDir)))
@@ -84,7 +98,8 @@ object IncrementalAnn {
                  idCol: String, vecCol: String, threshold: Double,
                  tables: Int = 8, bits: Int = 10, seed: Long = 7L,
                  maxBucket: Int = 1024,
-                 acc: Option[LongAccumulator] = None): DataFrame = {
+                 acc: Option[LongAccumulator] = None,
+                 compactEvery: Int = 0): DataFrame = {
     import spark.implicits._
     val newVecs = newEmb
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
@@ -118,6 +133,8 @@ object IncrementalAnn {
     newBands.write.mode("overwrite").parquet(s"${bandsDir(indexDir)}/r$k")
     newVecs.write.mode("overwrite").parquet(s"${vecsDir(indexDir)}/r$k")
     newVecs.unpersist()
+    // LSM fold on the caller's cadence: bounded slot count, same data
+    if (compactEvery > 0 && k + 1 >= compactEvery) compact(spark, indexDir)
     pairs
   }
 
@@ -173,6 +190,31 @@ object IncrementalAnn {
 
     /** Active (highest committed) epoch, or -1 when the index is empty. */
     def activeEpoch(): Int = epochIdxs().lastOption.getOrElse(-1)
+
+    /** Delete epochs below the active one, committed or not — a
+      * re-train supersedes its full ancestry, and an uncommitted lower
+      * epoch is a dead dangling write. Safe between queries.
+      */
+    def gcOldEpochs(): Unit = {
+      val act = activeEpoch()
+      if (act < 0) return
+      val p = java.nio.file.Paths.get(indexDir)
+      val olds = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      val ls = java.nio.file.Files.list(p)
+      try ls.forEach { c =>
+        val n = c.getFileName.toString
+        if (n.startsWith("e") && n.length > 1 && n.drop(1).forall(_.isDigit)
+            && n.drop(1).toInt < act)
+          olds += c
+      } finally ls.close()
+      olds.foreach { root =>
+        val s = java.nio.file.Files.walk(root)
+        try {
+          s.sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => java.nio.file.Files.deleteIfExists(q))
+        } finally s.close()
+      }
+    }
 
     /** Committed rounds of the active epoch. */
     def rounds(): Seq[Int] = {

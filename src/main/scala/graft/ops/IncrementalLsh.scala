@@ -136,8 +136,25 @@ object IncrementalLsh {
       .dropDuplicates("id_a", "id_b")
   }
 
-  private def bandsDir(indexDir: String) = s"$indexDir/bands"
-  private def shinglesDir(indexDir: String) = s"$indexDir/shingles"
+  // table dirs live inside the ACTIVE generation (see RoundSlots'
+  // generation layer: compaction folds all rounds into g<j+1>/…/r0, so
+  // slot count stays bounded instead of growing one per ingest round)
+  private def bandsDir(indexDir: String) =
+    s"${RoundSlots.genDir(indexDir, RoundSlots.activeGen(indexDir))}/bands"
+  private def shinglesDir(indexDir: String) =
+    s"${RoundSlots.genDir(indexDir, RoundSlots.activeGen(indexDir))}/shingles"
+
+  /** Fold all complete rounds into a fresh single-slot generation
+    * (crash-safe: committed by marker, old generation serves until
+    * then) and drop superseded generations. Call on the same cadence
+    * as the crawl's seen-state compaction.
+    */
+  def compact(spark: SparkSession, indexDir: String): Boolean = {
+    val folded = RoundSlots.compactTables(spark, indexDir,
+                                          Seq("bands", "shingles"))
+    if (folded) RoundSlots.gcOldGenerations(indexDir)
+    folded
+  }
 
   /** Rounds safely readable: COMMITTED (per `_SUCCESS`, see
     * [[RoundSlots]]) in BOTH tables. A round whose append died between
@@ -201,7 +218,8 @@ object IncrementalLsh {
                  shingleN: Int = 3, numHashes: Int = 32,
                  rowsPerBand: Int = 4, threshold: Double = 0.8,
                  maxBucket: Int = 1024,
-                 acc: Option[LongAccumulator] = None): DataFrame = {
+                 acc: Option[LongAccumulator] = None,
+                 compactEvery: Int = 0): DataFrame = {
     import spark.implicits._
     val newShingled = newDocs
       .select(col(idCol).cast("long").as("id"),
@@ -244,6 +262,8 @@ object IncrementalLsh {
     newBands.write.mode("overwrite").parquet(s"${bandsDir(indexDir)}/r$k")
     newShingled.write.mode("overwrite").parquet(s"${shinglesDir(indexDir)}/r$k")
     newShingled.unpersist()
+    // LSM fold on the caller's cadence: bounded slot count, same data
+    if (compactEvery > 0 && k + 1 >= compactEvery) compact(spark, indexDir)
     pairs
   }
 }

@@ -509,6 +509,45 @@ class IncrementalLshSpec extends SparkSuite {
                 concat(col("text"), lit(" zz qq")).as("text")))
   }
 
+  test("index compaction: folds rounds into a fresh generation; output unchanged; old gens GC'd") {
+    import graft.ops.RoundSlots
+    val idx = tmpDir("inclsh-compact-")
+    // 4 rounds with a fold every 2: results must match the no-compaction
+    // run exactly (same pairs, same emit rounds)
+    def run(dir: String, every: Int) = (0 to 3).flatMap { r =>
+      IncrementalLsh.roundPairs(
+          spark, dir, corpus.filter(pmod(col("id"), lit(4)) === r),
+          "id", "text", shingleN = 3, numHashes = 32, rowsPerBand = 4,
+          threshold = 0.5, compactEvery = every)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, j) => (a, b, j, r) }.toSet
+    }.toSet
+    val plain = run(tmpDir("inclsh-plain-"), 0)
+    val folded = run(idx, 2)
+    assert(folded == plain && folded.nonEmpty)
+    // generations advanced and superseded ones are gone; the active
+    // generation's slot count is bounded by the cadence, not the round
+    // count (4 rounds, compactEvery=2 -> 1 folded slot + <=1 fresh)
+    val gen = RoundSlots.activeGen(idx)
+    assert(gen >= 1, s"expected at least one fold, active gen $gen")
+    (0 until gen).foreach { j =>
+      assert(!java.nio.file.Files.exists(
+               java.nio.file.Paths.get(RoundSlots.genDir(idx, j))),
+             s"superseded generation g$j not GC'd")
+    }
+    val slots = RoundSlots.roundIdxs(s"${RoundSlots.genDir(idx, gen)}/bands")
+    assert(slots.size <= 2, s"unbounded slots after compaction: $slots")
+    // crash-safe switch: a dangling UNCOMMITTED higher generation (fold
+    // died before the marker) is invisible — reads still serve gen
+    val dang = java.nio.file.Paths.get(RoundSlots.genDir(idx, gen + 1), "bands")
+    java.nio.file.Files.createDirectories(dang)
+    assert(RoundSlots.activeGen(idx) == gen)
+    val extra = IncrementalLsh.roundPairs(
+      spark, idx, corpus.limit(0), "id", "text", 3, 32, 4, 0.5)
+    assert(extra.count() == 0)
+  }
+
   test("incremental union equals batch; pairs emit in the later member's round") {
     val idx = tmpDir("inclsh-")
     val incr = (0 to 2).flatMap { r =>
@@ -758,8 +797,9 @@ class IncrementalAnnSpec extends SparkSuite {
   }
 
   test("IvfIndex: retrain cadence opens a new committed epoch; answers stay batch-equal") {
+    val rtDir = tmpDir("ivfidx-rt-")
     val idx = new IncrementalAnn.IvfIndex(
-      spark, tmpDir("ivfidx-rt-"), nCells = 8, iters = 4, retrainEvery = 2)
+      spark, rtDir, nCells = 8, iters = 4, retrainEvery = 2)
     val rounds = (0 to 2).map(r => corpus.filter(pmod(col("id"), lit(3)) === r))
     idx.append(rounds(0), "id", "vec")            // e0/r0
     val (e1, _) = idx.append(rounds(1), "id", "vec") // e0/r1 -> retrain -> e1/r0
@@ -775,6 +815,16 @@ class IncrementalAnnSpec extends SparkSuite {
                                   centroidsOpt = Some(idx.centroids())).collect()
       .map(s => (s.query_id, s.neighbor_id, s.sim)).sortBy(t => (t._1, -t._3, t._2))
     assert(got.nonEmpty && got.toSeq == want.toSeq)
+    // superseded epochs GC; answers unchanged from the surviving epoch
+    idx.gcOldEpochs()
+    (0 to 1).foreach { j =>
+      assert(!java.nio.file.Files.exists(
+               java.nio.file.Paths.get(s"$rtDir/e$j")),
+             s"superseded epoch e$j not GC'd")
+    }
+    val after = idx.topK(qids, k = 5, nProbe = 3).collect()
+      .map(s => (s.query_id, s.neighbor_id, s.sim)).sortBy(t => (t._1, -t._3, t._2))
+    assert(after.toSeq == got.toSeq)
   }
 
   test("IvfIndex.topK: postings scan is partition-pruned to probed cells; no vector rides a shuffle") {
