@@ -491,6 +491,15 @@ object SparkEntry {
       val media = Multimodal.syntheticMediaTable(s, T(s, dir, "documents"), "doc_id")
       Multimodal.sampleFrames(s, media, everyN = 7).orderBy("media_ref", "frame_idx")
     }),
+    "q71_frame_profile" -> ((s, dir) => {
+      // feature-extract + resize over DECODED frames: every 3rd frame's
+      // ink count and the hash of its nearest-neighbor 8x8 resample —
+      // the oracle recomputes both from MediaGen's pure pixel functions
+      // without running the decoder under test (q37/q38's contract)
+      val media = Multimodal.syntheticMediaTable(s, T(s, dir, "documents"), "doc_id")
+      Multimodal.profileFrames(s, media, everyN = 3, dw = 8, dh = 8)
+        .orderBy("media_ref", "frame_idx")
+    }),
     // ---------------- sources / unnest / sinks ----------------
     "q40_taxonomy_unnest" -> ((s, _) => {
       // S7 embedded JSON literal scan + J5 parent replication
@@ -1275,6 +1284,7 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 20 ORDER BY id_a""".stripMargin,
     "q37_image_meta" -> dumpSql("q37_image_meta", "media_ref"),
     "q38_frame_sample" -> dumpSql("q38_frame_sample", "media_ref, frame_idx"),
+    "q71_frame_profile" -> dumpSql("q71_frame_profile", "media_ref, frame_idx"),
     "q39_media_from_crawl" -> dumpSql("q39_media_from_crawl", "media_ref"),
     "q43_next_data_extract" -> dumpSql("q43_next_data_extract", "doc_id"),
     "q44_enrich_join" -> dumpSql("q44_enrich_join", "host"),

@@ -237,15 +237,16 @@ object HeaderCodec extends Multimodal.Codec {
         s"unsupported media header: ${bytes.take(4).map(b => f"${b & 0xff}%02x").mkString(" ")}")
 
   /** GIF frame boundaries: (lzwMinCodeSize, concatenated data
-    * sub-blocks, frame width*height). One entry per image descriptor.
+    * sub-blocks, frame width, frame height). One entry per image
+    * descriptor.
     */
-  private def gifFrames(b: Array[Byte]): Vector[(Int, Array[Byte], Int)] = {
+  private def gifFrames(b: Array[Byte]): Vector[(Int, Array[Byte], Int, Int)] = {
     require(isGif(b), "not a GIF")
     var i = 10
     val packed = u8(b, i)
     i += 3 // packed, bg color, aspect
     if ((packed & 0x80) != 0) i += 3 * (1 << ((packed & 0x07) + 1)) // GCT
-    val frames = Vector.newBuilder[(Int, Array[Byte], Int)]
+    val frames = Vector.newBuilder[(Int, Array[Byte], Int, Int)]
     def skipSubBlocks(): Unit = {
       while (u8(b, i) != 0) i += 1 + u8(b, i)
       i += 1
@@ -269,7 +270,7 @@ object HeaderCodec extends Multimodal.Codec {
             i += 1 + len
           }
           i += 1
-          frames += ((minCode, data.toByteArray, fw * fh))
+          frames += ((minCode, data.toByteArray, fw, fh))
         case other =>
           throw new IllegalArgumentException(f"GIF block 0x$other%02x at $i")
       }
@@ -338,8 +339,48 @@ object HeaderCodec extends Multimodal.Codec {
       MediaGen.pixelFold(bytes.iterator.map(_ & 1))
     }
 
-  private def hashFrame(f: (Int, Array[Byte], Int)): Long =
-    MediaGen.pixelFold(lzwDecode(f._1, f._2, f._3).iterator)
+  private def hashFrame(f: (Int, Array[Byte], Int, Int)): Long =
+    MediaGen.pixelFold(lzwDecode(f._1, f._2, f._3 * f._4).iterator)
+
+  /** Decode + profile one frame: ink = nonzero pixel count; resized
+    * hash = pixelFold over the nearest-neighbor resample (the mapping
+    * contract in [[Multimodal.Codec.frameProfile]]'s doc).
+    */
+  private def profileOf(f: (Int, Array[Byte], Int, Int),
+                        dw: Int, dh: Int): (Long, Long) = {
+    val (minCode, data, fw, fh) = f
+    val px = lzwDecode(minCode, data, fw * fh)
+    var ink = 0L
+    var i = 0
+    while (i < px.length) { if (px(i) != 0) ink += 1; i += 1 }
+    val resized = (0 until dh).iterator.flatMap { ty =>
+      val sy = ty * fh / dh
+      (0 until dw).iterator.map { tx => px(sy * fw + tx * fw / dw) }
+    }
+    (ink, MediaGen.pixelFold(resized))
+  }
+
+  override def frameProfile(bytes: Array[Byte], idx: Int,
+                            dw: Int, dh: Int): (Long, Long) =
+    if (isGif(bytes)) {
+      val fs = gifFrames(bytes)
+      require(idx >= 0 && idx < fs.size, s"frame $idx of ${fs.size}")
+      profileOf(fs(idx), dw, dh)
+    } else
+      throw new IllegalArgumentException(
+        "frameProfile needs a decodable multi-frame container (GIF here; " +
+          "native-codec-backed Codec for real video on a cluster)")
+
+  /** One container parse per payload (see sampleFrameHashes). */
+  override def profileFrames(bytes: Array[Byte], everyN: Int,
+                             dw: Int, dh: Int): Iterator[(Int, Long, Long)] =
+    if (isGif(bytes)) {
+      val fs = gifFrames(bytes)
+      (0 until fs.size by everyN).iterator.map { i =>
+        val (ink, rh) = profileOf(fs(i), dw, dh)
+        (i, ink, rh)
+      }
+    } else super.profileFrames(bytes, everyN, dw, dh)
 
   /** One container parse per payload (the default trait impl would
     * re-walk + re-copy every frame's sub-blocks once per sampled frame).

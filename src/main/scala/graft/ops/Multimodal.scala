@@ -26,6 +26,8 @@ object Multimodal {
                              channels: Int, n_bytes: Long)
   final case class FrameSample(media_ref: String, frame_idx: Int,
                                frame_hash: Long)
+  final case class FrameProfile(media_ref: String, frame_idx: Int,
+                                n_ink: Long, resized_hash: Long)
 
   /** Decoder boundary. [[HeaderCodec]] is the in-sandbox real
     * implementation; cluster deployments swap in a native-codec-backed
@@ -43,6 +45,26 @@ object Multimodal {
     def sampleFrameHashes(bytes: Array[Byte], everyN: Int): Iterator[(Int, Long)] =
       (0 until frameCount(bytes) by everyN).iterator
         .map(i => (i, frameHash(bytes, i)))
+
+    /** Feature-extract + resize over the DECODED pixels of frame `idx`:
+      * (ink, resized_hash) where ink = count of nonzero palette indices
+      * and resized_hash = [[MediaGen.pixelFold]] over a nearest-neighbor
+      * resample to `dw` x `dh` in raster order — source pixel of target
+      * (tx, ty) is (tx*w/dw, ty*h/dh), integer floor. The mapping is the
+      * CONTRACT: oracles recompute both numbers from the pure pixel
+      * functions without running the decoder.
+      */
+    def frameProfile(bytes: Array[Byte], idx: Int, dw: Int, dh: Int): (Long, Long)
+
+    /** (frame_idx, ink, resized_hash) for frames 0, everyN, … — override
+      * when the container parse is non-trivial (parse once per payload).
+      */
+    def profileFrames(bytes: Array[Byte], everyN: Int,
+                      dw: Int, dh: Int): Iterator[(Int, Long, Long)] =
+      (0 until frameCount(bytes) by everyN).iterator.map { i =>
+        val (ink, rh) = frameProfile(bytes, i, dw, dh)
+        (i, ink, rh)
+      }
   }
 
   /** Deterministic payload for a media ref discovered in crawled docs —
@@ -143,6 +165,32 @@ object Multimodal {
         it.flatMap { case (ref, bytes) =>
           c.sampleFrameHashes(bytes, everyN)
             .map { case (i, h) => FrameSample(ref, i, h) }
+        }
+      }
+      .toDF()
+  }
+
+  /** Per-frame feature extraction + resize over video payloads: every
+    * `everyN`th frame decodes once and emits (ink count, hash of the
+    * nearest-neighbor `dw` x `dh` resample) — the resize/feature-extract
+    * verbs of a training-data media stage, batch-shaped like
+    * [[sampleFrames]] (one decoder per partition, one container parse
+    * per payload).
+    */
+  def profileFrames(spark: SparkSession, media: DataFrame, everyN: Int,
+                    dw: Int, dh: Int,
+                    codec: Codec = HeaderCodec): DataFrame = {
+    require(everyN > 0 && dw > 0 && dh > 0,
+            s"positive everyN/dw/dh required, got ($everyN, $dw, $dh)")
+    import spark.implicits._
+    media.filter(col("kind") === "video")
+      .select(col("media_ref"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        val c = codec
+        it.flatMap { case (ref, bytes) =>
+          c.profileFrames(bytes, everyN, dw, dh)
+            .map { case (i, ink, rh) => FrameProfile(ref, i, ink, rh) }
         }
       }
       .toDF()

@@ -385,6 +385,26 @@ object SeqOracles {
       }
     }.sortBy(f => (f.media_ref, f.frame_idx))
     write(dumpRoot, "q38_frame_sample", q38.toSeq.toDF())
+
+    // q71 frame profiles: ink + nearest-neighbor 8x8 resize hash, both
+    // straight from the pure pixel function (the decoder never runs
+    // here — a resize-mapping or LZW bug on either side breaks this)
+    val (everyN, dw, dh) = (3, 8, 8)
+    val q71 = ids.filter(_ % 3 == 0).flatMap { id =>
+      val seed = MediaGen.seedOfId(id)
+      val (w, h) = MediaGen.videoDims(seed)
+      val n = MediaGen.frameCountOf(seed)
+      (0 until n by everyN).map { f =>
+        val ink =
+          (0 until w * h).count(i => MediaGen.pixel(seed, f, i) != 0).toLong
+        val rh = MediaGen.pixelFold(
+          (0 until dh).iterator.flatMap(ty =>
+            (0 until dw).iterator.map(tx =>
+              MediaGen.pixel(seed, f, (ty * h / dh) * w + tx * w / dw))))
+        Multimodal.FrameProfile(s"https://media.test/m-$id.gif", f, ink, rh)
+      }
+    }.sortBy(p => (p.media_ref, p.frame_idx))
+    write(dumpRoot, "q71_frame_profile", q71.toSeq.toDF())
   }
 
   /** Independent plain-Scala xxHash64 (from the published xxHash spec)

@@ -431,6 +431,31 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("frameProfile: ink + nearest-neighbor resize match the pure pixel function") {
+    val seed = 31L
+    val (w, h, nFrames) = (13, 9, 3)
+    val bytes = graft.ops.MediaGen.gif(w, h, nFrames, seed)
+    // downsample (8x8 < 13x9 in x), exact (13x9), and upsample (20x16)
+    Seq((8, 8), (13, 9), (20, 16)).foreach { case (dw, dh) =>
+      (0 until nFrames).foreach { f =>
+        val (ink, rh) = graft.ops.HeaderCodec.frameProfile(bytes, f, dw, dh)
+        val wantInk = (0 until w * h)
+          .count(i => graft.ops.MediaGen.pixel(seed, f, i) != 0).toLong
+        val wantRh = graft.ops.MediaGen.pixelFold(
+          (0 until dh).iterator.flatMap(ty =>
+            (0 until dw).iterator.map(tx =>
+              graft.ops.MediaGen.pixel(seed, f, (ty * h / dh) * w + tx * w / dw))))
+        assert(ink == wantInk, s"ink at ${(dw, dh)} frame $f")
+        assert(rh == wantRh, s"resize hash at ${(dw, dh)} frame $f")
+      }
+    }
+    // single-frame formats refuse (content is not LZW-decodable here)
+    intercept[IllegalArgumentException] {
+      graft.ops.HeaderCodec.frameProfile(
+        graft.ops.MediaGen.png(20, 20, alpha = false), 0, 8, 8)
+    }
+  }
+
   test("header parser rejects garbage instead of inventing metadata") {
     val garbage = Array.tabulate[Byte](64)(i => (i * 7).toByte)
     intercept[IllegalArgumentException] {
