@@ -380,6 +380,32 @@ object Bench {
          annSmallSec, annSmallPairs) =
       try annAtScale(s4, sfDir) finally s4.stop()
 
+    // part 5: connected components at scale — 2M nodes in 100k chains
+    // of 20 (a path graph is the adversarial shape for label
+    // propagation; large-star/small-star contracts it in O(log n)
+    // alternations). Counts are structural: exactly nodes/20 components
+    // of size 20, asserted each repeat via the med3 drift check.
+    val s5 = session(cpus)
+    val (ccSec, ccComponents) =
+      try {
+        import org.apache.spark.sql.functions._
+        val chainLen = 20L
+        val nNodes = 2000000L
+        val edges = s5.range(0, nNodes)
+          .filter(pmod(col("id"), lit(chainLen)) =!= (chainLen - 1))
+          .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+        val (t, nComp) = med3(timed {
+          val comp = graft.ops.ConnectedComponents.components(edges)
+          val sizes = comp.groupBy("component_id").count()
+          val bad = sizes.filter(col("count") =!= chainLen).count()
+          require(bad == 0, s"$bad components of wrong size")
+          sizes.count()
+        })
+        require(nComp == nNodes / chainLen,
+                s"expected ${nNodes / chainLen} components, got $nComp")
+        (t, nComp)
+      } finally s5.stop()
+
     val qs = qTimes.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
     val total = qTimes.filter(_._2 >= 0).map(_._2).sum
@@ -402,6 +428,8 @@ object Bench {
         s""""batch_pairs":$annBatchPairs,"incr_round2_sec":${fmt(annIncrSec, 2)},""" +
         s""""incr_pairs":$annIncrPairs,""" +
         s""""incr_small_delta_sec":${fmt(annSmallSec, 2)},""" +
-        s""""incr_small_delta_pairs":$annSmallPairs}}""")
+        s""""incr_small_delta_pairs":$annSmallPairs},""" +
+        s""""cc_at_scale":{"nodes":2000000,"components":$ccComponents,""" +
+        s""""sec":${fmt(ccSec, 2)}}}""")
   }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.fetch.SimulatedFetcher
 import graft.model.FrontierEntry
-import graft.ops.{Dedup, Extract, FacetSplit, IncrementalAnn, IncrementalLsh, Multimodal, Similarity, TextOps}
+import graft.ops.{ConnectedComponents, Dedup, Extract, FacetSplit, IncrementalAnn, IncrementalLsh, Multimodal, Packing, Sampling, Similarity, TextOps}
 import graft.parse.{CssSelect, HtmlSpans, TrimHtml}
 import graft.sources.{CursorSource, GraphQlSource}
 import graft.sched.{CrawlConfig, CrawlScheduler}
@@ -347,6 +347,86 @@ object SparkEntry {
             threshold = 0.5)
           .withColumn("emit_round", lit(r))
       }.reduce(_ unionByName _).orderBy("id_a", "id_b")
+    }),
+    "q72_neardup_clusters" -> ((s, dir) => {
+      // pairs -> CLUSTERS: the composition step a dedup pipeline runs
+      // after LSH — connected components (large-star/small-star) over
+      // the verified pair graph, min-id canonical representative, keep
+      // flag on the canonical member. Pairs here are the exact-jaccard
+      // set so the oracle is pure SQL (recursive-CTE closure in DuckDB).
+      val pairs = Dedup.ngramJaccardPairs(dedupCorpus(s, dir), "id", "text", 3, 0.5)
+      ConnectedComponents.clusters(pairs).orderBy("id")
+    }),
+    "q73_stratified_sample" -> ((s, dir) => {
+      // deterministic mixture sampling: per-language keep rates as a
+      // pure hash predicate — identical across runs/retries/cluster
+      // sizes. Rates duplicated independently in the SeqOracles dump.
+      Sampling.stratifiedSample(
+          T(s, dir, "documents").select("doc_id", "lang"),
+          "lang", "doc_id",
+          rates = Map("en" -> 1.0, "de" -> 0.5, "zh" -> 0.25),
+          defaultRate = 0.1, seed = "mix-v1")
+        .orderBy("doc_id")
+    }),
+    "q74_pii_redact" -> ((s, dir) => {
+      // PII scrub: deterministic planted email+phone per doc (appended
+      // to the real text), redacted by the codegen'd regexp chain;
+      // match counts audit the redaction. Patterns are alternation-free
+      // so the Java and RE2 (DuckDB) dialects agree.
+      val raw = concat(
+        col("text"), lit(" Reach u"), col("doc_id").cast("string"),
+        lit(".x@mail-"), col("lang"), lit(".example.com or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" thanks"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+                TextOps.redact_pii(col("raw")).as("clean"),
+                TextOps.pii_email_count(col("raw")).cast("long").as("n_emails"),
+                TextOps.pii_phone_count(col("raw")).cast("long").as("n_phones"))
+        .orderBy("doc_id")
+    }),
+    "q75_repetition" -> ((s, dir) => {
+      // Gopher-style intra-document repetition: duplicate 2-gram
+      // fraction over the corpus plus a planted self-repeated copy of
+      // every doc (ids +50000) that must land near 0.5 and fail `keep`.
+      val d = T(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+      val corpus = d.union(d.select(
+        (col("id") + 50000L).as("id"),
+        concat(col("text"), lit(" "), col("text")).as("text")))
+      corpus.select(
+          col("id"),
+          size(TextOps.words(col("text"))).cast("long").as("n_words"),
+          TextOps.dup_ngram_fraction(col("text"), 2).as("dup_2gram_frac"))
+        .withColumn("keep",
+                    (col("dup_2gram_frac") <= 0.3) && (col("n_words") >= 5))
+        .orderBy("id")
+    }),
+    "q76_orc_roundtrip" -> ((s, dir) => {
+      // ORC sink+source round-trip: write the documents table as ORC,
+      // read it back, aggregate per language with an md5 content
+      // checksum — the oracle computes the same aggregate from the
+      // parquet source, so any round-trip corruption breaks the hash.
+      val out = java.nio.file.Files.createTempDirectory("graft-orc-").toString
+      T(s, dir, "documents").write.mode("overwrite").orc(out)
+      s.read.orc(out).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_chars").cast("long").as("sum_chars"),
+             countDistinct(md5(col("text"))).as("n_distinct_md5"))
+        .orderBy("lang")
+    }),
+    "q77_token_packing" -> ((s, dir) => {
+      // token-budget shard assignment (sequence packing): contiguous
+      // shards of ~200 tokens per source group (sized so sf0.01's
+      // 1.1-1.6k tokens/source split into 5-8 shards — the budget
+      // boundary is actually exercised), deterministic in
+      // (source, doc_id) order — a pure prefix-sum window.
+      val docs = T(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        TextOps.token_count(col("text")).cast("long").as("n_tokens"))
+      Packing.tokenPack(docs, "source", "doc_id", "n_tokens", 200L)
+        .select("doc_id", "source", "n_tokens", "cum_tokens", "shard")
+        .orderBy("doc_id")
     }),
     // ---------------- similarity search ----------------
     "q33_cosine_topk" -> ((s, dir) => {
@@ -1185,6 +1265,23 @@ object SparkEntry {
          |SELECT id_a, id_b, jaccard,
          |  CAST(greatest(id_a % 3, id_b % 3) AS INT) AS emit_round
          |FROM pairs ORDER BY id_a, id_b""".stripMargin,
+    "q72_neardup_clusters" ->
+      // independent clustering route: transitive closure via a
+      // recursive CTE over the same exact-jaccard pair set, vs the
+      // engine's large-star/small-star contraction
+      s"""WITH RECURSIVE pairs AS ($jaccardPairsBodySql),
+         |sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |        UNION SELECT id_b, id_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM sym
+         |  UNION
+         |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+         |comp AS (SELECT u AS id, least(u, min(v)) AS component_id
+         |         FROM reach GROUP BY u)
+         |SELECT id, component_id,
+         |  count(*) OVER (PARTITION BY component_id) AS cluster_size,
+         |  (id = component_id) AS keep
+         |FROM comp ORDER BY id""".stripMargin,
     "q28_simhash" -> dumpSql("q28_simhash", "id_a, id_b"),
     "q58_full_corpus_neardup" ->
       // planted ground truth: every >=3-token doc duplicated verbatim at
@@ -1297,6 +1394,67 @@ object SparkEntry {
         | p_brand AS brand
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q60_ua_pick" -> dumpSql("q60_ua_pick", "p_partkey"),
+    "q73_stratified_sample" -> dumpSql("q73_stratified_sample", "doc_id"),
+    "q74_pii_redact" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    text || ' Reach u' || CAST(doc_id AS VARCHAR) || '.x@mail-'
+        |      || lang || '.example.com or +1-555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' thanks' AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(raw,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}', '<PHONE>', 'g') AS clean,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}')) AS BIGINT) AS n_phones
+        |FROM raw ORDER BY doc_id""".stripMargin,
+    "q75_repetition" ->
+      """WITH corpus AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 50000, text || ' ' || text FROM documents),
+        |w AS (SELECT id,
+        |  list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+        |              x -> x <> '') AS ws FROM corpus),
+        |tot AS (SELECT id, CAST(len(ws) AS BIGINT) AS n_words,
+        |               greatest(len(ws) - 1, 0) AS total2 FROM w),
+        |grams AS (
+        |  SELECT DISTINCT id, array_to_string(ws[i:i+1],' ') AS gram
+        |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) g
+        |  WHERE len(ws) >= 2),
+        |d AS (SELECT id, count(*) AS distinct2 FROM grams GROUP BY 1),
+        |m AS (SELECT t.id, t.n_words,
+        |        CASE WHEN t.total2 > 0
+        |          THEN round(1 - coalesce(d.distinct2, 0)::DOUBLE / t.total2, 4)
+        |          ELSE 0.0 END AS dup_2gram_frac
+        |      FROM tot t LEFT JOIN d ON d.id = t.id)
+        |SELECT id, n_words, dup_2gram_frac,
+        |  (dup_2gram_frac <= 0.3 AND n_words >= 5) AS keep
+        |FROM m ORDER BY id""".stripMargin,
+    "q76_orc_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  count(DISTINCT md5(text)) AS n_distinct_md5
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q77_token_packing" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    CAST(CASE WHEN length(trim(text))=0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text),'\s+')) END AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+        |          AS cum_tokens
+        |      FROM tok)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |  CAST(floor((cum_tokens - n_tokens) / 200) AS BIGINT) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q46_css_extract" ->
       """SELECT p_partkey, p_name AS name,
         | 'https://corp.test/' || p_brand AS website,

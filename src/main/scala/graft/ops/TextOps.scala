@@ -99,6 +99,37 @@ object TextOps {
     */
   def content_key(c: Column): Column =
     sha2(regexp_replace(lower(trim(c)), "\\s+", " "), 256)
+
+  /** Email pattern shared by the redaction + count ops. Alternation-free
+    * so Java (Spark) and RE2 (DuckDB oracle) regex dialects agree on
+    * every match.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Intl-prefixed phone pattern (+CC-XXX-XXXX style). */
+  val PhoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}"
+
+  /** PII scrub for training corpora: replace every email / phone match
+    * with a typed placeholder token. Codegen'd `regexp_replace` chain —
+    * row-local, shuffle-free, global replacement.
+    */
+  def redact_pii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
+  /** Match counts for redaction audit columns. */
+  def pii_email_count(c: Column): Column = regexp_count(c, lit(EmailRe))
+  def pii_phone_count(c: Column): Column = regexp_count(c, lit(PhoneRe))
+
+  /** Duplicate word-n-gram fraction — the Gopher-style intra-document
+    * repetition signal (`1 - distinct_ngrams / total_ngrams`, 0 when the
+    * text has fewer than n words). Boilerplate-heavy and looping pages
+    * score high; natural prose scores near 0.
+    */
+  def dup_ngram_fraction(c: Column, n: Int): Column = {
+    val total = greatest(size(words(c)) - (n - 1), lit(0)).cast("double")
+    val distinctN = size(Dedup.shingles(c, n)).cast("double")
+    when(total > 0, round(lit(1.0) - distinctN / total, 4)).otherwise(lit(0.0))
+  }
 }
 
 /** Deterministic language-ID heuristic: CJK codepoint fraction decides

@@ -458,6 +458,29 @@ object SeqOracles {
 
   final case class Q60Row(p_partkey: Long, url: String, ua: String)
 
+  final case class Q73Row(doc_id: Long, lang: String, bucket: Long)
+
+  /** q73 sampling oracle: an independent sequential recomputation of
+    * the hash-predicate draw — same rate table as the query (duplicated
+    * deliberately: the oracle must not import the operator under test),
+    * bucket via the local XXH64 reimplementation over the same key
+    * string, keep rule compared against floor(rate * 10^6).
+    */
+  private def q73Dump(spark: SparkSession, dir: String, dumpRoot: String): Unit = {
+    import spark.implicits._
+    val rates = Map("en" -> 1.0, "de" -> 0.5, "zh" -> 0.25)
+    val defaultRate = 0.1
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang").as[(Long, String)].collect().sortBy(_._1)
+    val out = rows.flatMap { case (id, lang) =>
+      val key = s"$lang:$id:mix-v1"
+      val bucket = Math.floorMod(XXH64.hash(key.getBytes("UTF-8"), 42L), 1000000L)
+      val thr = (rates.getOrElse(lang, defaultRate) * 1000000L).toLong
+      if (bucket < thr) Some(Q73Row(id, lang, bucket)) else None
+    }
+    write(dumpRoot, "q73_stratified_sample", out.toSeq.toDF())
+  }
+
   /** ST5 UA-rotation oracle: url built with plain string ops, hashed by
     * the independent [[XXH64]] (Spark's seed is 42), modded into the
     * same UA table the query uses.
@@ -563,6 +586,7 @@ object SeqOracles {
     guarded("q37q38")(q37q38Dump(spark, dir, dumpRoot))
     guarded("q45")(q45Dump(spark, dumpRoot))
     guarded("q60")(q60Dump(spark, dir, dumpRoot))
+    guarded("q73")(q73Dump(spark, dir, dumpRoot))
     guarded("q64")(q64Dump(spark, dir, dumpRoot))
   }
 }

@@ -926,3 +926,140 @@ class IncrementalAnnSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 }
+
+class ConnectedComponentsSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.ops.ConnectedComponents
+
+  /** Sequential union-find oracle. */
+  private def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def check(edges: Seq[(Long, Long)]): Unit = {
+    val got = ConnectedComponents
+      .components(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    val want = ufComponents(edges.filter(e => e._1 != e._2))
+    assert(got == want, s"got=${got.toSeq.sorted} want=${want.toSeq.sorted}")
+  }
+
+  test("path graph (worst case for label propagation)") {
+    check((0L until 63L).map(i => (i, i + 1)))
+  }
+
+  test("star, reversed star, disjoint cliques, duplicate + self edges") {
+    check((1L to 20L).map(i => (0L, i)))
+    check((1L to 20L).map(i => (i, 0L)))
+    val cliques = for {
+      c <- 0L until 5L; i <- 0L until 4L; j <- (i + 1) until 4L
+    } yield (c * 100 + i, c * 100 + j)
+    check(cliques)
+    check(Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (7L, 7L)))
+  }
+
+  test("empty and self-loop-only edge sets yield no rows") {
+    assert(ConnectedComponents.components(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0)
+    assert(ConnectedComponents.components(
+      Seq((5L, 5L)).toDF("id_a", "id_b")).count() == 0)
+  }
+
+  test("seeded random graphs match union-find") {
+    val rnd = new scala.util.Random(42)
+    (0 until 3).foreach { _ =>
+      val n = 200
+      val edges = (0 until 300).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      check(edges)
+    }
+  }
+
+  test("clusters: size and canonical keep flag") {
+    val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = ConnectedComponents.clusters(pairs)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set((10L, 10L, 3L, true), (11L, 10L, 3L, false),
+                      (12L, 10L, 3L, false), (20L, 20L, 2L, true),
+                      (21L, 20L, 2L, false)))
+  }
+}
+
+class TrainingDataOpsSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.ops.{Packing, Sampling, TextOps}
+
+  test("stratifiedSample: deterministic, rate-faithful, stratum-scoped") {
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("id", "lang")
+    val rates = Map("en" -> 1.0, "zh" -> 0.0)
+    val kept = Sampling.stratifiedSample(df, "lang", "id", rates, 0.5, "s1")
+    val ids = kept.select("id").as[Long].collect().toSet
+    assert(ids == (0L until 1000L by 2).toSet) // all en, no zh
+    // determinism: bit-identical on a re-run
+    val again = Sampling.stratifiedSample(df, "lang", "id", rates, 0.5, "s1")
+      .select("id").as[Long].collect().toSet
+    assert(again == ids)
+    // default rate applies to strata missing from the map, ~50%
+    val dfDe = (0L until 1000L).map(i => (i, "de")).toDF("id", "lang")
+    val nDe = Sampling.stratifiedSample(dfDe, "lang", "id", rates, 0.5, "s1").count()
+    assert(nDe > 350 && nDe < 650, s"default-rate sample size $nDe")
+    // a different seed draws a different sample
+    val other = Sampling.stratifiedSample(dfDe, "lang", "id", rates, 0.5, "s2")
+      .select("id").as[Long].collect().toSet
+    val first = Sampling.stratifiedSample(dfDe, "lang", "id", rates, 0.5, "s1")
+      .select("id").as[Long].collect().toSet
+    assert(other != first)
+  }
+
+  test("tokenPack: contiguous shards by start offset, per-group") {
+    val df = Seq(
+      ("a", 1L, 5L), ("a", 2L, 5L), ("a", 3L, 5L), ("a", 4L, 12L),
+      ("b", 1L, 9L), ("b", 2L, 2L)
+    ).toDF("src", "doc", "toks")
+    val got = Packing.tokenPack(df, "src", "doc", "toks", 10L)
+      .select("src", "doc", "shard").as[(String, Long, Long)]
+      .collect().toSet
+    // group a offsets: 0,5,10,15 -> shards 0,0,1,1; group b: 0,9 -> 0,0
+    assert(got == Set(("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 1L),
+                      ("a", 4L, 1L), ("b", 1L, 0L), ("b", 2L, 0L)))
+  }
+
+  test("redact_pii and counts") {
+    val df = Seq(
+      "mail a.b+c@x.example.org now",
+      "call +44-201-3344 or +1-555-0042",
+      "no pii here",
+      "two a@b.co c@d.org emails").toDF("t")
+    val got = df.select(TextOps.redact_pii(col("t")),
+                        TextOps.pii_email_count(col("t")),
+                        TextOps.pii_phone_count(col("t")))
+      .as[(String, Int, Int)].collect().toSeq
+    assert(got == Seq(
+      ("mail <EMAIL> now", 1, 0),
+      ("call <PHONE> or <PHONE>", 0, 2),
+      ("no pii here", 0, 0),
+      ("two <EMAIL> <EMAIL> emails", 2, 0)))
+  }
+
+  test("dup_ngram_fraction: repetition signal") {
+    val df = Seq(
+      "a b a b",           // 2-grams: ab,ba,ab -> 1 - 2/3 = 0.3333
+      "w x y z",           // all distinct -> 0.0
+      "one",               // < 2 words -> 0.0
+      "go go go go go"     // 2-grams all "go go" -> 1 - 1/4 = 0.75
+    ).toDF("t")
+    val got = df.select(TextOps.dup_ngram_fraction(col("t"), 2))
+      .as[Double].collect().toSeq
+    assert(got == Seq(0.3333, 0.0, 0.0, 0.75))
+  }
+}

@@ -77,4 +77,38 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("partial_count") || plan.contains("partial"),
            s"no map-side partial aggregation:\n$plan")
   }
+
+  test("stratified sampling broadcasts the rate table, no shuffle") {
+    val plan = planOf(graft.ops.Sampling.stratifiedSample(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      "lang", "doc_id", Map("en" -> 1.0, "de" -> 0.5), 0.1, "s"))
+    assert(plan.contains("BroadcastHashJoin"), s"rate table not broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+           s"unexpected shuffle in sampling:\n$plan")
+  }
+
+  test("token packing shuffles once, on the group column") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+              graft.ops.TextOps.token_count(col("text")).cast("long").as("n_tokens"))
+    val plan = planOf(graft.ops.Packing.tokenPack(docs, "source", "doc_id", "n_tokens", 2000L))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected exactly 1 shuffle, got $shuffles:\n$plan")
+    assert(plan.contains("hashpartitioning(source"), s"not partitioned by group:\n$plan")
+  }
+
+  test("pii redaction stays in whole-stage codegen; repetition is row-local") {
+    val pii = planOf(spark.read.parquet(s"$dir/documents.parquet")
+      .select(graft.ops.TextOps.redact_pii(col("text")),
+              graft.ops.TextOps.pii_email_count(col("text")),
+              graft.ops.TextOps.pii_phone_count(col("text"))))
+    assert(pii.contains("*(1) Project"), s"codegen broken:\n$pii")
+    // dup_ngram_fraction uses a higher-order `filter` (CodegenFallback,
+    // like the shared words() tokenizer) — the gate here is that it
+    // stays a single row-local projection: no shuffle, one scan.
+    val rep = planOf(spark.read.parquet(s"$dir/documents.parquet")
+      .select(graft.ops.TextOps.dup_ngram_fraction(col("text"), 2)))
+    assert(!rep.contains("Exchange"), s"unexpected shuffle:\n$rep")
+    assert(rep.contains("FileScan parquet"), s"no direct scan:\n$rep")
+  }
 }
