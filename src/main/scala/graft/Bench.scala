@@ -406,6 +406,73 @@ object Bench {
         (t, nComp)
       } finally s5.stop()
 
+    // part 6: corpus hygiene at scale — the documents table expanded
+    // 32x with per-copy salting (distinct texts), every k=1 copy
+    // planted with a 7-word fragment of a synthetic 200-item benchmark
+    // whose vocabulary is disjoint from the corpus: decontamination
+    // must flag EXACTLY the planted copies (3 hit grams each — the
+    // fragment's three 5-grams; boundary grams mix vocabularies and
+    // cannot match). Then the clean corpus is chunked (12/8 sliding
+    // windows) and globally numbered — counts structural per repeat.
+    val s6 = session(cpus)
+    val (hygDocs, nBench, deconSec, nContam, chunkSec, nChunks) =
+      try {
+        import org.apache.spark.sql.functions._
+        val base = s6.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val bench = s6.range(0, 200).select(
+          concat_ws(" ", transform(sequence(lit(0), lit(11)),
+            j => concat(lit("bq"), col("id"), lit("w"), j))).as("text"))
+        val frag = concat_ws(" ", transform(sequence(lit(0), lit(6)),
+          j => concat(lit("bq"), pmod(col("doc_id"), lit(200)), lit("w"), j)))
+        val corpus = base.crossJoin(
+            s6.range(0, 32).select(col("id").cast("int").as("k")))
+          .select(
+            (col("doc_id") * 32 + col("k")).as("id"),
+            when(col("k") === 1, concat(col("text"), lit(" "), frag))
+              .otherwise(concat(col("text"), lit(" salt"), col("k"),
+                                lit(" u"), pmod(col("doc_id"), lit(997))))
+              .as("text"))
+          .persist()
+        val nDocs = corpus.count()
+        val nBase = nDocs / 32
+        val (tDecon, contam) = med3(timed {
+          val flagged = graft.ops.Decontaminate
+            .overlap(corpus, bench, "id", "text", n = 5)
+            .filter(col("contaminated"))
+          val agg = flagged.agg(count(lit(1)), sum("n_hit_grams")).head()
+          val (n, hits) = (agg.getLong(0), agg.getLong(1))
+          require(n == nBase && hits == 3L * nBase,
+                  s"decon: flagged $n/$nBase, hits $hits/${3 * nBase}")
+          n
+        })
+        val (tChunk, chunks) = med3(timed {
+          val ch = graft.ops.Chunking.slidingChunks(corpus, "id", "text", 12, 8)
+          // expected count recomputed from word counts via the formula
+          // (not via the operator under test), then the global index
+          // over the chunk rows must be exactly 0..chunks-1
+          val expect = corpus.select(
+              size(graft.ops.TextOps.words(col("text"))).cast("long").as("len"))
+            .select(when(col("len") === 0, lit(0L))
+              .when(col("len") <= 12, lit(1L))
+              .otherwise(lit(1L) +
+                ceil((col("len") - 12).cast("double") / 8.0).cast("long"))
+              .as("nc"))
+            .agg(sum("nc")).head().getLong(0)
+          val idx = graft.ops.GlobalIndex.globalRowNumber(
+            ch, Seq(col("n_tokens").desc, col("id"), col("chunk_idx")),
+            numPartitions = cpus)
+          val got = idx.agg(count(lit(1)), countDistinct(col("global_idx")),
+                            min("global_idx"), max("global_idx")).head()
+          require(got.getLong(0) == expect && got.getLong(1) == expect &&
+                    got.getLong(2) == 0L && got.getLong(3) == expect - 1,
+                  s"chunk+index: $got vs expect $expect")
+          expect
+        })
+        corpus.unpersist()
+        (nDocs, 200L, tDecon, contam, tChunk, chunks)
+      } finally s6.stop()
+
     val qs = qTimes.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
     val total = qTimes.filter(_._2 >= 0).map(_._2).sum
@@ -430,6 +497,9 @@ object Bench {
         s""""incr_small_delta_sec":${fmt(annSmallSec, 2)},""" +
         s""""incr_small_delta_pairs":$annSmallPairs},""" +
         s""""cc_at_scale":{"nodes":2000000,"components":$ccComponents,""" +
-        s""""sec":${fmt(ccSec, 2)}}}""")
+        s""""sec":${fmt(ccSec, 2)}},""" +
+        s""""hygiene_at_scale":{"docs":$hygDocs,"bench_items":$nBench,""" +
+        s""""decon_sec":${fmt(deconSec, 2)},"contaminated":$nContam,""" +
+        s""""chunk_index_sec":${fmt(chunkSec, 2)},"chunks":$nChunks}}""")
   }
 }

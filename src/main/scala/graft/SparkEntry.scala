@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.fetch.SimulatedFetcher
 import graft.model.FrontierEntry
-import graft.ops.{ConnectedComponents, Dedup, Extract, FacetSplit, IncrementalAnn, IncrementalLsh, Multimodal, Packing, Sampling, Similarity, TextOps}
+import graft.ops.{Chunking, ConnectedComponents, Decontaminate, Dedup, Extract, FacetSplit, GlobalIndex, IncrementalAnn, IncrementalLsh, Multimodal, Packing, Sampling, Similarity, TextOps}
 import graft.parse.{CssSelect, HtmlSpans, TrimHtml}
 import graft.sources.{CursorSource, GraphQlSource}
 import graft.sched.{CrawlConfig, CrawlScheduler}
@@ -427,6 +427,89 @@ object SparkEntry {
       Packing.tokenPack(docs, "source", "doc_id", "n_tokens", 200L)
         .select("doc_id", "source", "n_tokens", "cum_tokens", "shard")
         .orderBy("doc_id")
+    }),
+    "q78_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: docs sharing any word 5-gram with
+      // the benchmark set are flagged. Benchmark = every doc_id%100==0
+      // doc (a small eval suite); contamination planted as new docs
+      // (+100000) carrying a 7-word fragment of a benchmark item behind
+      // an out-of-vocabulary prefix — those must flag, the fragment's
+      // three 5-grams counted exactly. Benchmark grams broadcast; the
+      // corpus side is one codegen'd shingling pass (Decontaminate doc).
+      val docs = T(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 100 === 0)
+      val planted = bench.select(
+        (col("doc_id") + 100000L).as("id"),
+        concat(lit("zzqa unrelated prefix "),
+               array_join(slice(TextOps.words(col("text")), 1, 7), " "))
+          .as("text"))
+      val corpus = docs.select(col("doc_id").as("id"), col("text"))
+        .unionByName(planted)
+      Decontaminate.overlap(corpus, bench, "id", "text", n = 5)
+        .orderBy("id")
+    }),
+    "q79_chunking" -> ((s, dir) => {
+      // sliding-window chunking: 12-word chunks at stride 8 (overlap
+      // 4) — sf0.01 docs run ~20-40 words, so every doc exercises the
+      // multi-chunk path and the short tail chunk. Row-local, zero
+      // shuffles (Chunking doc).
+      Chunking.slidingChunks(T(s, dir, "documents"), "doc_id", "text",
+                             chunkSize = 12, stride = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_idx")
+    }),
+    "q80_term_rarity" -> ((s, dir) => {
+      // rarity-weighted term ranking per language: score = tf * N / df
+      // (raw inverse document frequency — integer-exact cross-engine,
+      // unlike log-idf whose last-ulp could differ between libm and
+      // java.lang.Math). Two partial-aggregated shuffles (term counts,
+      // doc frequencies); top-5 per language via row_number.
+      val docs = T(s, dir, "documents")
+      val w = docs.select(col("doc_id"), col("lang"),
+                          explode(TextOps.words(col("text"))).as("term"))
+      val nDocs = docs.count()
+      val tf = w.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = w.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val win = Window.partitionBy("lang").orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, "term")
+        .withColumn("score",
+                    (col("tf") * lit(nDocs)).cast("double")
+                      / col("df").cast("double"))
+        .withColumn("rank", row_number().over(win).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("lang", "term", "tf", "df", "score", "rank")
+        .orderBy("lang", "rank")
+    }),
+    "q81_quantiles" -> ((s, dir) => {
+      // exact distributed percentiles of doc length per language plus
+      // an ALL row — the quality-thresholding step (e.g. "drop the
+      // shortest decile") needs exact cutoffs reproducible across
+      // engines. Spark's exact `percentile` aggregates a value->count
+      // map per group: memory is O(distinct lengths), not O(rows) —
+      // bounded for a length-like column at any corpus size (for truly
+      // unbounded domains switch to approx_percentile; this query pins
+      // the exact path). Interpolated values here carry <= 2 decimals
+      // (integer data), so round(.,4) is hash-stable cross-engine.
+      val docs = T(s, dir, "documents")
+      def pct(g: org.apache.spark.sql.RelationalGroupedDataset) = g.agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(n_chars, 0.5D)"), 4).as("p50"),
+        round(expr("percentile(n_chars, 0.9D)"), 4).as("p90"),
+        round(expr("percentile(n_chars, 0.99D)"), 4).as("p99"))
+      pct(docs.groupBy("lang"))
+        .unionByName(pct(docs.withColumn("lang", lit("ALL")).groupBy("lang")))
+        .orderBy("lang")
+    }),
+    "q82_global_index" -> ((s, dir) => {
+      // global consecutive numbering under a total order (longest docs
+      // first, doc_id tiebreak = a key-complete sort): the shard-
+      // manifest primitive, with full partition parallelism instead of
+      // a single-partition row_number window (GlobalIndex doc).
+      GlobalIndex.globalRowNumber(
+          T(s, dir, "documents").select("doc_id", "n_chars"),
+          Seq(col("n_chars").desc, col("doc_id")), numPartitions = 8)
+        .orderBy("global_idx")
     }),
     // ---------------- similarity search ----------------
     "q33_cosine_topk" -> ((s, dir) => {
@@ -1455,6 +1538,82 @@ object SparkEntry {
         |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
         |  CAST(floor((cum_tokens - n_tokens) / 200) AS BIGINT) AS shard
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q78_decontaminate" ->
+      """WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0),
+        |corpus AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    'zzqa unrelated prefix ' || array_to_string(
+        |      (list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+        |                   x -> x <> ''))[1:7], ' ')
+        |  FROM bench),
+        |cw AS (SELECT id,
+        |  list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+        |              x -> x <> '') AS ws FROM corpus),
+        |cg AS (SELECT DISTINCT id, array_to_string(ws[i:i+4],' ') AS gram
+        |       FROM cw, LATERAL (SELECT unnest(generate_series(1, len(ws)-4)) AS i) g
+        |       WHERE len(ws) >= 5),
+        |bw AS (SELECT
+        |  list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+        |              x -> x <> '') AS ws FROM bench),
+        |bg AS (SELECT DISTINCT array_to_string(ws[i:i+4],' ') AS gram
+        |       FROM bw, LATERAL (SELECT unnest(generate_series(1, len(ws)-4)) AS i) g
+        |       WHERE len(ws) >= 5),
+        |h AS (SELECT id, count(*) AS n_hit_grams FROM cg JOIN bg USING (gram)
+        |      GROUP BY 1)
+        |SELECT c.id, CAST(coalesce(h.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+        |  coalesce(h.n_hit_grams, 0) > 0 AS contaminated
+        |FROM corpus c LEFT JOIN h ON h.id = c.id
+        |ORDER BY c.id""".stripMargin,
+    "q79_chunking" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+        |              x -> x <> '') AS ws FROM documents),
+        |n AS (SELECT doc_id, ws,
+        |  CASE WHEN len(ws) = 0 THEN 0 WHEN len(ws) <= 12 THEN 1
+        |       ELSE 1 + CAST(ceil((len(ws) - 12) / 8.0) AS BIGINT) END
+        |    AS n_chunks FROM w),
+        |c AS (SELECT doc_id, ws, CAST(i AS BIGINT) AS chunk_idx
+        |      FROM n, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) g
+        |      WHERE n_chunks > 0)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(len(ws[chunk_idx*8+1 : chunk_idx*8+12]) AS BIGINT) AS n_tokens,
+        |  array_to_string(ws[chunk_idx*8+1 : chunk_idx*8+12], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q80_term_rarity" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |  unnest(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+        |                     x -> x <> '')) AS term FROM documents),
+        |tf AS (SELECT lang, term, count(*) AS tf FROM w GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT lang, term, tf, df, CAST(tf * n AS DOUBLE) / df AS score
+        |      FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY lang ORDER BY score DESC, term) AS rank FROM s)
+        |SELECT lang, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  score, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+    "q81_quantiles" ->
+      """WITH per AS (
+        |  SELECT lang, count(*) AS n,
+        |    round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |    round(quantile_cont(n_chars, 0.9), 4) AS p90,
+        |    round(quantile_cont(n_chars, 0.99), 4) AS p99
+        |  FROM documents GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'ALL', count(*),
+        |    round(quantile_cont(n_chars, 0.5), 4),
+        |    round(quantile_cont(n_chars, 0.9), 4),
+        |    round(quantile_cont(n_chars, 0.99), 4)
+        |  FROM documents)
+        |SELECT * FROM per ORDER BY lang""".stripMargin,
+    "q82_global_index" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS BIGINT)
+        |    AS global_idx
+        |FROM documents ORDER BY global_idx""".stripMargin,
     "q46_css_extract" ->
       """SELECT p_partkey, p_name AS name,
         | 'https://corp.test/' || p_brand AS website,

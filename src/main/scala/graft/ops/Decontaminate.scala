@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag training documents that share any
+  * word n-gram with an evaluation/benchmark set (the GPT-3 / Pile
+  * style 13-gram overlap check, parameterised on n).
+  *
+  * A training-data pipeline MUST run this before shipping a corpus —
+  * eval items leaking into training data silently inflate benchmark
+  * scores. The reference engine's scrapers feed exactly such corpora
+  * (e.g. the listing/detail text fields of indeed/main.go:66-70,
+  * lagou/engine.go), so decontamination is first-class here alongside
+  * dedup.
+  *
+  * Scale shape (the part that matters at 100 TB): the benchmark side
+  * is small by construction (eval suites are thousands of items, not
+  * billions), so its distinct gram set is broadcast — the corpus side
+  * is ONE codegen'd pass (shingling via [[HashOps.shingles_col]]) plus
+  * a broadcast-hash semi join and a partial-aggregated count per doc.
+  * The corpus never shuffles its text: the only exchange carries
+  * (id, n_hit_grams) pairs for the final fill-zeros left join, keyed
+  * on the doc id. No all-pairs step exists at any size.
+  */
+object Decontaminate {
+
+  /** Per-document overlap counts against `benchmark`'s n-gram set.
+    *
+    * Returns (id, n_hit_grams, contaminated) for EVERY corpus row —
+    * clean docs carry an explicit 0/false so the output is a total
+    * audit table, not just the flagged subset. `n_hit_grams` counts
+    * DISTINCT overlapping grams ([[Dedup.shingles]] emits a distinct
+    * gram set per doc, and the benchmark side is made distinct here),
+    * so the count is stable under repeated phrases on either side.
+    */
+  def overlap(corpus: DataFrame, benchmark: DataFrame,
+              idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val benchGrams = benchmark
+      .select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .distinct()
+    val hits = corpus
+      .select(col(idCol).as("id"),
+              explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_hit_grams"))
+    corpus.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+              coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"))
+      .withColumn("contaminated", col("n_hit_grams") > 0)
+  }
+}

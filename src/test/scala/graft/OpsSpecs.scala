@@ -1063,3 +1063,90 @@ class TrainingDataOpsSpec extends SparkSuite {
     assert(got == Seq(0.3333, 0.0, 0.0, 0.75))
   }
 }
+
+class ComposeOpsSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.ops.{Chunking, Decontaminate, GlobalIndex}
+
+  test("decontaminate: exact distinct-gram overlap counts, clean rows explicit") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),       // shares "alpha beta" with bench
+      (2L, "gamma delta epsilon zeta"),     // shares "gamma delta"
+      (3L, "totally unrelated words here"), // clean
+      (4L, "alpha beta alpha beta gamma")   // repeated phrase: grams distinct
+    ).toDF("id", "text")
+    val bench = Seq("alpha beta gamma", "x gamma delta y").toDF("text")
+    val got = Decontaminate.overlap(corpus, bench, "id", "text", n = 2)
+      .orderBy("id").as[(Long, Long, Boolean)].collect().toSeq
+    // bench 2-grams: {alpha beta, beta gamma, x gamma, gamma delta, delta y}
+    // doc1 grams {alpha beta, beta gamma, gamma delta} -> 3 hits
+    // doc2 grams {gamma delta, delta epsilon, epsilon zeta} -> 1 hit
+    // doc4 grams {alpha beta, beta alpha, beta gamma} -> 2 hits (no dup count)
+    assert(got == Seq((1L, 3L, true), (2L, 1L, true), (3L, 0L, false),
+                      (4L, 2L, true)))
+  }
+
+  test("decontaminate: n larger than every doc flags nothing") {
+    val corpus = Seq((1L, "a b c")).toDF("id", "text")
+    val bench = Seq("a b c").toDF("text")
+    val got = Decontaminate.overlap(corpus, bench, "id", "text", n = 9)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq((1L, 0L, false)))
+  }
+
+  test("slidingChunks: boundaries, tail chunk, overlap, empty doc") {
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"w$i").mkString(" ")), // 20 words
+      (2L, "a b c"),                                   // <= chunkSize: 1 chunk
+      (3L, "")                                         // empty: no rows
+    ).toDF("id", "text")
+    val got = Chunking.slidingChunks(docs, "id", "text", chunkSize = 8, stride = 5)
+      .orderBy("id", "chunk_idx")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // doc1: starts 0,5,10,15 -> chunks of 8,8,8,5 words; formula:
+    // 1 + ceil((20-8)/5) = 1+3 = 4 chunks
+    val w = (1 to 20).map(i => s"w$i")
+    val expect1 = Seq(0, 5, 10, 15).zipWithIndex.map { case (st, ci) =>
+      val c = w.slice(st, st + 8)
+      (1L, ci.toLong, c.length.toLong, c.mkString(" "))
+    }
+    assert(got.filter(_._1 == 1L) == expect1)
+    assert(got.filter(_._1 == 2L) == Seq((2L, 0L, 3L, "a b c")))
+    assert(!got.exists(_._1 == 3L))
+    // every word position is covered by at least one chunk
+    val covered = got.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
+    assert(covered == w.toSet)
+  }
+
+  test("slidingChunks: stride == chunkSize gives a disjoint partition") {
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("id", "text")
+    val got = Chunking.slidingChunks(docs, "id", "text", 4, 4)
+      .orderBy("chunk_idx").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got.map(_._4) == Seq("t1 t2 t3 t4", "t5 t6 t7 t8", "t9 t10"))
+    assert(got.map(_._3) == Seq(4L, 4L, 2L))
+  }
+
+  test("globalRowNumber: consecutive, total-order-faithful, deterministic") {
+    val df = (0L until 997L).map(i => (i, (i * 7919) % 101)).toDF("id", "key")
+    val sorted = GlobalIndex.globalRowNumber(
+      df, Seq(col("key").desc, col("id")), numPartitions = 7)
+    val got = sorted.select("id", "key", "global_idx")
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(got.map(_._3).toSeq == (0L until 997L).toSeq) // consecutive from 0
+    val oracle = df.as[(Long, Long)].collect()
+      .sortBy { case (id, k) => (-k, id) }.map(_._1).toSeq
+    assert(got.map(_._1).toSeq == oracle) // exact total order
+    // deterministic across runs (key-complete sort)
+    val again = GlobalIndex.globalRowNumber(
+      df, Seq(col("key").desc, col("id")), numPartitions = 7)
+      .select("id", "global_idx").as[(Long, Long)].collect().sortBy(_._2)
+    assert(again.map(_._1).toSeq == got.map(_._1).toSeq)
+  }
+
+  test("globalRowNumber: more partitions than rows still numbers 0..n-1") {
+    val df = Seq((5L, 1L), (3L, 2L), (9L, 0L)).toDF("id", "key")
+    val got = GlobalIndex.globalRowNumber(df, Seq(col("key")), 8)
+      .select("id", "global_idx").as[(Long, Long)].collect().sortBy(_._2)
+    assert(got.toSeq == Seq((9L, 0L), (5L, 1L), (3L, 2L)))
+  }
+}

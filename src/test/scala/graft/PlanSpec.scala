@@ -111,4 +111,28 @@ class PlanSpec extends SparkSuite {
     assert(!rep.contains("Exchange"), s"unexpected shuffle:\n$rep")
     assert(rep.contains("FileScan parquet"), s"no direct scan:\n$rep")
   }
+
+  test("decontamination broadcasts the benchmark gram set; corpus text never shuffles") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 100 === 0)
+    val plan = planOf(graft.ops.Decontaminate.overlap(
+      docs.select(col("doc_id").as("id"), col("text")), bench, "id", "text", 5))
+    assert(plan.contains("BroadcastHashJoin"), s"bench grams not broadcast:\n$plan")
+    // exactly two hash exchanges: the BENCHMARK side's gram distinct
+    // (O(|benchmark|) — eval suites are small by construction) and the
+    // per-doc hit-count aggregate keyed on id. The corpus side must
+    // reach its join via broadcast, and no exchange may carry text.
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 2, s"expected 2 shuffles (bench distinct + id agg), got $shuffles:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(id"), s"id agg exchange missing:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(text"), s"corpus text shuffled:\n$plan")
+  }
+
+  test("sliding-window chunking is shuffle-free (scan + generate only)") {
+    val plan = planOf(graft.ops.Chunking.slidingChunks(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 12, 8))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in chunking:\n$plan")
+    assert(plan.contains("Generate"), s"no generator (explode) in plan:\n$plan")
+    assert(plan.contains("FileScan parquet"), s"no direct scan:\n$plan")
+  }
 }
