@@ -1161,6 +1161,34 @@ object SparkEntry {
       }
         .filter(col("event_type") =!= "zflush")
         .orderBy("win_start", "event_type")
+    }),
+    "q83_stream_incr_neardup" -> ((s, dir) => {
+      // Streaming ingest driving incremental near-dup maintenance in
+      // TRUE stream mode: the q62 corpus replays in three micro-batches
+      // (batch = id % 3, the same round split q62 uses), each batch's
+      // pairs computed against the persisted index via foreachBatch +
+      // IncrementalLsh. Union-equals-batch contract, so the oracle is
+      // q62's: the exact-jaccard pair set with emit_round = the later
+      // member's batch.
+      val corpus = dedupCorpus(s, dir)
+      val logDir = java.nio.file.Files.createTempDirectory("q83-log-").toString
+      val idxDir = java.nio.file.Files.createTempDirectory("q83-idx-").toString
+      val outDir = java.nio.file.Files.createTempDirectory("q83-out-").toString
+      val chkDir = java.nio.file.Files.createTempDirectory("q83-chk-").toString
+      Replay.writeLog(
+        corpus.withColumn("batch", pmod(col("id"), lit(3)).cast("int")),
+        "batch", logDir)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(logDir)
+      val q = Streams.incrementalNearDupSink(
+        s, src, idxDir, outDir, chkDir, threshold = 0.5)
+      q.awaitTermination()
+      s.read.parquet(outDir).orderBy("id_a", "id_b")
     })
   )
 
@@ -1344,6 +1372,14 @@ object SparkEntry {
       // the incremental union must equal the batch pair set (q27's
       // oracle), and each pair must be emitted exactly once, in the
       // arrival round of its LATER member (rounds are id % 3)
+      s"""WITH pairs AS ($jaccardPairsBodySql)
+         |SELECT id_a, id_b, jaccard,
+         |  CAST(greatest(id_a % 3, id_b % 3) AS INT) AS emit_round
+         |FROM pairs ORDER BY id_a, id_b""".stripMargin,
+    "q83_stream_incr_neardup" ->
+      // the streaming foreachBatch drive of the same maintenance:
+      // micro-batch k carries ids = k (mod 3), so the contract — and
+      // the oracle — are exactly q62's
       s"""WITH pairs AS ($jaccardPairsBodySql)
          |SELECT id_a, id_b, jaccard,
          |  CAST(greatest(id_a % 3, id_b % 3) AS INT) AS emit_round

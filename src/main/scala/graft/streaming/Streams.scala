@@ -157,6 +157,47 @@ object Streams {
       // keying is unaffected by the post-dedup projection)
       .drop("content_key")
 
+  /** Streaming ingest driving incremental near-dup maintenance: each
+    * micro-batch of (id, text) docs is checked against the persisted
+    * LSH index via [[graft.ops.IncrementalLsh.roundPairs]] inside
+    * `foreachBatch`, verified pairs land in `outDir` tagged with the
+    * emitting micro-batch, and the index gains the batch's postings —
+    * the online form of the round-based maintenance the crawl runs
+    * offline.
+    *
+    * Exactness rides IncrementalLsh's contract: the union of all
+    * micro-batches' outputs equals the batch
+    * [[graft.ops.Dedup.minhashNearDups]] over the final corpus (caps
+    * disengaged), each pair emitted exactly once, in its later
+    * member's batch. Crash safety is the index layer's per-round slot
+    * protocol plus the sink's append-by-batch layout: a batch that
+    * dies before its parquet append re-runs from the checkpoint and
+    * overwrites the same dangling slot.
+    *
+    * Scale: per micro-batch cost is O(batch + touched buckets), the
+    * property that makes near-dup maintenance viable as a continuous
+    * service rather than a periodic full-corpus job.
+    */
+  def incrementalNearDupSink(spark: SparkSession, src: DataFrame,
+                             indexDir: String, outDir: String,
+                             checkpointDir: String,
+                             shingleN: Int = 3, numHashes: Int = 32,
+                             rowsPerBand: Int = 4, threshold: Double = 0.8,
+                             maxBucket: Int = 1024,
+                             trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    src.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.IncrementalLsh
+          .roundPairs(spark, indexDir, batch.toDF(), "id", "text",
+                      shingleN, numHashes, rowsPerBand, threshold, maxBucket)
+          .withColumn("emit_round", lit(batchId).cast("int"))
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   final case class HostProgress(host: String, pages: Long, spans: Long,
                                 last_round: Int)
 

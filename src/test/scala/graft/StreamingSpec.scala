@@ -290,4 +290,42 @@ class StreamingSpec extends SparkSuite {
       assert(got == Set(1L, 2L, 5L, 6L), s"got: $got")
     } finally q.stop()
   }
+
+  test("incrementalNearDupSink: stream union equals batch near-dups, per-batch emit") {
+    import graft.streaming.Replay
+    // 12 docs in 3 micro-batches (id % 3); one planted near-pair per
+    // batch boundary: (0,1) same text across batches 0/1, (2,5) across
+    // batches 2/2... keep it simple: ids 0..11, text groups of 2
+    val docs = (0L until 12L).map(i => (i, s"alpha beta gamma delta w${i / 2} x y"))
+    val df = docs.toDF("id", "text")
+      .withColumn("batch", pmod(col("id"), lit(3)).cast("int"))
+    val logDir = Files.createTempDirectory("sink-log-").toString
+    Replay.writeLog(df, "batch", logDir)
+    val idxDir = Files.createTempDirectory("sink-idx-").toString
+    val outDir = Files.createTempDirectory("sink-out-").toString
+    val chkDir = Files.createTempDirectory("sink-chk-").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(logDir)
+    val q = Streams.incrementalNearDupSink(spark, src, idxDir, outDir,
+                                           chkDir, threshold = 0.5)
+    q.awaitTermination()
+    val got = spark.read.parquet(outDir)
+      .select("id_a", "id_b", "emit_round").as[(Long, Long, Int)]
+      .collect().toSet
+    val batch = graft.ops.Dedup.minhashNearDups(
+        docs.toDF("id", "text"), "id", "text", shingleN = 3,
+        numHashes = 32, rowsPerBand = 4, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.map(t => (t._1, t._2)) == batch,
+           s"stream ${got.map(t => (t._1, t._2))} != batch $batch")
+    // each pair rode exactly the later member's micro-batch
+    got.foreach { case (a, b, r) =>
+      assert(r == math.max(a % 3, b % 3).toInt, s"pair ($a,$b) in round $r")
+    }
+  }
 }
