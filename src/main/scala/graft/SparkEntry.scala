@@ -501,6 +501,20 @@ object SparkEntry {
         .unionByName(pct(docs.withColumn("lang", lit("ALL")).groupBy("lang")))
         .orderBy("lang")
     }),
+    "q84_quality_cutoff" -> ((s, dir) => {
+      // threshold application, the step after q81: per-language exact
+      // median doc length aggregated once, broadcast back onto the
+      // corpus, keep flag computed without re-shuffling a single corpus
+      // row — the two-pass "aggregate tiny, broadcast, filter wide"
+      // idiom every quality gate at 100 TB should compile to.
+      val docs = T(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val cuts = docs.groupBy("lang")
+        .agg(round(expr("percentile(n_chars, 0.5D)"), 4).as("p50"))
+      docs.join(broadcast(cuts), "lang")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("p50"),
+                (col("n_chars") >= col("p50")).as("keep"))
+        .orderBy("doc_id")
+    }),
     "q82_global_index" -> ((s, dir) => {
       // global consecutive numbering under a total order (longest docs
       // first, doc_id tiebreak = a key-complete sort): the shard-
@@ -1645,6 +1659,13 @@ object SparkEntry {
         |    round(quantile_cont(n_chars, 0.99), 4)
         |  FROM documents)
         |SELECT * FROM per ORDER BY lang""".stripMargin,
+    "q84_quality_cutoff" ->
+      """WITH cuts AS (
+        |  SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS p50
+        |  FROM documents GROUP BY 1)
+        |SELECT doc_id, d.lang, n_chars, p50, n_chars >= p50 AS keep
+        |FROM documents d JOIN cuts USING (lang)
+        |ORDER BY doc_id""".stripMargin,
     "q82_global_index" ->
       """SELECT doc_id, n_chars,
         |  CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS BIGINT)
