@@ -1143,6 +1143,70 @@ class ComposeOpsSpec extends SparkSuite {
     assert(again.map(_._1).toSeq == got.map(_._1).toSeq)
   }
 
+
+  test("decontaminate property: flagged iff a pure-Scala oracle finds shared n-grams") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // small vocab forces real collisions; oracle recomputes overlap
+    // with plain Scala sets, fully independent of the Spark operator
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val doc = Gen.choose(0, 9).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    def grams(t: String, n: Int): Set[String] = {
+      val ws = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      if (ws.length < n) Set.empty
+      else ws.sliding(n).map(_.mkString(" ")).toSet
+    }
+    (0 until 8).foreach { trial =>
+      val p = Gen.Parameters.default
+      val corpusDocs = (0 until 12).map(i =>
+        (i.toLong, doc.pureApply(p, Seed(trial * 1000L + i))))
+      val benchDocs = (0 until 3).map(i =>
+        doc.pureApply(p, Seed(trial * 1000L + 500 + i)))
+      val benchGrams = benchDocs.flatMap(grams(_, 2)).toSet
+      val expect = corpusDocs.map { case (id, t) =>
+        (id, grams(t, 2).count(benchGrams.contains).toLong)
+      }.toMap
+      val got = Decontaminate.overlap(
+          corpusDocs.toDF("id", "text"), benchDocs.toDF("text"), "id", "text", 2)
+        .as[(Long, Long, Boolean)].collect()
+      got.foreach { case (id, n, flag) =>
+        assert(n == expect(id) && flag == (n > 0),
+               s"trial $trial id $id: got ($n,$flag) want ${expect(id)}")
+      }
+    }
+  }
+
+  test("slidingChunks property: coverage, count formula, reassembly") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val lens = (0 until 40).map(i =>
+      Gen.choose(0, 60).pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    val docs = lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (0 until n).map(j => s"w${i}x$j").mkString(" "))
+    }
+    val (c, s) = (7, 4)
+    val got = Chunking.slidingChunks(docs.toDF("id", "text"), "id", "text", c, s)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    docs.foreach { case (id, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      val expectChunks =
+        if (ws.isEmpty) 0 else if (ws.length <= c) 1
+        else 1 + math.ceil((ws.length - c).toDouble / s).toInt
+      val chunks = got.getOrElse(id, Array.empty)
+      assert(chunks.length == expectChunks, s"doc $id: ${chunks.length} chunks")
+      chunks.zipWithIndex.foreach { case ((_, ci, nt, ct), k) =>
+        assert(ci == k) // contiguous chunk_idx from 0
+        val expect = ws.slice(k * s, k * s + c)
+        assert(ct == expect.mkString(" ") && nt == expect.length,
+               s"doc $id chunk $k")
+      }
+      // coverage: every word position in >= 1 chunk (stride <= size)
+      if (ws.nonEmpty)
+        assert(chunks.flatMap(_._4.split(" ")).toSet == ws.toSet)
+    }
+  }
+
   test("globalRowNumber: more partitions than rows still numbers 0..n-1") {
     val df = Seq((5L, 1L), (3L, 2L), (9L, 0L)).toDF("id", "key")
     val got = GlobalIndex.globalRowNumber(df, Seq(col("key")), 8)
