@@ -415,6 +415,21 @@ object SparkEntry {
              countDistinct(md5(col("text"))).as("n_distinct_md5"))
         .orderBy("lang")
     }),
+    "q85_jsonl_roundtrip" -> ((s, dir) => {
+      // JSONL sink+source round-trip — the interchange format training
+      // shards actually ship in. Explicit read schema (never inference
+      // in a prod path), gzip per-part; fidelity contract = q76's: the
+      // oracle aggregates the parquet source, so any text/number
+      // mangling through JSON breaks the checksum.
+      val out = java.nio.file.Files.createTempDirectory("graft-jsonl-").toString
+      val docs = T(s, dir, "documents")
+      docs.write.mode("overwrite").option("compression", "gzip").json(out)
+      s.read.schema(docs.schema).json(out).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_chars").cast("long").as("sum_chars"),
+             countDistinct(md5(col("text"))).as("n_distinct_md5"))
+        .orderBy("lang")
+    }),
     "q77_token_packing" -> ((s, dir) => {
       // token-budget shard assignment (sequence packing): contiguous
       // shards of ~200 tokens per source group (sized so sf0.01's
@@ -1568,6 +1583,13 @@ object SparkEntry {
         |SELECT id, n_words, dup_2gram_frac,
         |  (dup_2gram_frac <= 0.3 AND n_words >= 5) AS keep
         |FROM m ORDER BY id""".stripMargin,
+    "q85_jsonl_roundtrip" ->
+      // same fidelity-vs-source contract as q76 (DuckDB reads the
+      // parquet source; the round-trip under test is Spark-side)
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  count(DISTINCT md5(text)) AS n_distinct_md5
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q76_orc_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
