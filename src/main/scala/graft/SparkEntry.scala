@@ -1218,6 +1218,36 @@ object SparkEntry {
         s, src, idxDir, outDir, chkDir, threshold = 0.5)
       q.awaitTermination()
       s.read.parquet(outDir).orderBy("id_a", "id_b")
+    }),
+    "q86_stream_incr_ann" -> ((s, dir) => {
+      // the vector-side twin of q83: the q63 planted corpus streams in
+      // three micro-batches (batch = vec_id % 3) through foreachBatch +
+      // IncrementalAnn against the persisted hyperplane index. Same
+      // union-equals-batch contract, so the oracle is q63's.
+      val e = T(s, dir, "embeddings")
+      val planted = e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      val corpus = e.select(col("vec_id"), col("embedding")).union(planted)
+      val logDir = java.nio.file.Files.createTempDirectory("q86-log-").toString
+      val idxDir = java.nio.file.Files.createTempDirectory("q86-idx-").toString
+      val outDir = java.nio.file.Files.createTempDirectory("q86-out-").toString
+      val chkDir = java.nio.file.Files.createTempDirectory("q86-chk-").toString
+      Replay.writeLog(
+        corpus.withColumn("batch", pmod(col("vec_id"), lit(3)).cast("int")),
+        "batch", logDir)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType))))
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(logDir)
+      val q = Streams.incrementalAnnSink(
+        s, src, idxDir, outDir, chkDir, "vec_id", "embedding",
+        threshold = 0.999)
+      q.awaitTermination()
+      s.read.parquet(outDir).orderBy("id_a", "id_b")
     })
   )
 
@@ -1413,6 +1443,12 @@ object SparkEntry {
          |SELECT id_a, id_b, jaccard,
          |  CAST(greatest(id_a % 3, id_b % 3) AS INT) AS emit_round
          |FROM pairs ORDER BY id_a, id_b""".stripMargin,
+    "q86_stream_incr_ann" ->
+      // vector twin of q83: micro-batch k carries vec_ids = k (mod 3),
+      // contract and oracle are exactly q63's
+      """SELECT vec_id AS id_a, vec_id + 10000 AS id_b, 1.0 AS cosine,
+        | CAST(greatest(vec_id % 3, (vec_id + 10000) % 3) AS INT) AS emit_round
+        |FROM embeddings WHERE vec_id < 20 ORDER BY id_a""".stripMargin,
     "q72_neardup_clusters" ->
       // independent clustering route: transitive closure via a
       // recursive CTE over the same exact-jaccard pair set, vs the

@@ -198,6 +198,31 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** Vector-side analogue of [[incrementalNearDupSink]]: each
+    * micro-batch of (id, vec) embeddings probes the persisted
+    * hyperplane band index via
+    * [[graft.ops.IncrementalAnn.roundPairs]], with the same
+    * exactness (union == batch cosineNearDups) and per-round-slot
+    * crash-safety contracts. Continuous embedding-dedup maintenance
+    * for a pipeline that ingests vectors as they are computed.
+    */
+  def incrementalAnnSink(spark: SparkSession, src: DataFrame,
+                         indexDir: String, outDir: String,
+                         checkpointDir: String, idCol: String,
+                         vecCol: String, threshold: Double,
+                         trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    src.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.IncrementalAnn
+          .roundPairs(spark, indexDir, batch.toDF(), idCol, vecCol, threshold)
+          .withColumn("emit_round", lit(batchId).cast("int"))
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   final case class HostProgress(host: String, pages: Long, spans: Long,
                                 last_round: Int)
 
