@@ -1207,17 +1207,14 @@ object SparkEntry {
       Replay.writeLog(
         corpus.withColumn("batch", pmod(col("id"), lit(3)).cast("int")),
         "batch", logDir)
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("text",
-          org.apache.spark.sql.types.StringType)))
-      val src = s.readStream.schema(schema)
+      // the log holds exactly the corpus minus the batch column, so the
+      // stream schema IS corpus.schema — no hand-kept duplicate
+      val src = s.readStream.schema(corpus.schema)
         .option("maxFilesPerTrigger", 1).parquet(logDir)
       val q = Streams.incrementalNearDupSink(
         s, src, idxDir, outDir, chkDir, threshold = 0.5)
       q.awaitTermination()
-      s.read.parquet(outDir).orderBy("id_a", "id_b")
+      s.read.parquet(s"$outDir/r*").orderBy("id_a", "id_b")
     }),
     "q86_stream_incr_ann" -> ((s, dir) => {
       // the vector-side twin of q83: the q63 planted corpus streams in
@@ -1235,19 +1232,13 @@ object SparkEntry {
       Replay.writeLog(
         corpus.withColumn("batch", pmod(col("vec_id"), lit(3)).cast("int")),
         "batch", logDir)
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("vec_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("embedding",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType))))
-      val src = s.readStream.schema(schema)
+      val src = s.readStream.schema(corpus.schema)
         .option("maxFilesPerTrigger", 1).parquet(logDir)
       val q = Streams.incrementalAnnSink(
         s, src, idxDir, outDir, chkDir, "vec_id", "embedding",
         threshold = 0.999)
       q.awaitTermination()
-      s.read.parquet(outDir).orderBy("id_a", "id_b")
+      s.read.parquet(s"$outDir/r*").orderBy("id_a", "id_b")
     })
   )
 

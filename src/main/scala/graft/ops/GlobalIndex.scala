@@ -27,6 +27,13 @@ import org.apache.spark.sql.types.LongType
   * actions over an unpinned plan could disagree). On a real cluster
   * prefer `checkpoint()` with a reliable dir for fault tolerance —
   * same contract, durable lineage cut.
+  *
+  * Lifecycle note: the pinned copy lives in the block manager until
+  * the returned frame's reference is dropped and the ContextCleaner
+  * runs (driver GC). Callers invoking this repeatedly over large
+  * frames should drop references between calls (and may System.gc()
+  * to prompt cleanup) so stale copies don't crowd storage memory —
+  * see the Bench hygiene leg.
   */
 object GlobalIndex {
 

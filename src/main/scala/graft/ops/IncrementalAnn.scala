@@ -94,18 +94,35 @@ object IncrementalAnn {
     * capped candidate pair, broadcast-guarded by measured pair count
     * ([[IncrementalLsh.joinPairsToLookup]]).
     */
+  /** `slot`: same replay-idempotency contract as
+    * [[IncrementalLsh.roundPairs]] — pin the round slot to an external
+    * round number so an at-least-once driver's retry re-reads exactly
+    * rounds 0..k-1 and overwrites slot k instead of appending a
+    * duplicate beside its own earlier attempt.
+    */
   def roundPairs(spark: SparkSession, indexDir: String, newEmb: DataFrame,
                  idCol: String, vecCol: String, threshold: Double,
                  tables: Int = 8, bits: Int = 10, seed: Long = 7L,
                  maxBucket: Int = 1024,
                  acc: Option[LongAccumulator] = None,
-                 compactEvery: Int = 0): DataFrame = {
+                 compactEvery: Int = 0,
+                 slot: Option[Int] = None): DataFrame = {
     import spark.implicits._
+    require(slot.isEmpty || compactEvery == 0,
+            "slot-pinned rounds cannot combine with compactEvery " +
+              "(generation folds renumber slots)")
     val newVecs = newEmb
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .persist()
     val newBands = bands(newEmb, idCol, vecCol, tables, bits, seed)
-    val complete = completeRounds(indexDir)
+    val complete = slot match {
+      case None => completeRounds(indexDir)
+      case Some(k) =>
+        val prior = completeRounds(indexDir).filter(_ < k)
+        require(prior == (0 until k),
+                s"slot $k requires committed rounds 0..${k - 1}, found $prior")
+        prior
+    }
     val oldBands = readRounds(spark, bandsDir(indexDir), complete,
                               Seq.empty[(Int, Long, Long)].toDF("band", "bucket", "id")
                                 .select(col("band"), col("bucket"), col("id")))
@@ -129,7 +146,7 @@ object IncrementalAnn {
       .toDF("id_a", "id_b", "cosine")
       .filter(col("cosine") >= threshold)
       .localCheckpoint() // force BEFORE the append mutates the index
-    val k = complete.size
+    val k = slot.getOrElse(complete.size)
     newBands.write.mode("overwrite").parquet(s"${bandsDir(indexDir)}/r$k")
     newVecs.write.mode("overwrite").parquet(s"${vecsDir(indexDir)}/r$k")
     newVecs.unpersist()

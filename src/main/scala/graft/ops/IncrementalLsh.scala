@@ -213,14 +213,29 @@ object IncrementalLsh {
       .join(lookup.toDF("id_b", "payload_b"), "id_b")
   }
 
+  /** `slot`: pin this round's index slot (and the set of rounds read
+    * as "old") to an EXTERNAL round number instead of deriving it from
+    * the slot count. Required for at-least-once drivers (Structured
+    * Streaming foreachBatch): a replayed batch k re-reads exactly
+    * rounds 0..k-1 and overwrites slot k — bit-identical recompute,
+    * never a duplicate append beside its own earlier attempt (which
+    * would break the disjoint-ids precondition and admit self-pairs).
+    * Requires rounds 0..k-1 all committed (streaming delivers batches
+    * in order, so a gap means external corruption — fail loud) and is
+    * incompatible with compactEvery (generation folds renumber slots).
+    */
   def roundPairs(spark: SparkSession, indexDir: String, newDocs: DataFrame,
                  idCol: String, textCol: String,
                  shingleN: Int = 3, numHashes: Int = 32,
                  rowsPerBand: Int = 4, threshold: Double = 0.8,
                  maxBucket: Int = 1024,
                  acc: Option[LongAccumulator] = None,
-                 compactEvery: Int = 0): DataFrame = {
+                 compactEvery: Int = 0,
+                 slot: Option[Int] = None): DataFrame = {
     import spark.implicits._
+    require(slot.isEmpty || compactEvery == 0,
+            "slot-pinned rounds cannot combine with compactEvery " +
+              "(generation folds renumber slots)")
     val newShingled = newDocs
       .select(col(idCol).cast("long").as("id"),
               Dedup.shingles(col(textCol), shingleN).as("sh"))
@@ -228,7 +243,14 @@ object IncrementalLsh {
       .persist()
     val newBands = bands(newDocs, idCol, textCol, shingleN, numHashes,
                          rowsPerBand)
-    val complete = completeRounds(indexDir)
+    val complete = slot match {
+      case None => completeRounds(indexDir)
+      case Some(k) =>
+        val prior = completeRounds(indexDir).filter(_ < k)
+        require(prior == (0 until k),
+                s"slot $k requires committed rounds 0..${k - 1}, found $prior")
+        prior
+    }
     val oldBands = readRounds(spark, bandsDir(indexDir), complete,
                               Seq.empty[(Int, Long, Long)].toDF("band", "bucket", "id")
                                 .select(col("band"), col("bucket"), col("id")))
@@ -256,9 +278,10 @@ object IncrementalLsh {
       .withColumn("jaccard", round(col("jaccard_raw"), 4))
       .select("id_a", "id_b", "jaccard")
       .localCheckpoint() // force BEFORE the append mutates the index
-    // this round's slot: one past the last COMPLETE round — a dangling
-    // slot from a died append is overwritten, never appended beside
-    val k = complete.size
+    // this round's slot: the pinned round, else one past the last
+    // COMPLETE round — a dangling slot from a died append is
+    // overwritten, never appended beside
+    val k = slot.getOrElse(complete.size)
     newBands.write.mode("overwrite").parquet(s"${bandsDir(indexDir)}/r$k")
     newShingled.write.mode("overwrite").parquet(s"${shinglesDir(indexDir)}/r$k")
     newShingled.unpersist()

@@ -169,10 +169,15 @@ object Streams {
     * micro-batches' outputs equals the batch
     * [[graft.ops.Dedup.minhashNearDups]] over the final corpus (caps
     * disengaged), each pair emitted exactly once, in its later
-    * member's batch. Crash safety is the index layer's per-round slot
-    * protocol plus the sink's append-by-batch layout: a batch that
-    * dies before its parquet append re-runs from the checkpoint and
-    * overwrites the same dangling slot.
+    * member's batch. foreachBatch is AT-LEAST-ONCE (a crash between
+    * the batch body and the checkpoint commit replays the batch), so
+    * BOTH effects are made idempotent per batch id: the index slot is
+    * pinned to the batch id (`roundPairs(slot = batchId)` — a replay
+    * re-reads exactly rounds 0..k-1 and OVERWRITES slot k, never
+    * appends a duplicate beside its own earlier attempt), and pairs
+    * land in `outDir/r<batchId>` with overwrite semantics (a replay
+    * rewrites the same directory, never double-appends). Read results
+    * back with `spark.read.parquet(s"$outDir/r*")`.
     *
     * Scale: per micro-batch cost is O(batch + touched buckets), the
     * property that makes near-dup maintenance viable as a continuous
@@ -190,9 +195,10 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.ops.IncrementalLsh
           .roundPairs(spark, indexDir, batch.toDF(), "id", "text",
-                      shingleN, numHashes, rowsPerBand, threshold, maxBucket)
+                      shingleN, numHashes, rowsPerBand, threshold, maxBucket,
+                      slot = Some(batchId.toInt))
           .withColumn("emit_round", lit(batchId).cast("int"))
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/r$batchId")
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -202,9 +208,10 @@ object Streams {
     * micro-batch of (id, vec) embeddings probes the persisted
     * hyperplane band index via
     * [[graft.ops.IncrementalAnn.roundPairs]], with the same
-    * exactness (union == batch cosineNearDups) and per-round-slot
-    * crash-safety contracts. Continuous embedding-dedup maintenance
-    * for a pipeline that ingests vectors as they are computed.
+    * exactness (union == batch cosineNearDups) and replay-idempotency
+    * contracts as [[incrementalNearDupSink]]: index slot pinned to the
+    * batch id, per-batch output directory overwritten on replay. Read
+    * results back with `spark.read.parquet(s"$outDir/r*")`.
     */
   def incrementalAnnSink(spark: SparkSession, src: DataFrame,
                          indexDir: String, outDir: String,
@@ -215,9 +222,10 @@ object Streams {
     src.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.ops.IncrementalAnn
-          .roundPairs(spark, indexDir, batch.toDF(), idCol, vecCol, threshold)
+          .roundPairs(spark, indexDir, batch.toDF(), idCol, vecCol, threshold,
+                      slot = Some(batchId.toInt))
           .withColumn("emit_round", lit(batchId).cast("int"))
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/r$batchId")
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -671,6 +671,40 @@ class IncrementalLshSpec extends SparkSuite {
     assert(all.toSet == batch)
   }
 
+  test("slot-pinned round replay is idempotent: same pairs, no duplicate index entries") {
+    // simulates Structured Streaming's at-least-once foreachBatch: a
+    // batch whose index slot COMMITTED but whose checkpoint didn't is
+    // re-run with the same slot — the retry must re-read exactly the
+    // prior rounds, overwrite its own slot, and later rounds must see
+    // no duplicate ids (which would admit self-pairs)
+    val idx = java.nio.file.Files.createTempDirectory("slotpin-").toString
+    def doc(i: Long, t: String) = (i, t)
+    val r0 = Seq(doc(0, "alpha beta gamma delta one"),
+                 doc(3, "unrelated words entirely here")).toDF("id", "text")
+    val r1 = Seq(doc(1, "alpha beta gamma delta one"),
+                 doc(4, "other text again unrelated")).toDF("id", "text")
+    val r2 = Seq(doc(2, "alpha beta gamma delta one")).toDF("id", "text")
+    def run(df: org.apache.spark.sql.DataFrame, k: Int) =
+      IncrementalLsh.roundPairs(spark, idx, df, "id", "text",
+                                threshold = 0.5, slot = Some(k))
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(run(r0, 0) == Set.empty)
+    val p1 = run(r1, 1)
+    assert(p1 == Set((0L, 1L)))
+    val p1Replay = run(r1, 1) // the at-least-once retry
+    assert(p1Replay == p1, s"replay diverged: $p1Replay")
+    // a later round sees each id exactly once: no self-pairs, no dups
+    val p2 = run(r2, 2)
+    assert(p2 == Set((0L, 2L), (1L, 2L)), s"round 2 pairs: $p2")
+    // pinning a slot with a gap fails loud, never mis-reads
+    val err = intercept[IllegalArgumentException] {
+      IncrementalLsh.roundPairs(spark, idx,
+        Seq(doc(9, "x y z")).toDF("id", "text"), "id", "text",
+        threshold = 0.5, slot = Some(5)).count()
+    }
+    assert(err.getMessage.contains("requires committed rounds"))
+  }
+
   test("cappedNewPairs suppresses old-old pairs and counts drops") {
     val old = Seq((0, 10L, 1L), (0, 10L, 2L)).toDF("band", "bucket", "id")
     val neu = Seq((0, 10L, 3L), (0, 99L, 9L)).toDF("band", "bucket", "id")

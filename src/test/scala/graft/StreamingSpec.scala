@@ -304,17 +304,12 @@ class StreamingSpec extends SparkSuite {
     val idxDir = Files.createTempDirectory("sink-idx-").toString
     val outDir = Files.createTempDirectory("sink-out-").toString
     val chkDir = Files.createTempDirectory("sink-chk-").toString
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("text",
-        org.apache.spark.sql.types.StringType)))
-    val src = spark.readStream.schema(schema)
+    val src = spark.readStream.schema(docs.toDF("id", "text").schema)
       .option("maxFilesPerTrigger", 1).parquet(logDir)
     val q = Streams.incrementalNearDupSink(spark, src, idxDir, outDir,
                                            chkDir, threshold = 0.5)
     q.awaitTermination()
-    val got = spark.read.parquet(outDir)
+    val got = spark.read.parquet(s"$outDir/r*")
       .select("id_a", "id_b", "emit_round").as[(Long, Long, Int)]
       .collect().toSet
     val batch = graft.ops.Dedup.minhashNearDups(
