@@ -802,6 +802,29 @@ class IncrementalAnnSpec extends SparkSuite {
     assert(extra.count() == 0)
   }
 
+  test("ANN slot-pinned round replay is idempotent (mirror of the LSH contract)") {
+    val idx = tmpDir("incann-slot-")
+    def run(r: Int, k: Int) =
+      IncrementalAnn.roundPairs(
+          spark, idx, corpus.filter(pmod(col("id"), lit(3)) === r),
+          "id", "vec", threshold = 0.9, slot = Some(k))
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val p0 = run(0, 0)
+    val p1 = run(1, 1)
+    assert(run(1, 1) == p1, "replayed ANN batch diverged")
+    val p2 = run(2, 2)
+    // union across rounds must still equal batch pairs (no dup ids in
+    // the index after the replay, so no self-pairs / double emits)
+    val batch = Similarity.cosineNearDups(spark, corpus, "id", "vec",
+                                          threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert((p0 ++ p1 ++ p2) == batch)
+    val err = intercept[IllegalArgumentException] {
+      run(0, 7)
+    }
+    assert(err.getMessage.contains("requires committed rounds"))
+  }
+
   test("verify join falls back to a shuffle join when the pair set exceeds the broadcast limit") {
     val pairs = (1L to 500L).flatMap(a => (a + 1 to math.min(a + 3, 500L))
       .map(b => (a, b))).toDF("id_a", "id_b").localCheckpoint()
