@@ -463,6 +463,31 @@ object SparkEntry {
       Decontaminate.overlap(corpus, bench, "id", "text", n = 5)
         .orderBy("id")
     }),
+    "q87_fuzzy_decontaminate" -> ((s, dir) => {
+      // fuzzy decontamination: thresholded near-dup similarity against
+      // the eval set — catches PARAPHRASED leakage that q78's exact
+      // n-gram overlap treats the same as any shared phrase. Benchmark
+      // items are first-word-dropped variants of every doc_id%100==0
+      // doc (jaccard ~0.96 vs the original — a light paraphrase); the
+      // union rides the same capped MinHash+LSH machinery as q27/q58
+      // with exact-jaccard verification, then only cross (corpus,
+      // bench) pairs survive. Scale shape inherits the ids-only banded
+      // exchange; the eval set adds O(|bench|) rows to it.
+      val docs = T(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 1000000L).as("id"),
+                array_join(slice(TextOps.words(col("text")), 2, 1000000), " ")
+                  .as("text"))
+      val union = docs.select(col("doc_id").as("id"), col("text"))
+        .unionByName(bench)
+      Dedup.minhashNearDups(union, "id", "text", shingleN = 3,
+                            numHashes = 32, rowsPerBand = 4,
+                            threshold = 0.6, maxBucket = 1024)
+        .filter(col("id_a") < 1000000L && col("id_b") >= 1000000L)
+        .select(col("id_a").as("doc_id"),
+                (col("id_b") - 1000000L).as("bench_doc"), col("jaccard"))
+        .orderBy("doc_id", "bench_doc")
+    }),
     "q79_chunking" -> ((s, dir) => {
       // sliding-window chunking: 12-word chunks at stride 8 (overlap
       // 4) — sf0.01 docs run ~20-40 words, so every doc exercises the
@@ -1665,6 +1690,38 @@ object SparkEntry {
         |  coalesce(h.n_hit_grams, 0) > 0 AS contaminated
         |FROM corpus c LEFT JOIN h ON h.id = c.id
         |ORDER BY c.id""".stripMargin,
+    "q87_fuzzy_decontaminate" ->
+      // exact-jaccard recomputation over the SAME union (corpus +
+      // first-word-dropped bench variants), cross pairs only — LSH
+      // recall at the planted ~0.96 jaccard is certain (P(miss) ~ 6e-8
+      // per pair with 8 bands of 4), so hash equality is exact
+      """WITH corpus AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(
+        |      (list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+        |                   x -> x <> ''))[2:], ' ')
+        |  FROM documents WHERE doc_id % 100 = 0),
+        |words AS (SELECT id,
+        |  list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+        |              x -> x <> '') AS ws FROM corpus),
+        |grams AS (
+        |  SELECT DISTINCT id, array_to_string(ws[i:i+2],' ') AS gram
+        |  FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) g
+        |  WHERE len(ws) >= 3),
+        |sizes AS (SELECT id, count(*) AS n_grams FROM grams GROUP BY 1),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+        |  FROM grams a JOIN grams b USING (gram) WHERE a.id < b.id
+        |  GROUP BY 1,2)
+        |SELECT id_a AS doc_id, id_b - 1000000 AS bench_doc,
+        |  round(i::DOUBLE/(sa.n_grams+sb.n_grams-i),4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.id=id_a JOIN sizes sb ON sb.id=id_b
+        |WHERE i::DOUBLE/(sa.n_grams+sb.n_grams-i) >= 0.6
+        |  AND id_a < 1000000 AND id_b >= 1000000
+        |ORDER BY doc_id, bench_doc""".stripMargin,
     "q79_chunking" ->
       """WITH w AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
