@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.fetch.SimulatedFetcher
 import graft.model.FrontierEntry
-import graft.ops.{Chunking, ConnectedComponents, Decontaminate, Dedup, Extract, FacetSplit, GlobalIndex, IncrementalAnn, IncrementalLsh, Multimodal, Packing, Sampling, Similarity, TextOps}
+import graft.ops.{Chunking, ConnectedComponents, Decontaminate, Dedup, Extract, FacetSplit, GlobalIndex, IncrementalAnn, IncrementalLsh, Multimodal, Packing, PageRank, Sampling, Similarity, TextOps}
 import graft.parse.{CssSelect, HtmlSpans, TrimHtml}
 import graft.sources.{CursorSource, GraphQlSource}
 import graft.sched.{CrawlConfig, CrawlScheduler}
@@ -540,6 +540,20 @@ object SparkEntry {
       pct(docs.groupBy("lang"))
         .unionByName(pct(docs.withColumn("lang", lit("ALL")).groupBy("lang")))
         .orderBy("lang")
+    }),
+    "q88_pagerank" -> ((s, dir) => {
+      // deterministic fixed-point PageRank over the part<->supplier
+      // bipartite graph from lineitem (both directions, so no dangling
+      // mass): supplier authority via shared parts — the centrality
+      // machinery a crawl frontier prioritizer runs over its link
+      // graph. Integer arithmetic end to end, so the oracle is a
+      // bit-exact sequential recomputation (SeqOracles.q88Dump).
+      val li = T(s, dir, "lineitem")
+        .select(col("l_partkey").cast("long").as("p"),
+                (col("l_suppkey").cast("long") + 10000000L).as("sp"))
+      val edges = li.select(col("p").as("src"), col("sp").as("dst"))
+        .unionByName(li.select(col("sp").as("src"), col("p").as("dst")))
+      PageRank.ranks(edges, iterations = 10).orderBy("node")
     }),
     "q84_quality_cutoff" -> ((s, dir) => {
       // threshold application, the step after q81: per-language exact
@@ -1594,6 +1608,7 @@ object SparkEntry {
         | p_brand AS brand
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q60_ua_pick" -> dumpSql("q60_ua_pick", "p_partkey"),
+    "q88_pagerank" -> dumpSql("q88_pagerank", "node"),
     "q73_stratified_sample" -> dumpSql("q73_stratified_sample", "doc_id"),
     "q74_pii_redact" ->
       """WITH raw AS (

@@ -459,6 +459,7 @@ object SeqOracles {
   final case class Q60Row(p_partkey: Long, url: String, ua: String)
 
   final case class Q73Row(doc_id: Long, lang: String, bucket: Long)
+  final case class Q88Row(node: Long, rank: Long)
 
   /** q73 sampling oracle: an independent sequential recomputation of
     * the hash-predicate draw — same rate table as the query (duplicated
@@ -570,6 +571,35 @@ object SeqOracles {
     * are isolated: the affected query's oracle read fails, the rest
     * stay green.
     */
+  /** q88 oracle: the IDENTICAL fixed-point PageRank, sequentially —
+    * integer arithmetic commutes exactly, so this must match the
+    * distributed run bit-for-bit (that exactness is the operator's
+    * contract, see [[graft.ops.PageRank]]).
+    */
+  private def q88Dump(spark: SparkSession, dir: String, dumpRoot: String): Unit = {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .selectExpr("cast(l_partkey as long)", "cast(l_suppkey as long)")
+      .as[(Long, Long)].collect()
+    val edges: Set[(Long, Long)] = li.iterator.flatMap { case (p, s0) =>
+      val sp = s0 + 10000000L
+      Iterator((p, sp), (sp, p))
+    }.toSet
+    val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSeq.distinct.sorted
+    val n = nodes.size.toLong
+    val scale = graft.ops.PageRank.scale
+    val outDeg: Map[Long, Long] =
+      edges.toSeq.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var rank: Map[Long, Long] = nodes.map(_ -> scale / n).toMap
+    val base = (scale * 15L / 100L) / n
+    (1 to 10).foreach { _ =>
+      val sums = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (src, dst) => sums(dst) += rank(src) / outDeg(src) }
+      rank = nodes.map(nd => nd -> (base + sums(nd) * 85L / 100L)).toMap
+    }
+    write(dumpRoot, "q88_pagerank", nodes.map(nd => Q88Row(nd, rank(nd))).toDF())
+  }
+
   def writeAll(spark: SparkSession, dir: String,
                dumpRoot: String = root): Unit = {
     def guarded(name: String)(body: => Unit): Unit =
@@ -588,5 +618,6 @@ object SeqOracles {
     guarded("q60")(q60Dump(spark, dir, dumpRoot))
     guarded("q73")(q73Dump(spark, dir, dumpRoot))
     guarded("q64")(q64Dump(spark, dir, dumpRoot))
+    guarded("q88")(q88Dump(spark, dir, dumpRoot))
   }
 }

@@ -1201,6 +1201,44 @@ class ComposeOpsSpec extends SparkSuite {
   }
 
 
+  test("fixed-point PageRank: bit-exact vs an independent sequential run; hubs rank highest") {
+    import graft.ops.PageRank
+    // star graph: 1..8 <-> 0 (both directions, no dangling nodes)
+    val star = (1L to 8L).flatMap(i => Seq((i, 0L), (0L, i))).toDF("src", "dst")
+    val got = PageRank.ranks(star, 10).as[(Long, Long)].collect().toMap
+    // independent sequential recomputation (same integer algebra)
+    def seqRanks(edges: Set[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val n = nodes.size.toLong
+      val outDeg = edges.toSeq.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      var rank = nodes.map(_ -> PageRank.scale / n).toMap
+      val base = (PageRank.scale * 15L / 100L) / n
+      (1 to iters).foreach { _ =>
+        val sums = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        edges.foreach { case (s, d) => sums(d) += rank(s) / outDeg(s) }
+        rank = nodes.map(nd => nd -> (base + sums(nd) * 85L / 100L)).toMap
+      }
+      rank
+    }
+    val want = seqRanks((1L to 8L).flatMap(i => Seq((i, 0L), (0L, i))).toSet, 10)
+    assert(got == want, s"spark $got != seq $want")
+    // the hub dominates every spoke, spokes are symmetric
+    assert((1L to 8L).forall(i => got(0L) > got(i)))
+    assert((1L to 8L).map(got).toSet.size == 1)
+    // random graph: equality must hold at a different parallelism too
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 400).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, e.swap)).toSet
+    val df = edges.toSeq.toDF("src", "dst").repartition(7)
+    val g2 = PageRank.ranks(df, 10).as[(Long, Long)].collect().toMap
+    assert(g2 == seqRanks(edges, 10))
+    // conservation sanity: total rank stays within floor-drift of scale
+    val total = g2.values.sum
+    assert(total <= PageRank.scale && total > PageRank.scale * 97 / 100,
+           s"mass off: $total")
+  }
+
   test("decontaminate property: flagged iff a pure-Scala oracle finds shared n-grams") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
