@@ -368,9 +368,10 @@ object Bench {
 
     // part 4: ANN at scale — the embeddings table expanded 64x
     // (~128k vectors at sf0.1): k=0 original, k=1 an EXACT mirror (the
-    // planted cosine-1.0 pair), k=2.. deterministically perturbed
-    // (elementwise scale in [0.7, 1.3] — cosine vs original ~0.96,
-    // far below the 0.9999 threshold). Batch hyperplane-banded near-dup
+    // planted cosine-1.0 pair), k=2.. independent hash-random vectors
+    // (pairwise cosine concentrates near 0 — see annAtScale's
+    // construction note for why scaled copies would be wrong here).
+    // Batch hyperplane-banded near-dup
     // vs incremental maintenance (IncrementalAnn): the corpus arrives
     // in two rounds split so every mirror pair straddles them (k
     // parity); round 2 — new vectors against the persisted band index —

@@ -114,7 +114,10 @@ object IncrementalAnn {
     val newVecs = newEmb
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .persist()
-    val newBands = bands(newEmb, idCol, vecCol, tables, bits, seed)
+    // bands from the PERSISTED (id, vec) slice, not the caller's
+    // source plan — one source scan per round, and bands/vecs cannot
+    // disagree if the source is nondeterministic
+    val newBands = bands(newVecs, "id", "vec", tables, bits, seed)
     val complete = slot match {
       case None => completeRounds(indexDir)
       case Some(k) =>
@@ -290,8 +293,25 @@ object IncrementalAnn {
       * j+1 slot r0 (postings first, centroids last = commit marker).
       *
       * Returns (epoch, round) the new slice landed in.
+      *
+      * `slot`: pin the round slot for at-least-once callers — the
+      * retry-safety gap this closes: an unpinned retried append whose
+      * slot already committed (e.g. a death AFTER the slot's write but
+      * before the caller recorded the result) would land in a NEW slot
+      * and duplicate every vector of the slice. With the slot pinned
+      * the retry overwrites its own slot, and a gap in prior slots
+      * fails loud. Pinning REQUIRES retrainEvery == 0: an epoch fold
+      * renumbers slots, so after a completed re-train a replayed slot
+      * number could no longer be told apart from a fresh one — run
+      * re-training as an explicit offline action between pinned-append
+      * sessions instead. The bootstrap append is idempotent without
+      * pinning (centroids commit last).
       */
-    def append(newEmb: DataFrame, idCol: String, vecCol: String): (Int, Int) = {
+    def append(newEmb: DataFrame, idCol: String, vecCol: String,
+               slot: Option[Int] = None): (Int, Int) = {
+      require(slot.isEmpty || retrainEvery == 0,
+              "slot-pinned appends cannot combine with retrainEvery " +
+                "(an epoch fold renumbers slots; re-train offline instead)")
       val j0 = activeEpoch()
       val (j, cs) =
         if (j0 < 0) {
@@ -304,7 +324,15 @@ object IncrementalAnn {
           writeCentroids(0, cs)
           return (0, 0)
         } else (j0, centroids())
-      val k = RoundSlots.roundIdxs(cellsDir(j)).toSeq.sorted.size
+      val existing = RoundSlots.roundIdxs(cellsDir(j)).toSeq.sorted
+      val k = slot match {
+        case None => existing.size
+        case Some(kk) =>
+          require(existing.filter(_ < kk) == (0 until kk),
+                  s"slot $kk requires committed rounds 0..${kk - 1} in " +
+                    s"epoch $j, found $existing")
+          kk
+      }
       assign(newEmb, idCol, vecCol, cs)
         .write.partitionBy("cell").mode("overwrite")
         .parquet(s"${cellsDir(j)}/r$k")

@@ -56,11 +56,21 @@ object IncrementalLsh {
     */
   def bands(df: DataFrame, idCol: String, textCol: String,
             shingleN: Int = 3, numHashes: Int = 32,
-            rowsPerBand: Int = 4): DataFrame = {
+            rowsPerBand: Int = 4): DataFrame =
+    bandsFromShingled(
+      df.select(col(idCol).cast("long").as("id"),
+                Dedup.shingles(col(textCol), shingleN).as("sh"))
+        .filter(size(col("sh")) > 0),
+      numHashes, rowsPerBand)
+
+  /** [[bands]] over an already-shingled (id, sh) frame — lets
+    * roundPairs derive postings from its PERSISTED shingle slice
+    * instead of re-evaluating the caller's source plan a second time.
+    */
+  def bandsFromShingled(shingled: DataFrame, numHashes: Int,
+                        rowsPerBand: Int): DataFrame = {
     val nBands = numHashes / rowsPerBand
-    df.select(col(idCol).cast("long").as("id"),
-              Dedup.shingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
+    shingled
       .withColumn("sig", Dedup.minhashSignature(col("sh"), numHashes))
       .select(
         col("id"),
@@ -241,8 +251,7 @@ object IncrementalLsh {
               Dedup.shingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist()
-    val newBands = bands(newDocs, idCol, textCol, shingleN, numHashes,
-                         rowsPerBand)
+    val newBands = bandsFromShingled(newShingled, numHashes, rowsPerBand)
     val complete = slot match {
       case None => completeRounds(indexDir)
       case Some(k) =>

@@ -24,10 +24,20 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** `orderCol` should be unique within each group (q77 uses doc_id):
+    * the prefix sum runs over a ROWS frame, so rows tied on `orderCol`
+    * each get a distinct running total — the packing is structurally
+    * valid for whichever tie order the partition produced, but that
+    * order (and thus the tied rows' shard split) is not deterministic
+    * across runs. With the default RANGE frame ties would instead ALL
+    * receive the peak peer total and collapse into the same overfull
+    * shard — silently wrong, which is why the frame is pinned here.
+    */
   def tokenPack(df: DataFrame, groupCol: String, orderCol: String,
                 tokensCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     val w = Window.partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
       .withColumn("shard",
                   floor((col("cum_tokens") - col(tokensCol)) / lit(budget))

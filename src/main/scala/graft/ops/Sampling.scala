@@ -32,18 +32,22 @@ object Sampling {
 
   /** Rows of `df` kept by per-stratum rates (strata missing from
     * `rates` use `defaultRate`). Preserves the input schema and adds a
-    * `bucket` audit column.
+    * `bucket` audit column. Internal join/rate columns carry a
+    * `__graft_` prefix so an input that already has a `rate` or
+    * `stratum_key` column joins cleanly (a caller-side `bucket` column
+    * is still replaced — that name is the documented output).
     */
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
                        rates: Map[String, Double], defaultRate: Double,
                        seed: String): DataFrame = {
     val s = df.sparkSession
     val rateRows = rates.toSeq.map { case (k, v) => (k, v) }
-    val rdf = s.createDataFrame(rateRows).toDF("stratum_key", "rate")
-    df.join(broadcast(rdf), df(stratumCol) === rdf("stratum_key"), "left")
-      .withColumn("rate", coalesce(col("rate"), lit(defaultRate)))
+    val rdf = s.createDataFrame(rateRows).toDF("__graft_stratum", "__graft_rate")
+    df.join(broadcast(rdf), df(stratumCol) === rdf("__graft_stratum"), "left")
+      .withColumn("__graft_rate_eff",
+                  coalesce(col("__graft_rate"), lit(defaultRate)))
       .withColumn("bucket", sampleBucket(col(stratumCol), col(idCol), seed))
-      .filter(col("bucket") < (col("rate") * 1000000L).cast("long"))
+      .filter(col("bucket") < (col("__graft_rate_eff") * 1000000L).cast("long"))
       .select(df.columns.map(col) :+ col("bucket"): _*)
   }
 }

@@ -46,8 +46,11 @@ object Replay {
       val tmp = tmpRoot.resolve(s"b$k").toString
       df.filter(col(batchCol) === b).drop(batchCol)
         .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).filter(p =>
-        p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      val listing = Files.list(Paths.get(tmp))
+      val part =
+        try listing.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally listing.close()
       val dst = Paths.get(dir, f"b$k%05d.parquet")
       Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
       Files.setLastModifiedTime(dst, FileTime.fromMillis(base + k * 2000L))

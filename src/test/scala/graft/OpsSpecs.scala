@@ -611,8 +611,12 @@ class IncrementalLshSpec extends SparkSuite {
     // simulate a round-1 append that wrote bands but died before
     // shingles: a dangling bands/r1 slot
     val round1 = corpus.filter(pmod(col("id"), lit(3)) === 1)
+    // plant the dangling slot where the index actually READS — the
+    // active generation's bands dir (a slot outside g<j> would be
+    // invisible by location and make this test vacuous)
+    val live = graft.ops.RoundSlots.genDir(idx, graft.ops.RoundSlots.activeGen(idx))
     IncrementalLsh.bands(round1, "id", "text")
-      .write.parquet(s"$idx/bands/r1")
+      .write.parquet(s"$live/bands/r1")
     // the dangling slot must not be served: a no-new-docs round against
     // the index emits nothing (were the dangling bands read, round-1
     // ids would pair with nothing verifiable or crash the lookup join)
@@ -648,13 +652,14 @@ class IncrementalLshSpec extends SparkSuite {
     // shingles (silent recall loss) AND push the retry to slot r2,
     // duplicating round-1 ids across "old" rounds.
     val round1 = corpus.filter(pmod(col("id"), lit(3)) === 1)
+    val live = graft.ops.RoundSlots.genDir(idx, graft.ops.RoundSlots.activeGen(idx))
     IncrementalLsh.bands(round1, "id", "text")
-      .write.parquet(s"$idx/bands/r1")
+      .write.parquet(s"$live/bands/r1")
     java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(s"$idx/shingles/r1/_temporary"))
+      java.nio.file.Paths.get(s"$live/shingles/r1/_temporary"))
     // junk subdirectory named exactly "r" must be ignored, not crash
     java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(s"$idx/bands/r"))
+      java.nio.file.Paths.get(s"$live/bands/r"))
     // retry of round 1 lands back in slot r1 (overwrite, no duplicate
     // ids across rounds — no self-pairs); union across rounds == batch
     val incr1 = IncrementalLsh.roundPairs(
@@ -961,6 +966,38 @@ class IncrementalAnnSpec extends SparkSuite {
                s"IvfIndex.topK shuffles vectors: ${fat.map(_.name)}")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("IvfIndex: slot-pinned append retry overwrites, never duplicates; pinning excludes retrain") {
+    val dir = tmpDir("ivf-slotpin-")
+    val idx = new IncrementalAnn.IvfIndex(spark, dir, nCells = 4, iters = 3,
+                                          retrainEvery = 0)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val r0 = e.filter(col("vec_id") % 2 === 0)
+    val r1 = e.filter(col("vec_id") % 2 === 1)
+    idx.append(r0, "vec_id", "embedding") // bootstrap
+    assert(idx.append(r1, "vec_id", "embedding", slot = Some(1)) == (0, 1))
+    val before = idx.rounds()
+    // the at-least-once retry: same slice, same slot — must overwrite
+    assert(idx.append(r1, "vec_id", "embedding", slot = Some(1)) == (0, 1))
+    assert(idx.rounds() == before, s"retry changed slots: ${idx.rounds()}")
+    // no duplicate ids anywhere in the epoch's postings
+    val ids = idx.rounds().flatMap(k =>
+      spark.read.parquet(s"$dir/e0/cells/r$k").select("id").as[Long].collect())
+    assert(ids.size == ids.distinct.size, "duplicate ids after retry")
+    // slot gaps fail loud; pinning with retrain enabled is rejected
+    val gap = intercept[IllegalArgumentException] {
+      idx.append(r1, "vec_id", "embedding", slot = Some(5))
+    }
+    assert(gap.getMessage.contains("requires committed rounds"))
+    val idxRt = new IncrementalAnn.IvfIndex(spark, tmpDir("ivf-rt-"),
+                                            nCells = 4, iters = 3,
+                                            retrainEvery = 2)
+    idxRt.append(r0, "vec_id", "embedding")
+    val bad = intercept[IllegalArgumentException] {
+      idxRt.append(r1, "vec_id", "embedding", slot = Some(1))
+    }
+    assert(bad.getMessage.contains("cannot combine with retrainEvery"))
   }
 
   test("IvfIndex: an epoch without committed centroids is invisible; retry redoes it") {
