@@ -191,22 +191,11 @@ object IncrementalAnn {
     private def centroidsDir(j: Int) = s"${epochDir(j)}/centroids"
 
     /** Committed epoch indices (centroids `_SUCCESS` present). */
-    private def epochIdxs(): Seq[Int] = {
-      val p = java.nio.file.Paths.get(indexDir)
-      if (!java.nio.file.Files.isDirectory(p)) Seq.empty
-      else {
-        val out = scala.collection.mutable.ArrayBuffer.empty[Int]
-        val s = java.nio.file.Files.list(p)
-        try s.forEach { c =>
-          val n = c.getFileName.toString
-          if (n.startsWith("e") && n.length > 1 && n.drop(1).forall(_.isDigit)
-              && java.nio.file.Files.exists(
-                   c.resolve("centroids").resolve("_SUCCESS")))
-            out += n.drop(1).toInt
-        } finally s.close()
-        out.toSeq.sorted
-      }
-    }
+    // epoch listing/GC share RoundSlots' marker-gated scan and
+    // reverse-walk delete — commit evidence here is the centroids
+    // table's _SUCCESS (centroids are written LAST in every epoch)
+    private def epochIdxs(): Seq[Int] =
+      RoundSlots.committedIdxs(indexDir, "e", "centroids/_SUCCESS")
 
     /** Active (highest committed) epoch, or -1 when the index is empty. */
     def activeEpoch(): Int = epochIdxs().lastOption.getOrElse(-1)
@@ -218,22 +207,7 @@ object IncrementalAnn {
     def gcOldEpochs(): Unit = {
       val act = activeEpoch()
       if (act < 0) return
-      val p = java.nio.file.Paths.get(indexDir)
-      val olds = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-      val ls = java.nio.file.Files.list(p)
-      try ls.forEach { c =>
-        val n = c.getFileName.toString
-        if (n.startsWith("e") && n.length > 1 && n.drop(1).forall(_.isDigit)
-            && n.drop(1).toInt < act)
-          olds += c
-      } finally ls.close()
-      olds.foreach { root =>
-        val s = java.nio.file.Files.walk(root)
-        try {
-          s.sorted(java.util.Comparator.reverseOrder())
-            .forEach(q => java.nio.file.Files.deleteIfExists(q))
-        } finally s.close()
-      }
+      RoundSlots.gcBelow(indexDir, "e", act)
     }
 
     /** Committed rounds of the active epoch. */

@@ -63,24 +63,61 @@ private[graft] object RoundSlots {
   // fully serving (the dangling g<j+1> is overwritten on retry).
   private val CommitMarker = "_COMMITTED"
 
-  /** Committed generation indices under `indexDir` (dirs `g0`, `g1`,
-    * ..., gated on the marker file written after every table fold).
+  /** Committed indices of `prefix`-numbered children of `dir` (dirs
+    * `<prefix>0`, `<prefix>1`, ...), gated on `marker` — a path
+    * RELATIVE to each child whose existence is the commit evidence.
+    * One implementation of the marker-gated listing shared by the
+    * generation layer (`g<j>` / `_COMMITTED`) and IvfIndex's epochs
+    * (`e<j>` / `centroids/_SUCCESS`), so a fix to either scan cannot
+    * silently miss the other.
     */
-  def genIdxs(indexDir: String): Seq[Int] = {
-    val p = java.nio.file.Paths.get(indexDir)
+  def committedIdxs(dir: String, prefix: String, marker: String): Seq[Int] = {
+    val p = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.isDirectory(p)) Seq.empty
     else {
       val out = scala.collection.mutable.ArrayBuffer.empty[Int]
       val s = java.nio.file.Files.list(p)
       try s.forEach { c =>
         val n = c.getFileName.toString
-        if (n.startsWith("g") && n.length > 1 && n.drop(1).forall(_.isDigit)
-            && java.nio.file.Files.exists(c.resolve(CommitMarker)))
-          out += n.drop(1).toInt
+        if (n.startsWith(prefix) && n.length > prefix.length
+            && n.drop(prefix.length).forall(_.isDigit)
+            && java.nio.file.Files.exists(c.resolve(marker)))
+          out += n.drop(prefix.length).toInt
       } finally s.close()
       out.toSeq.sorted
     }
   }
+
+  /** Delete `prefix`-numbered children of `dir` with index below
+    * `keepFrom`, committed or not (a superseded or dangling write).
+    * The shared reverse-walk delete of the GC paths.
+    */
+  def gcBelow(dir: String, prefix: String, keepFrom: Int): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(p)) return
+    val olds = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    val ls = java.nio.file.Files.list(p)
+    try ls.forEach { c =>
+      val n = c.getFileName.toString
+      if (n.startsWith(prefix) && n.length > prefix.length
+          && n.drop(prefix.length).forall(_.isDigit)
+          && n.drop(prefix.length).toInt < keepFrom)
+        olds += c
+    } finally ls.close()
+    olds.foreach { root =>
+      val s = java.nio.file.Files.walk(root)
+      try {
+        s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => java.nio.file.Files.deleteIfExists(q))
+      } finally s.close()
+    }
+  }
+
+  /** Committed generation indices under `indexDir` (dirs `g0`, `g1`,
+    * ..., gated on the marker file written after every table fold).
+    */
+  def genIdxs(indexDir: String): Seq[Int] =
+    committedIdxs(indexDir, "g", CommitMarker)
 
   /** Active (highest committed) generation, or 0 when the index is
     * empty/fresh — generation 0 needs no marker: an empty index serves
@@ -125,28 +162,10 @@ private[graft] object RoundSlots {
 
   /** Delete generations below the active one (safe once no reader holds
     * an open scan over them — callers schedule this between rounds).
+    * Deletes ANY g<i> below the active, committed or not — generation 0
+    * never carries a marker (activeGen defaults to it), and an
+    * uncommitted g<i> below the active is a dead dangling write.
     */
-  def gcOldGenerations(indexDir: String): Unit = {
-    val act = activeGen(indexDir)
-    // delete ANY g<i> below the active one, committed or not —
-    // generation 0 never carries a marker (activeGen defaults to it),
-    // and an uncommitted g<i> below the active is a dead dangling write
-    val p = java.nio.file.Paths.get(indexDir)
-    if (!java.nio.file.Files.isDirectory(p)) return
-    val olds = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-    val ls = java.nio.file.Files.list(p)
-    try ls.forEach { c =>
-      val n = c.getFileName.toString
-      if (n.startsWith("g") && n.length > 1 && n.drop(1).forall(_.isDigit)
-          && n.drop(1).toInt < act)
-        olds += c
-    } finally ls.close()
-    olds.foreach { root =>
-      val s = java.nio.file.Files.walk(root)
-      try {
-        s.sorted(java.util.Comparator.reverseOrder())
-          .forEach(q => java.nio.file.Files.deleteIfExists(q))
-      } finally s.close()
-    }
-  }
+  def gcOldGenerations(indexDir: String): Unit =
+    gcBelow(indexDir, "g", activeGen(indexDir))
 }
