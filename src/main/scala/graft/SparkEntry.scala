@@ -541,6 +541,52 @@ object SparkEntry {
         .unionByName(pct(docs.withColumn("lang", lit("ALL")).groupBy("lang")))
         .orderBy("lang")
     }),
+    "q89_corpus_diff" -> ((s, dir) => {
+      // corpus version diff — the audit a pipeline runs between two
+      // materializations: v2 edits every doc_id%10==0 doc, drops every
+      // doc_id%17==0 doc, and adds 5 new docs (+200000). Full outer
+      // join on the id, change detected by content hash; one shuffle
+      // on the join key, content never compared row-by-row on the
+      // driver. Output: only the changed rows (added/removed/changed).
+      val v1 = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val v2base = T(s, dir, "documents").filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+                when(col("doc_id") % 10 === 0, concat(col("text"), lit(" edited")))
+                  .otherwise(col("text")).as("text"))
+      val v2 = v2base.unionByName(
+        T(s, dir, "documents").filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+                  concat(lit("new doc "), col("text")).as("text")))
+      v1.select(col("doc_id"), md5(col("text")).as("h1"))
+        .join(v2.select(col("doc_id"), md5(col("text")).as("h2")),
+              Seq("doc_id"), "full_outer")
+        .withColumn("change",
+                    when(col("h1").isNull, lit("added"))
+                      .when(col("h2").isNull, lit("removed"))
+                      .when(col("h1") =!= col("h2"), lit("changed")))
+        .filter(col("change").isNotNull)
+        .select("doc_id", "change")
+        .orderBy("doc_id")
+    }),
+    "q90_schema_evolution" -> ((s, dir) => {
+      // schema-evolution read: two shard batches written at different
+      // pipeline versions (v1 lacks the n_chars column), read together
+      // with mergeSchema and aggregated — the upgrade path a long-lived
+      // corpus lives through. Oracle recomputes the aggregate from the
+      // source table (v1 rows contribute NULL n_chars).
+      val out = java.nio.file.Files.createTempDirectory("graft-evo-").toString
+      val docs = T(s, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 1).select("doc_id", "lang")
+        .write.mode("overwrite").parquet(s"$out/v1")
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$out/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_chars").cast("long").as("sum_chars_v2"),
+             count(col("n_chars")).as("n_v2_rows"))
+        .orderBy("lang")
+    }),
     "q88_pagerank" -> ((s, dir) => {
       // deterministic fixed-point PageRank over the part<->supplier
       // bipartite graph from lineitem (both directions, so no dangling
@@ -1609,6 +1655,36 @@ object SparkEntry {
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q60_ua_pick" -> dumpSql("q60_ua_pick", "p_partkey"),
     "q88_pagerank" -> dumpSql("q88_pagerank", "node"),
+    "q89_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN text || ' edited' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 'new doc ' || text
+        |  FROM documents WHERE doc_id % 100 = 0),
+        |j AS (
+        |  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |    md5(v1.text) AS h1, md5(v2.text) AS h2
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN h1 IS NULL THEN 'added'
+        |       WHEN h2 IS NULL THEN 'removed'
+        |       WHEN h1 <> h2 THEN 'changed' END AS change
+        |FROM j
+        |WHERE h1 IS NULL OR h2 IS NULL OR h1 <> h2
+        |ORDER BY doc_id""".stripMargin,
+    "q90_schema_evolution" ->
+      """WITH u AS (
+        |  SELECT lang, CAST(NULL AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 0)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars_v2,
+        |  count(n_chars) AS n_v2_rows
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "q73_stratified_sample" -> dumpSql("q73_stratified_sample", "doc_id"),
     "q74_pii_redact" ->
       """WITH raw AS (
