@@ -541,6 +541,31 @@ object SparkEntry {
         .unionByName(pct(docs.withColumn("lang", lit("ALL")).groupBy("lang")))
         .orderBy("lang")
     }),
+    "q91_bucketed_join" -> ((s, dir) => {
+      // co-located join via bucketing: both sides bucketed AND sorted
+      // on the join key at write time, so the join and the key-aligned
+      // aggregate both plan with ZERO hash exchanges (PlanSpec pins
+      // it) — at 100 TB this is the shuffle you pay once at layout
+      // time instead of on every join. External bucketed tables under
+      // a temp path; the in-memory catalog carries the bucket spec.
+      val tmp = java.nio.file.Files.createTempDirectory("graft-buck-").toString
+      T(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$tmp/orders").mode("overwrite")
+        .saveAsTable("g91_orders")
+      T(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$tmp/lineitem").mode("overwrite")
+        .saveAsTable("g91_lineitem")
+      s.table("g91_orders")
+        .join(s.table("g91_lineitem"),
+              col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(min(col("o_custkey")).as("o_custkey"),
+             round(sum("l_quantity"), 2).as("sum_qty"),
+             count(lit(1)).as("n_items"))
+        .orderBy("o_orderkey")
+    }),
     "q89_corpus_diff" -> ((s, dir) => {
       // corpus version diff — the audit a pipeline runs between two
       // materializations: v2 edits every doc_id%10==0 doc, drops every
@@ -1655,6 +1680,11 @@ object SparkEntry {
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q60_ua_pick" -> dumpSql("q60_ua_pick", "p_partkey"),
     "q88_pagerank" -> dumpSql("q88_pagerank", "node"),
+    "q91_bucketed_join" ->
+      """SELECT o_orderkey, min(o_custkey) AS o_custkey,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_items
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q89_corpus_diff" ->
       """WITH v1 AS (SELECT doc_id, text FROM documents),
         |v2 AS (

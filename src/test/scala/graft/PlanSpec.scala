@@ -128,6 +128,19 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("Exchange hashpartitioning(text"), s"corpus text shuffled:\n$plan")
   }
 
+  test("bucketed co-located join: zero hash exchanges through join AND aggregate") {
+    val plan = planOf(SparkEntry.queries("q91_bucketed_join")(spark, dir))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 0,
+           s"bucketed join/agg should not hash-shuffle, got $shuffles:\n$plan")
+    // tiny sf0.001 sides may broadcast instead of sort-merge — either
+    // way the bucketed layout must keep hash exchanges at zero, and the
+    // scans must actually be bucket-aware
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
+           s"no join in plan:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"bucketed scan missing:\n$plan")
+  }
+
   test("sliding-window chunking is shuffle-free (scan + generate only)") {
     val plan = planOf(graft.ops.Chunking.slidingChunks(
       spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 12, 8))
