@@ -541,6 +541,24 @@ object SparkEntry {
         .unionByName(pct(docs.withColumn("lang", lit("ALL")).groupBy("lang")))
         .orderBy("lang")
     }),
+    "q92_partitioned_scan" -> ((s, dir) => {
+      // directory-partitioned layout + partition pruning: documents
+      // written partitionBy(lang, source); a per-language read then
+      // scans ONLY that language's directories (PlanSpec pins the
+      // PartitionFilters and that the pruned scan touches a strict
+      // subset of partitions) — at 100 TB the dominant scan-cost lever
+      // after column pruning.
+      val out = java.nio.file.Files.createTempDirectory("graft-part-").toString
+      T(s, dir, "documents")
+        .write.partitionBy("lang", "source").mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .filter(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_chars").cast("long").as("sum_chars"),
+             countDistinct(md5(col("text"))).as("n_distinct_md5"))
+        .orderBy("source")
+    }),
     "q91_bucketed_join" -> ((s, dir) => {
       // co-located join via bucketing: both sides bucketed AND sorted
       // on the join key at write time, so the join and the key-aligned
@@ -1680,6 +1698,12 @@ object SparkEntry {
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q60_ua_pick" -> dumpSql("q60_ua_pick", "p_partkey"),
     "q88_pagerank" -> dumpSql("q88_pagerank", "node"),
+    "q92_partitioned_scan" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  count(DISTINCT md5(text)) AS n_distinct_md5
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q91_bucketed_join" ->
       """SELECT o_orderkey, min(o_custkey) AS o_custkey,
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_items

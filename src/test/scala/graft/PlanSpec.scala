@@ -141,6 +141,25 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("Bucketed: true"), s"bucketed scan missing:\n$plan")
   }
 
+  test("directory-partitioned scan prunes to the filtered partitions") {
+    val out = java.nio.file.Files.createTempDirectory("planspec-part-").toString
+    spark.read.parquet(s"$dir/documents.parquet")
+      .write.partitionBy("lang").mode("overwrite").parquet(out)
+    val df = spark.read.parquet(out).filter(col("lang") === "en")
+      .select(col("doc_id"))
+    val plan = planOf(df)
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+           s"partition filter missing:\n$plan")
+    // the scan must report strictly fewer partitions than exist
+    val scan = df.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+    val selected = scan.relation.location.listFiles(
+      scan.partitionFilters, scan.dataFilters).length
+    val total = scan.relation.location.listFiles(Nil, Nil).length
+    assert(selected < total && selected >= 1,
+           s"pruning ineffective: $selected of $total partitions")
+  }
+
   test("sliding-window chunking is shuffle-free (scan + generate only)") {
     val plan = planOf(graft.ops.Chunking.slidingChunks(
       spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 12, 8))
