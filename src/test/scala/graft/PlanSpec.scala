@@ -160,6 +160,24 @@ class PlanSpec extends SparkSuite {
            s"pruning ineffective: $selected of $total partitions")
   }
 
+  test("AQE re-plans at runtime: tiny shuffle outputs coalesce below the static partition count") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // a skinny aggregate whose shuffle writes far less than the
+    // advisory partition size: AQE must coalesce the static shuffle
+    // partitions down — the runtime re-plan the engine leans on at
+    // 100 TB instead of hand-tuning spark.sql.shuffle.partitions per
+    // stage
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+    df.collect() // force execution so AQE finalizes the plan
+    val adaptive = df.queryExecution.executedPlan
+      .collectFirst { case a: AdaptiveSparkPlanExec => a }
+    assert(adaptive.isDefined, "expected an adaptive plan root")
+    val finalPlan = adaptive.get.executedPlan.toString
+    assert(finalPlan.contains("AQEShuffleRead coalesced"),
+           s"AQE did not coalesce the tiny shuffle:\n$finalPlan")
+  }
+
   test("sliding-window chunking is shuffle-free (scan + generate only)") {
     val plan = planOf(graft.ops.Chunking.slidingChunks(
       spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 12, 8))
