@@ -459,12 +459,14 @@ object Bench {
               ceil((col("len") - 12).cast("double") / 8.0).cast("long"))
             .as("nc"))
           .agg(sum("nc")).head().getLong(0)
-        val (tChunk, chunks) = med3(timed {
+        val (tChunk, chunks) = med3 {
           // each globalRowNumber call pins a localCheckpoint copy of
           // the ~1.1M-row chunk frame until the reference is GC'd;
-          // prompt the ContextCleaner between repeats so stale copies
-          // don't crowd the block manager and skew later timings
+          // prompt the ContextCleaner between repeats (OUTSIDE the
+          // timed region — GC time is not the operator's cost) so
+          // stale copies don't crowd the block manager
           System.gc()
+          timed {
           val ch = graft.ops.Chunking.slidingChunks(corpus, "id", "text", 12, 8)
           // the global index over the chunk rows must be exactly
           // 0..chunks-1
@@ -477,7 +479,8 @@ object Bench {
                     got.getLong(2) == 0L && got.getLong(3) == expect - 1,
                   s"chunk+index: $got vs expect $expect")
           expect
-        })
+          }
+        }
         corpus.unpersist()
         (nDocs, 200L, tDecon, contam, tChunk, chunks)
       } finally s6.stop()
