@@ -10,9 +10,9 @@ import org.apache.spark.sql.functions._
   * A training-data pipeline MUST run this before shipping a corpus —
   * eval items leaking into training data silently inflate benchmark
   * scores. The reference engine's scrapers feed exactly such corpora
-  * (e.g. the listing/detail text fields of indeed/main.go:66-70,
-  * lagou/engine.go), so decontamination is first-class here alongside
-  * dedup.
+  * (e.g. the listing/detail text fields of indeed/main.go:84 and the
+  * trimmed description text of jobstreet/main.go:150), so
+  * decontamination is first-class here alongside dedup.
   *
   * Scale shape (the part that matters at 100 TB): the benchmark side
   * is small by construction (eval suites are thousands of items, not

@@ -15,11 +15,11 @@ import graft.synthweb.SyntheticWeb.hashOf
   * DuckDB correctness gate.
   *
   * Queries whose semantics DuckDB cannot express natively (the crawl
-  * pipeline, custom sketch/ANN expressions, stubbed multimodal decode)
-  * are oracled by an INDEPENDENT sequential computation: plain Scala
-  * loops over collected inputs, sharing only the primitive pure
-  * functions under test's contract (token/plane hashes, the codec stub,
-  * the synthetic web). [[graft.Verify]] calls [[writeAll]] after the
+  * pipeline, custom sketch/ANN expressions, the real PNG/JPEG/GIF
+  * decode) are oracled by an INDEPENDENT sequential computation: plain
+  * Scala loops over collected inputs, sharing only the primitive pure
+  * functions under test's contract (token/plane hashes, the codec
+  * primitives, the synthetic web). [[graft.Verify]] calls [[writeAll]] after the
   * query dump; each expected table lands as one parquet file under
   * `/tmp/graft_oracle/<query>/`, and the corresponding
   * `SparkEntry.oracleSql` entry reads it back with DuckDB's

@@ -186,6 +186,7 @@ object Streams {
   def incrementalNearDupSink(spark: SparkSession, src: DataFrame,
                              indexDir: String, outDir: String,
                              checkpointDir: String,
+                             idCol: String = "id", textCol: String = "text",
                              shingleN: Int = 3, numHashes: Int = 32,
                              rowsPerBand: Int = 4, threshold: Double = 0.8,
                              maxBucket: Int = 1024,
@@ -194,9 +195,11 @@ object Streams {
     src.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.ops.IncrementalLsh
-          .roundPairs(spark, indexDir, batch.toDF(), "id", "text",
+          .roundPairs(spark, indexDir, batch.toDF(), idCol, textCol,
                       shingleN, numHashes, rowsPerBand, threshold, maxBucket,
-                      slot = Some(batchId.toInt))
+                      // toIntExact: an out-of-range batch id must fail loud,
+                      // never wrap into a colliding slot number
+                      slot = Some(Math.toIntExact(batchId)))
           .withColumn("emit_round", lit(batchId).cast("int"))
           .write.mode("overwrite").parquet(s"$outDir/r$batchId")
       }
@@ -223,7 +226,7 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.ops.IncrementalAnn
           .roundPairs(spark, indexDir, batch.toDF(), idCol, vecCol, threshold,
-                      slot = Some(batchId.toInt))
+                      slot = Some(Math.toIntExact(batchId)))
           .withColumn("emit_round", lit(batchId).cast("int"))
           .write.mode("overwrite").parquet(s"$outDir/r$batchId")
       }
