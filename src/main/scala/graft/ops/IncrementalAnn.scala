@@ -274,22 +274,54 @@ object IncrementalAnn {
       * before the caller recorded the result) would land in a NEW slot
       * and duplicate every vector of the slice. With the slot pinned
       * the retry overwrites its own slot, and a gap in prior slots
-      * fails loud. Pinning REQUIRES retrainEvery == 0: an epoch fold
-      * renumbers slots, so after a completed re-train a replayed slot
-      * number could no longer be told apart from a fresh one — run
-      * re-training as an explicit offline action between pinned-append
-      * sessions instead. The bootstrap append is idempotent without
-      * pinning (centroids commit last).
+      * fails loud.
+      *
+      * `slotEpoch`: the EPOCH the pin targets — makes the pin identity
+      * (epoch, round), which is what lets a pinned caller combine with
+      * `retrainEvery` > 0 (an epoch fold renumbers slots, so a bare
+      * round number is ambiguous across a re-train). Replay semantics
+      * when a pinned append straddles a COMPLETED re-train (the pin's
+      * epoch is no longer active):
+      *
+      *   - the pinned slot committed in its own epoch before the fold
+      *     (crash AFTER the re-train's centroid commit, before the
+      *     caller recorded progress): the fold already carries the
+      *     slice, so the replay is an idempotent NO-OP returning the
+      *     fold's location (activeEpoch, 0). Requires the superseded
+      *     epoch's directory to still exist — epoch-pinned callers
+      *     must run [[gcOldEpochs]] only after durably recording
+      *     progress past the fold;
+      *   - anything else (pin targets an older epoch whose slot never
+      *     committed, or an epoch more than one fold behind) fails
+      *     loud: the caller's replay bookkeeping has diverged from the
+      *     index and silent application would corrupt the slot-gap
+      *     invariant.
+      *
+      * A `slot` WITHOUT `slotEpoch` keeps the legacy contract: it
+      * REQUIRES retrainEvery == 0 (re-train offline instead). The
+      * bootstrap append is idempotent without pinning (centroids
+      * commit last); a pinned bootstrap may only claim (0, 0) — a
+      * replay against a wiped index fails the gap check loudly instead
+      * of recording a wrong slot mapping.
       */
     def append(newEmb: DataFrame, idCol: String, vecCol: String,
-               slot: Option[Int] = None): (Int, Int) = {
-      require(slot.isEmpty || retrainEvery == 0,
-              "slot-pinned appends cannot combine with retrainEvery " +
-                "(an epoch fold renumbers slots; re-train offline instead)")
+               slot: Option[Int] = None,
+               slotEpoch: Option[Int] = None): (Int, Int) = {
+      require(slotEpoch.isEmpty || slot.isDefined,
+              "slotEpoch is only meaningful together with a pinned slot")
+      require(slot.isEmpty || slotEpoch.isDefined || retrainEvery == 0,
+              "slot-pinned appends without slotEpoch cannot combine with " +
+                "retrainEvery (an epoch fold renumbers slots; pin the " +
+                "epoch too, or re-train offline instead)")
       val j0 = activeEpoch()
       val (j, cs) =
         if (j0 < 0) {
-          // epoch 0 bootstrap: postings slot first, centroids last
+          // epoch 0 bootstrap: postings slot first, centroids last. A
+          // pinned bootstrap may only claim (epoch 0, round 0) — the
+          // non-bootstrap branch's gap check, mirrored
+          require(slot.forall(_ == 0) && slotEpoch.forall(_ == 0),
+                  s"bootstrap append on an empty index cannot claim " +
+                    s"slot epoch=$slotEpoch round=$slot (only (0, 0))")
           val cs = Similarity.kmeansDistributed(spark, newEmb, idCol, vecCol,
                                                 nCells, iters)
           assign(newEmb, idCol, vecCol, cs)
@@ -298,6 +330,21 @@ object IncrementalAnn {
           writeCentroids(0, cs)
           return (0, 0)
         } else (j0, centroids())
+      slotEpoch.filter(_ != j) match {
+        case Some(e) =>
+          // pin straddles a fold: valid ONLY as a replay of an append
+          // that committed in the immediately superseded epoch (and so
+          // was carried into the active epoch's r0 fold)
+          val kk = slot.get
+          val priorRounds = RoundSlots.roundIdxs(cellsDir(e)).toSeq.sorted
+          require(e == j - 1 && priorRounds.contains(kk),
+                  s"pinned slot (epoch=$e, round=$kk) straddles a " +
+                    s"completed re-train (active epoch $j) but was never " +
+                    s"committed in epoch $e (rounds $priorRounds) — " +
+                    "replay bookkeeping has diverged from the index")
+          return (j, 0) // idempotent no-op: the fold carries the slice
+        case None => ()
+      }
       val existing = RoundSlots.roundIdxs(cellsDir(j)).toSeq.sorted
       val k = slot match {
         case None => existing.size

@@ -1000,6 +1000,58 @@ class IncrementalAnnSpec extends SparkSuite {
     assert(bad.getMessage.contains("cannot combine with retrainEvery"))
   }
 
+  test("IvfIndex: epoch-aware pins re-train in-line; a replay straddling the fold is applied-or-loud") {
+    val dir = tmpDir("ivf-epochpin-")
+    val idx = new IncrementalAnn.IvfIndex(spark, dir, nCells = 8, iters = 4,
+                                          retrainEvery = 3)
+    val rounds = (0 to 2).map(r => corpus.filter(pmod(col("id"), lit(3)) === r))
+    def pinned(r: Int, e: Int, k: Int) =
+      idx.append(rounds(r), "id", "vec", slot = Some(k), slotEpoch = Some(e))
+    // pinned bootstrap may only claim (0, 0)
+    assert(pinned(0, 0, 0) == (0, 0))
+    assert(pinned(1, 0, 1) == (0, 1))
+    // in-epoch pinned replay overwrites its own slot
+    assert(pinned(1, 0, 1) == (0, 1) && idx.rounds() == Seq(0, 1))
+    // the third pinned append trips retrainEvery=3: fold into epoch 1 —
+    // the restriction the legacy pin declares is LIFTED by the epoch pin
+    assert(pinned(2, 0, 2) == (1, 0))
+    assert(idx.activeEpoch() == 1 && idx.rounds() == Seq(0))
+    val foldedIds = spark.read.parquet(s"$dir/e1/cells/r0")
+      .select("id").as[Long].collect().sorted
+    // the at-least-once replay of the fold-triggering append: its slot
+    // committed in the superseded epoch, so the fold already carries the
+    // slice -> idempotent no-op reporting the fold's location
+    assert(pinned(2, 0, 2) == (1, 0))
+    assert(idx.activeEpoch() == 1 && idx.rounds() == Seq(0))
+    val afterIds = spark.read.parquet(s"$dir/e1/cells/r0")
+      .select("id").as[Long].collect().sorted
+    assert(afterIds.sameElements(foldedIds), "no-op replay mutated the fold")
+    assert(foldedIds.length == foldedIds.distinct.length,
+           "duplicate ids after straddling replay")
+    // answers stay batch-equal against the active epoch's centroids
+    val qids = (0L until 5L).toSeq
+    val got = idx.topK(qids, k = 5, nProbe = 3).collect()
+      .map(s => (s.query_id, s.neighbor_id, s.sim)).sortBy(t => (t._1, -t._3, t._2))
+    val want = Similarity.ivfTopK(spark, corpus, "id", "vec", qids, 5,
+                                  nCells = 8, nProbe = 3,
+                                  centroidsOpt = Some(idx.centroids())).collect()
+      .map(s => (s.query_id, s.neighbor_id, s.sim)).sortBy(t => (t._1, -t._3, t._2))
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+    // a pin whose slot never committed in its claimed epoch: loud reject
+    val diverged = intercept[IllegalArgumentException] {
+      idx.append(rounds(0), "id", "vec", slot = Some(5), slotEpoch = Some(0))
+    }
+    assert(diverged.getMessage.contains("straddles a completed re-train"))
+    // a pinned replay against a WIPED index must fail the bootstrap gap
+    // check, never silently re-bootstrap under a wrong slot mapping
+    val wiped = new IncrementalAnn.IvfIndex(spark, tmpDir("ivf-wiped-"),
+                                            nCells = 8, iters = 4)
+    val boot = intercept[IllegalArgumentException] {
+      wiped.append(rounds(0), "id", "vec", slot = Some(2), slotEpoch = Some(0))
+    }
+    assert(boot.getMessage.contains("bootstrap append"))
+  }
+
   test("IvfIndex: an epoch without committed centroids is invisible; retry redoes it") {
     val dir = tmpDir("ivfidx-crash-")
     val idx = new IncrementalAnn.IvfIndex(spark, dir, nCells = 4, iters = 2)
