@@ -25,6 +25,40 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Temp dirs for the materializing queries (sinks, indexes, replay
+    * logs) — registered for recursive deletion at JVM exit, so repeated
+    * harness runs don't accumulate disk. Deletion can't be eager: a
+    * query returns a LAZY DataFrame whose plan still reads the
+    * directory when the caller collects it.
+    */
+  private val cleanupDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      cleanupDirs.forEach { d =>
+        try {
+          val root = java.nio.file.Paths.get(d)
+          if (java.nio.file.Files.exists(root)) {
+            val walk = java.nio.file.Files.walk(root)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+            finally walk.close()
+          }
+        } catch { case _: Throwable => () }
+      }))
+  }
+  private[graft] def tmpWorkDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    cleanupDirs.add(d)
+    d
+  }
+
+  /** Per-invocation suffix for q91's catalog table names — a fixed name
+    * would make repeated runs depend on overwrite semantics and leak
+    * one session-global entry forever.
+    */
+  private val bucketTableSeq = new java.util.concurrent.atomic.AtomicLong()
+
   /** One small deterministic crawl per JVM, shared by the crawl-derived
     * queries and `entry` (outDir cached). cfg is shared with the
     * sequential oracle dumps ([[graft.oracle.SeqOracles]]).
@@ -39,7 +73,7 @@ object SparkEntry {
         outDir = out, maxRounds = 48, hostCapacity = 8, hostRefill = 8,
         salts = 4)
     def dir(s: SparkSession): String = cache.getOrElseUpdate("crawl", {
-      val out = java.nio.file.Files.createTempDirectory("graft-crawl-").toString
+      val out = tmpWorkDir("graft-crawl-")
       new CrawlScheduler(s, cfg(out)).run()
       out
     })
@@ -53,6 +87,88 @@ object SparkEntry {
     spark.read.parquet(snaps.docsPaths(CrawlOnce.lastRound(spark)): _*)
       .select(col("doc_id"), col("url"), col("host"), col("round"),
               size(col("spans")).as("n_spans"))
+      .orderBy("doc_id")
+  }
+
+  /** q67 — the full training-data pipeline as ONE query over the crawl
+    * output: extract (text spans -> page text), exact dedup
+    * (content_key, keep min doc_id), near-dup (MinHash LSH at jaccard
+    * 1.0 — equal shingle sets survive exact dedup when only punctuation
+    * differs; drop the higher id of every verified pair),
+    * token/quality/lang-id annotation with a minimum-length gate, and
+    * per-doc multimodal metadata joined back — the committed
+    * training-shard table. Every stage is the same library operator the
+    * standalone queries test; the oracle recomposes the semantics in
+    * SQL over the INDEPENDENT SeqOracles sequential dumps (q50/q52/q39),
+    * so the composition is checked end to end.
+    *
+    * `scaleIds` selects the numeric surrogate the near-dup machinery
+    * keys on (doc_id is a sha-256 hex STRING; the LSH pair generator
+    * keys on longs, and drop-the-higher must agree with the oracle's
+    * lexicographic doc_id comparison — so the surrogate must be
+    * order-preserving):
+    *   - false: dense `row_number` over doc_id — exact at any size but
+    *     a single-partition window, i.e. driver-scale (the correctness
+    *     fixture path, and the one the DuckDB oracle mirrors);
+    *   - true: the CORPUS-SCALE path — the numeric value of the first
+    *     15 hex chars (60 bits, fits a long with sign bit clear),
+    *     computed row-locally with zero shuffles. Fixed-width lowercase
+    *     hex compares identically as a string and as its numeric value,
+    *     so pair orientation matches the row_number path whenever no
+    *     two surviving docs collide on the 15-char prefix (birthday
+    *     bound ~n^2/2^61: ~4e-5 at n=10^7 docs per shard run;
+    *     TrainingShardIdSpec pins zero collisions and bit-equal output
+    *     on the crawl fixture).
+    */
+  private[graft] def trainingShard(s: SparkSession,
+                                   scaleIds: Boolean): DataFrame = {
+    val snaps = new Snapshots(CrawlOnce.dir(s))
+    val docs = s.read.parquet(snaps.docsPaths(CrawlOnce.lastRound(s)): _*)
+    val texts = docs.select(
+        col("doc_id"), col("url"), col("host"),
+        concat_ws(" ",
+          transform(filter(col("spans"),
+                           sp => sp.getField("kind") === lit("text")),
+                    sp => sp.getField("text"))).as("text"))
+      .withColumn("content_key", TextOps.content_key(col("text")))
+    // exact dedup: one shuffle on the 64-char key, keep-min winner
+    val keep = texts.groupBy("content_key").agg(min(col("doc_id")).as("doc_id"))
+    val exact = texts.join(keep, Seq("content_key", "doc_id"))
+    val sid =
+      if (scaleIds)
+        exact.withColumn(
+          "nid", conv(substring(col("doc_id"), 1, 15), 16, 10).cast("long"))
+      else
+        exact.withColumn(
+          "nid", row_number().over(Window.orderBy("doc_id")).cast("long"))
+    val nearDrop = Dedup.minhashNearDups(sid, "nid", "text",
+                                         shingleN = 3, numHashes = 32,
+                                         rowsPerBand = 4, threshold = 1.0)
+      .select(col("id_b").as("nid")).distinct()
+    val deduped = sid.join(nearDrop, Seq("nid"), "left_anti").drop("nid")
+    // multimodal: per-doc image refs joined to the decoded metadata
+    // (tiny dimension -> broadcast)
+    val meta = Multimodal.imageMeta(s, Multimodal.mediaTableFromDocs(s, docs))
+    val imgPerDoc = docs
+      .select(col("doc_id"), explode(col("spans")).as("sp"))
+      .filter(col("sp.kind") === "image")
+      .select(col("doc_id"), col("sp.media_ref").as("media_ref")).distinct()
+      .join(broadcast(meta.select(col("media_ref"), col("n_bytes"))),
+            Seq("media_ref"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_images"), sum(col("n_bytes")).as("img_bytes"))
+    deduped
+      .withColumn("n_tokens", TextOps.token_count(col("text")).cast("long"))
+      .filter(col("n_tokens") >= 5)
+      .withColumn("lang_pred", TextOps.lang_id(col("text")))
+      .withColumn("stop_ratio", TextOps.stopword_ratio(col("text")))
+      .withColumn("mean_wlen", TextOps.mean_word_len(col("text")))
+      .join(imgPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("url"), col("host"), col("lang_pred"),
+              col("n_tokens"), col("stop_ratio"), col("mean_wlen"),
+              col("content_key"),
+              coalesce(col("n_images"), lit(0L)).as("n_images"),
+              coalesce(col("img_bytes"), lit(0L)).as("img_bytes"))
       .orderBy("doc_id")
   }
 
@@ -339,7 +455,7 @@ object SparkEntry {
       // the oracle independently pins that to the arrival round of the
       // pair's later member (exactly-once-across-rounds invariant).
       val corpus = dedupCorpus(s, dir)
-      val idx = java.nio.file.Files.createTempDirectory("graft-inclsh-").toString
+      val idx = tmpWorkDir("graft-inclsh-")
       (0 to 2).map { r =>
         IncrementalLsh.roundPairs(
             s, idx, corpus.filter(pmod(col("id"), lit(3)) === r),
@@ -407,7 +523,7 @@ object SparkEntry {
       // read it back, aggregate per language with an md5 content
       // checksum — the oracle computes the same aggregate from the
       // parquet source, so any round-trip corruption breaks the hash.
-      val out = java.nio.file.Files.createTempDirectory("graft-orc-").toString
+      val out = tmpWorkDir("graft-orc-")
       T(s, dir, "documents").write.mode("overwrite").orc(out)
       s.read.orc(out).groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
@@ -421,7 +537,7 @@ object SparkEntry {
       // in a prod path), gzip per-part; fidelity contract = q76's: the
       // oracle aggregates the parquet source, so any text/number
       // mangling through JSON breaks the checksum.
-      val out = java.nio.file.Files.createTempDirectory("graft-jsonl-").toString
+      val out = tmpWorkDir("graft-jsonl-")
       val docs = T(s, dir, "documents")
       docs.write.mode("overwrite").option("compression", "gzip").json(out)
       s.read.schema(docs.schema).json(out).groupBy("lang")
@@ -473,6 +589,13 @@ object SparkEntry {
       // with exact-jaccard verification, then only cross (corpus,
       // bench) pairs survive. Scale shape inherits the ids-only banded
       // exchange; the eval set adds O(|bench|) rows to it.
+      // Banding is 32 bands of 2 (not q27's 8x4): the oracle is EXACT
+      // jaccard >= 0.6 over all cross pairs, so candidate recall at the
+      // 0.6 boundary must be effectively certain, not just high — miss
+      // probability (1 - 0.6^2)^32 = 0.64^32 ~ 6e-7 per marginal pair
+      // (8x4 would miss a j=0.6 pair with probability ~0.33: a latent
+      // data-dependent flake if the corpus ever grows a natural
+      // near-dup at marginal similarity).
       val docs = T(s, dir, "documents")
       val bench = docs.filter(col("doc_id") % 100 === 0)
         .select((col("doc_id") + 1000000L).as("id"),
@@ -481,7 +604,7 @@ object SparkEntry {
       val union = docs.select(col("doc_id").as("id"), col("text"))
         .unionByName(bench)
       Dedup.minhashNearDups(union, "id", "text", shingleN = 3,
-                            numHashes = 32, rowsPerBand = 4,
+                            numHashes = 64, rowsPerBand = 2,
                             threshold = 0.6, maxBucket = 1024)
         .filter(col("id_a") < 1000000L && col("id_b") >= 1000000L)
         .select(col("id_a").as("doc_id"),
@@ -548,7 +671,7 @@ object SparkEntry {
       // PartitionFilters and that the pruned scan touches a strict
       // subset of partitions) — at 100 TB the dominant scan-cost lever
       // after column pruning.
-      val out = java.nio.file.Files.createTempDirectory("graft-part-").toString
+      val out = tmpWorkDir("graft-part-")
       T(s, dir, "documents")
         .write.partitionBy("lang", "source").mode("overwrite").parquet(out)
       s.read.parquet(out)
@@ -566,17 +689,27 @@ object SparkEntry {
       // it) — at 100 TB this is the shuffle you pay once at layout
       // time instead of on every join. External bucketed tables under
       // a temp path; the in-memory catalog carries the bucket spec.
-      val tmp = java.nio.file.Files.createTempDirectory("graft-buck-").toString
+      val tmp = tmpWorkDir("graft-buck-")
+      // per-invocation table names: repeated runs never depend on
+      // overwrite semantics of a fixed catalog entry; prior invocations'
+      // entries are dropped so the session catalog can't accumulate
+      // (external tables — DROP removes the entry, tmpWorkDir the files)
+      s.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("g91_"))
+        .foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
+      val tag = bucketTableSeq.incrementAndGet()
+      val ordersTbl = s"g91_orders_$tag"
+      val lineitemTbl = s"g91_lineitem_$tag"
       T(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$tmp/orders").mode("overwrite")
-        .saveAsTable("g91_orders")
+        .saveAsTable(ordersTbl)
       T(s, dir, "lineitem").select("l_orderkey", "l_quantity")
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$tmp/lineitem").mode("overwrite")
-        .saveAsTable("g91_lineitem")
-      s.table("g91_orders")
-        .join(s.table("g91_lineitem"),
+        .saveAsTable(lineitemTbl)
+      s.table(ordersTbl)
+        .join(s.table(lineitemTbl),
               col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderkey")
         .agg(min(col("o_custkey")).as("o_custkey"),
@@ -617,7 +750,7 @@ object SparkEntry {
       // with mergeSchema and aggregated — the upgrade path a long-lived
       // corpus lives through. Oracle recomputes the aggregate from the
       // source table (v1 rows contribute NULL n_chars).
-      val out = java.nio.file.Files.createTempDirectory("graft-evo-").toString
+      val out = tmpWorkDir("graft-evo-")
       val docs = T(s, dir, "documents")
       docs.filter(col("doc_id") % 2 === 1).select("doc_id", "lang")
         .write.mode("overwrite").parquet(s"$out/v1")
@@ -739,7 +872,7 @@ object SparkEntry {
       val planted = e.filter(col("vec_id") < 20)
         .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
       val corpus = e.union(planted)
-      val idx = java.nio.file.Files.createTempDirectory("graft-incann-").toString
+      val idx = tmpWorkDir("graft-incann-")
       (0 to 2).map { r =>
         IncrementalAnn.roundPairs(
             s, idx, corpus.filter(pmod(col("vec_id"), lit(3)) === r),
@@ -790,7 +923,7 @@ object SparkEntry {
       // sequential oracle recomputes (a posting lost or duplicated in
       // any round/epoch transition breaks the neighbor compare).
       val idxDir =
-        java.nio.file.Files.createTempDirectory("graft-q68-ivf-").toString
+        tmpWorkDir("graft-q68-ivf-")
       val e = T(s, dir, "embeddings")
       val idx = new IncrementalAnn.IvfIndex(s, idxDir, nCells = 16,
                                             iters = 4, retrainEvery = 2)
@@ -839,7 +972,7 @@ object SparkEntry {
       // S8 CSV scan + K1 CSV sink: write header CSV, read back with an
       // explicit schema, aggregate — round-trip fidelity vs the oracle
       // computed on the original parquet
-      val out = java.nio.file.Files.createTempDirectory("csv-rt-").toString
+      val out = tmpWorkDir("csv-rt-")
       T(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .write.mode("overwrite").option("header", "true").csv(out)
@@ -947,7 +1080,8 @@ object SparkEntry {
     }),
     "q39_media_from_crawl" -> ((s, _) => {
       // multimodal plumbing over the crawl output: media spans -> opaque
-      // binary payloads (fetch stub) -> partition-local decode stub
+      // binary payloads (synthesized fetch) -> partition-local REAL
+      // PNG/JPEG/GIF header+pixel decode (MediaCodec)
       val snaps = new Snapshots(CrawlOnce.dir(s))
       val docs = s.read.parquet(snaps.docsPaths(CrawlOnce.lastRound(s)): _*)
       val media = Multimodal.mediaTableFromDocs(s, docs)
@@ -1024,7 +1158,7 @@ object SparkEntry {
       // fixture dir is written once per (JVM, sf dir) — repeated
       // invocations (bench warm/measure, verify) reuse it.
       val out = htmlScanFixtures.getOrElseUpdate(dir, {
-        val d = java.nio.file.Files.createTempDirectory("html-scan-").toString
+        val d = tmpWorkDir("html-scan-")
         T(s, dir, "nation")
           .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
           .collect() // 25 fixture files; writing them is driver-side by nature
@@ -1131,68 +1265,7 @@ object SparkEntry {
                .otherwise(0L)).as("fetched_retryable"))
         .orderBy("round", "bucket")
     }),
-    "q67_training_shard" -> ((s, _) => {
-      // The full training-data pipeline as ONE query over the crawl
-      // output: extract (text spans -> page text), exact dedup
-      // (content_key, keep min doc_id), near-dup (MinHash LSH at
-      // jaccard 1.0 — equal shingle sets survive exact dedup when only
-      // punctuation differs; drop the higher id of every verified
-      // pair), token/quality/lang-id annotation with a minimum-length
-      // gate, and per-doc multimodal metadata joined back — the
-      // committed training-shard table. Every stage is the same library
-      // operator the standalone queries test; the oracle recomposes the
-      // semantics in SQL over the INDEPENDENT SeqOracles sequential
-      // dumps (q50/q52/q39), so the composition is checked end to end.
-      val snaps = new Snapshots(CrawlOnce.dir(s))
-      val docs = s.read.parquet(snaps.docsPaths(CrawlOnce.lastRound(s)): _*)
-      val texts = docs.select(
-          col("doc_id"), col("url"), col("host"),
-          concat_ws(" ",
-            transform(filter(col("spans"),
-                             sp => sp.getField("kind") === lit("text")),
-                      sp => sp.getField("text"))).as("text"))
-        .withColumn("content_key", TextOps.content_key(col("text")))
-      // exact dedup: one shuffle on the 64-char key, keep-min winner
-      val keep = texts.groupBy("content_key").agg(min(col("doc_id")).as("doc_id"))
-      val exact = texts.join(keep, Seq("content_key", "doc_id"))
-      // doc_id is a sha-256 hex STRING; the near-dup machinery keys on
-      // longs, so give survivors an order-PRESERVING numeric surrogate
-      // (drop-the-higher then agrees with the oracle's lexicographic
-      // doc_id comparison). row_number is driver-scale here (crawl
-      // fixture); at corpus scale the 60-bit hex prefix serves the same
-      // role.
-      val sid = exact.withColumn(
-        "nid", row_number().over(Window.orderBy("doc_id")).cast("long"))
-      val nearDrop = Dedup.minhashNearDups(sid, "nid", "text",
-                                           shingleN = 3, numHashes = 32,
-                                           rowsPerBand = 4, threshold = 1.0)
-        .select(col("id_b").as("nid")).distinct()
-      val deduped = sid.join(nearDrop, Seq("nid"), "left_anti").drop("nid")
-      // multimodal: per-doc image refs joined to the decoded metadata
-      // (tiny dimension -> broadcast)
-      val meta = Multimodal.imageMeta(s, Multimodal.mediaTableFromDocs(s, docs))
-      val imgPerDoc = docs
-        .select(col("doc_id"), explode(col("spans")).as("sp"))
-        .filter(col("sp.kind") === "image")
-        .select(col("doc_id"), col("sp.media_ref").as("media_ref")).distinct()
-        .join(broadcast(meta.select(col("media_ref"), col("n_bytes"))),
-              Seq("media_ref"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_images"), sum(col("n_bytes")).as("img_bytes"))
-      deduped
-        .withColumn("n_tokens", TextOps.token_count(col("text")).cast("long"))
-        .filter(col("n_tokens") >= 5)
-        .withColumn("lang_pred", TextOps.lang_id(col("text")))
-        .withColumn("stop_ratio", TextOps.stopword_ratio(col("text")))
-        .withColumn("mean_wlen", TextOps.mean_word_len(col("text")))
-        .join(imgPerDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("url"), col("host"), col("lang_pred"),
-                col("n_tokens"), col("stop_ratio"), col("mean_wlen"),
-                col("content_key"),
-                coalesce(col("n_images"), lit(0L)).as("n_images"),
-                coalesce(col("img_bytes"), lit(0L)).as("img_bytes"))
-        .orderBy("doc_id")
-    }),
+    "q67_training_shard" -> ((s, _) => trainingShard(s, scaleIds = false)),
     // ---------------- streaming (deterministic replay oracles) --------
     "q64_stream_sessions" -> ((s, dir) => {
       import s.implicits._
@@ -1226,7 +1299,7 @@ object SparkEntry {
         ("zflush", new java.sql.Timestamp(maxTs + 10L * gapSec * 1000 + gapSec * 500L),
          200, nb + 1))
         .toDF("host", "ts", "status", "batch")
-      val logDir = java.nio.file.Files.createTempDirectory("q64-log-").toString
+      val logDir = tmpWorkDir("q64-log-")
       Replay.writeLog(chunked.unionByName(flush), "batch", logDir)
       Replay.run(s, logDir,
                  org.apache.spark.sql.Encoders.product[Streams.FetchEvent].schema) {
@@ -1265,7 +1338,7 @@ object SparkEntry {
         (lit(200000L) + col("i") * 10).cast("timestamp").as("ts"),
         (col("doc_id") * 10 + 2).as("id"),
         concat(lit("\t"), col("text")).as("text"))
-      val logDir = java.nio.file.Files.createTempDirectory("q65-log-").toString
+      val logDir = tmpWorkDir("q65-log-")
       Replay.writeLog(orig.unionByName(dup).unionByName(sentinel)
                         .unionByName(far), "batch", logDir)
       val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -1304,7 +1377,7 @@ object SparkEntry {
         (new java.sql.Timestamp(maxTs + 40 * day), "zflush", 0.0, nb),
         (new java.sql.Timestamp(maxTs + 40 * day + 60000L), "zflush", 0.0, nb + 1))
         .toDF("ts", "event_type", "value", "batch")
-      val logDir = java.nio.file.Files.createTempDirectory("q66-log-").toString
+      val logDir = tmpWorkDir("q66-log-")
       Replay.writeLog(chunked.unionByName(flush), "batch", logDir)
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("ts",
@@ -1328,10 +1401,10 @@ object SparkEntry {
       // q62's: the exact-jaccard pair set with emit_round = the later
       // member's batch.
       val corpus = dedupCorpus(s, dir)
-      val logDir = java.nio.file.Files.createTempDirectory("q83-log-").toString
-      val idxDir = java.nio.file.Files.createTempDirectory("q83-idx-").toString
-      val outDir = java.nio.file.Files.createTempDirectory("q83-out-").toString
-      val chkDir = java.nio.file.Files.createTempDirectory("q83-chk-").toString
+      val logDir = tmpWorkDir("q83-log-")
+      val idxDir = tmpWorkDir("q83-idx-")
+      val outDir = tmpWorkDir("q83-out-")
+      val chkDir = tmpWorkDir("q83-chk-")
       Replay.writeLog(
         corpus.withColumn("batch", pmod(col("id"), lit(3)).cast("int")),
         "batch", logDir)
@@ -1353,10 +1426,10 @@ object SparkEntry {
       val planted = e.filter(col("vec_id") < 20)
         .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
       val corpus = e.select(col("vec_id"), col("embedding")).union(planted)
-      val logDir = java.nio.file.Files.createTempDirectory("q86-log-").toString
-      val idxDir = java.nio.file.Files.createTempDirectory("q86-idx-").toString
-      val outDir = java.nio.file.Files.createTempDirectory("q86-out-").toString
-      val chkDir = java.nio.file.Files.createTempDirectory("q86-chk-").toString
+      val logDir = tmpWorkDir("q86-log-")
+      val idxDir = tmpWorkDir("q86-idx-")
+      val outDir = tmpWorkDir("q86-out-")
+      val chkDir = tmpWorkDir("q86-chk-")
       Replay.writeLog(
         corpus.withColumn("batch", pmod(col("vec_id"), lit(3)).cast("int")),
         "batch", logDir)
