@@ -42,6 +42,9 @@ final class CrawlOracle(cfg: CrawlConfig) {
     val seen = mutable.Map.empty[String, Int]
     val docs = mutable.Map.empty[String, Doc]
     val log = Vector.newBuilder[FetchLogEntry]
+    // cumulative link graph for cfg.rankPriority (60-bit nid pairs —
+    // the scheduler's per-round edge slots, deduplicated, as one set)
+    val edges = mutable.HashSet.empty[(Long, Long)]
 
     // init (mirrors CrawlScheduler.init)
     val seeds = cfg.web.seedUrls.zipWithIndex.map { case (u, i) =>
@@ -57,7 +60,8 @@ final class CrawlOracle(cfg: CrawlConfig) {
     var done = false
     while (!done && r <= cfg.maxRounds) {
       val retries = mutable.ArrayBuffer.empty[FrontierEntry]
-      val pageLinks = mutable.ArrayBuffer.empty[Seq[String]] // per fetched page
+      // per fetched page: (source url_hash, links)
+      val pageLinks = mutable.ArrayBuffer.empty[(String, Seq[String])]
 
       // robots prefetch sub-step (budget-exempt, seq 0; mirrors scheduler)
       frontier.filter(_.priority == 0).foreach { e =>
@@ -114,7 +118,7 @@ final class CrawlOracle(cfg: CrawlConfig) {
         if (fr.status == 200) {
           val p = HtmlSpans.parse(fr.url, fr.body)
           docs(fr.url_hash) = Doc(fr.url_hash, fr.url, fr.host, r, p.spans)
-          pageLinks += p.links
+          pageLinks += ((fr.url_hash, p.links))
           seen(fr.url_hash) = 200
         } else if (fr.status == 404) {
           seen(fr.url_hash) = 404
@@ -129,7 +133,7 @@ final class CrawlOracle(cfg: CrawlConfig) {
       // entryOrd-min, exactly like the scheduler's flatMap+reduceGroups
       val cands = mutable.Map.empty[String, FrontierEntry]
       val candList = mutable.ArrayBuffer.empty[FrontierEntry]
-      pageLinks.foreach { ls =>
+      pageLinks.foreach { case (_, ls) =>
         ls.zipWithIndex.foreach { case (u, i) =>
           val canon = UrlCanon.canonicalize(u)
           candList += Fetcher.entryOf(canon, SyntheticWeb.priorityOf(canon),
@@ -140,6 +144,25 @@ final class CrawlOracle(cfg: CrawlConfig) {
         cands.get(c.url_hash) match {
           case Some(prev) if entryOrd.lteq(prev, c) => ()
           case _                                    => cands(c.url_hash) = c
+        }
+      }
+      // rank-informed restamp (mirrors the scheduler's candRanked step):
+      // the cumulative graph through THIS round, same integer PageRank,
+      // same NLZ bucket — stamp after dedup (identical per hash)
+      if (cfg.rankPriority) {
+        pageLinks.foreach { case (srcHash, ls) =>
+          val src = CrawlScheduler.nidOf(srcHash)
+          ls.foreach { u =>
+            edges += ((src, CrawlScheduler.nidOf(
+              UrlCanon.urlHash(UrlCanon.canonicalize(u)))))
+          }
+        }
+        val ranks = seqRanks(edges, cfg.rankIters)
+        val maxRank = if (ranks.isEmpty) 0L else ranks.values.max
+        cands.keys.toVector.foreach { h =>
+          val c = cands(h)
+          cands(h) = c.copy(priority = CrawlScheduler.rankedPriority(
+            c.priority, ranks.getOrElse(CrawlScheduler.nidOf(h), 0L), maxRank))
         }
       }
       val candSeenFree = cands.values.filterNot(c => seen.contains(c.url_hash)).toVector
@@ -181,4 +204,25 @@ final class CrawlOracle(cfg: CrawlConfig) {
 
   private def capacityOf(host: String): Double = cfg.hostCapacity
   private def refillOf(host: String): Double = cfg.hostRefill
+
+  /** Sequential integer fixed-point PageRank — the independent
+    * recomputation of [[graft.ops.PageRank.ranks]]'s arithmetic (scale
+    * 1e12, damping 85/100, floor division): long addition commutes, so
+    * this plain loop and the distributed aggregate are bit-equal.
+    */
+  private def seqRanks(es: collection.Set[(Long, Long)],
+                       iters: Int): Map[Long, Long] = {
+    if (es.isEmpty) return Map.empty
+    val nodes = (es.map(_._1) ++ es.map(_._2)).toVector
+    val n = nodes.size.toLong
+    val outDeg = es.toVector.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = (graft.ops.PageRank.scale * 15L / 100L) / n
+    var rank = nodes.map(_ -> graft.ops.PageRank.scale / n).toMap
+    (1 to iters).foreach { _ =>
+      val sums = mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      es.foreach { case (s, d) => sums(d) += rank(s) / outDeg(s) }
+      rank = nodes.map(nd => nd -> (base + sums(nd) * 85L / 100L)).toMap
+    }
+    rank
+  }
 }

@@ -32,7 +32,12 @@ final case class CrawlConfig(
     bloomBits: Int = 1 << 21, // TOTAL bloom bits (sharded across buckets)
     bloomHashes: Int = 5,
     compactEvery: Int = 8, // LSM cadence (seen delta window + index/frontier segment merge)
-    simulateLatency: Boolean = false
+    simulateLatency: Boolean = false,
+    // opt-in rank-informed frontier priority: round k's cumulative link
+    // graph feeds round k+1's sort key (deterministic integer PageRank —
+    // see the candRanked step); off by default (discovery-order crawl)
+    rankPriority: Boolean = false,
+    rankIters: Int = 4 // damped PR iterations per round when enabled
 ) {
   /** Per-bucket bloom shard size; constant across rounds so shards stay
     * mergeable/incrementable.
@@ -415,6 +420,59 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
       .reduceGroups((a, b) => if (entryOrd.lteq(a, b)) a else b)
       .map(_._2)
 
+    // -- opt-in rank-informed priority (north-rule stretch): the link
+    // graph accumulated through THIS round feeds the priority stamp of
+    // the candidates it discovered, i.e. round k's ranks order round
+    // k+1's selection. Edges are skinny (60-bit nid pairs), persisted
+    // one slot per round (overwrite => a replayed round is idempotent,
+    // same contract as the other per-round state), and the rank is
+    // integer fixed-point PageRank — bit-equal to the sequential
+    // oracle's recomputation at any parallelism, so crawl parity is
+    // preserved by determinism, not by luck. Restamping AFTER candDedup
+    // is exact: duplicates of one url_hash share the class and the dst
+    // node, hence the stamped priority. Cost when enabled: one PR pass
+    // per round over the cumulative edge set (O(edges) per iteration;
+    // a 100 TB deployment would re-rank on a cadence instead — same
+    // dial as the IVF retrainEvery).
+    val candRanked: Dataset[FrontierEntry] =
+      if (!cfg.rankPriority) candDedup
+      else {
+        val edgesDir = s"${cfg.outDir}/rank_edges"
+        pageOuts.flatMap { p =>
+          val src = nidOf(p.url_hash)
+          p.links.map { u =>
+            (src, nidOf(UrlCanon.urlHash(UrlCanon.canonicalize(u))))
+          }
+        }.toDF("src", "dst")
+          .write.mode("overwrite").parquet(s"$edgesDir/r$r")
+        val all = spark.read.parquet((1 to r).map(j => s"$edgesDir/r$j"): _*)
+        val ranks =
+          if (all.isEmpty)
+            spark.range(0).select(col("id").as("node"), col("id").as("rank"))
+          else graft.ops.PageRank.ranks(all, cfg.rankIters)
+        // max-relative bucket (rankedPriority): integer max over the
+        // rank table — one driver-scale scalar, exact at any parallelism
+        val maxRank = ranks.agg(max(col("rank"))).head() match {
+          case row if row.isNullAt(0) => 0L
+          case row                    => row.getLong(0)
+        }
+        candDedup.toDF()
+          .withColumn("nid",
+            conv(substring(col("url_hash"), 1, 15), 16, 10).cast("long"))
+          .join(ranks.withColumnRenamed("node", "nid"), Seq("nid"), "left")
+          // long floor division end to end — no floating point in the
+          // ordering path; exactly rankedPriority's arithmetic
+          .withColumn("priority",
+            (if (maxRank <= 0L) (col("priority") * 4096 + lit(4095)).cast("int")
+             else (col("priority") * lit(4096L) +
+               expr(s"(($maxRank" + s"L - coalesce(rank, 0L)) * 4095L) div " +
+                    s"$maxRank" + "L")).cast("int")))
+          .select(col("url"), col("url_hash"), col("host"), col("host_hash"),
+                  col("salt"), col("priority"), col("discovery_time"),
+                  col("attempt"), col("round"))
+          .as[FrontierEntry]
+      }
+
     // three-tier seen check, applied to content candidates AND the
     // robots.txt entries of newly-discovered hosts. tier 1: bloom shard
     // of the candidate's bucket, checked MAP-SIDE (no shuffle): a miss
@@ -464,7 +522,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
         }
       defNew.union(exactNew)
     }
-    val candSeenFree = seenFree(candDedup).persist(StorageLevel.MEMORY_AND_DISK)
+    val candSeenFree = seenFree(candRanked).persist(StorageLevel.MEMORY_AND_DISK)
 
     // robots.txt entries for newly-discovered hosts (distributed; the
     // constant discovery_time r*1e6 is tie-broken by url_hash)
@@ -1079,6 +1137,28 @@ object CrawlScheduler {
 
   val entryOrd: Ordering[FrontierEntry] =
     Ordering.by((e: FrontierEntry) => (e.priority, e.discovery_time, e.url_hash))
+
+  /** 60-bit numeric node id for the link graph: the first 15 hex chars
+    * of the sha-256 url_hash (same order-preserving surrogate as
+    * [[graft.SparkEntry.trainingShard]]'s corpus-scale path).
+    */
+  def nidOf(urlHashHex: String): Long =
+    java.lang.Long.parseLong(urlHashHex.substring(0, 15), 16)
+
+  /** Rank-informed priority stamp (when `CrawlConfig.rankPriority`):
+    * class * 4096 + bucket, bucket = ((maxRank - rank) * 4095) div
+    * maxRank — the node's fixed-point PageRank relative to the graph's
+    * maximum, floored into 4096 levels (higher rank => smaller bucket
+    * => selected earlier WITHIN its class; listing-before-detail class
+    * dominance preserved; robots stay priority 0). Max-relative, so
+    * the bucket is invariant to graph size (absolute ranks scale as
+    * 1/n); pure long arithmetic (max and floor division are exact and
+    * order-independent), so the distributed stamp and the sequential
+    * oracle's agree bit-for-bit at any parallelism.
+    */
+  def rankedPriority(classPriority: Int, rank: Long, maxRank: Long): Int =
+    if (maxRank <= 0L) classPriority * 4096 + 4095
+    else (classPriority * 4096L + ((maxRank - rank) * 4095L) / maxRank).toInt
 
   def bucketOf(hostHash: Long, nBuckets: Int): Int =
     (((hostHash % nBuckets) + nBuckets) % nBuckets).toInt

@@ -113,6 +113,33 @@ class CrawlSchedulerSpec extends SparkSuite {
     assert(dup == 0, s"duplicate fetch-log (round,host,seq) rows: $dup")
   }
 
+  test("rank-informed frontier priority matches its sequential oracle bit-for-bit") {
+    // opt-in rankPriority: round k's integer-PageRank over the
+    // accumulated link graph stamps round k+1 candidates' sort key.
+    // Parity holds by determinism (integer fixed-point rank, NLZ
+    // bucket) — the full three-way assert (fetch log, seen set, spans)
+    // runs unchanged.
+    val web = WebConfig(seed = 63, nHosts = 5, listPagesPerHost = 3,
+                        detailsPerList = 6, crossHostLinkPct = 30,
+                        paginationFanout = 2)
+    val cfg = CrawlConfig(
+      web = web, outDir = tmpDir("crawlrank-"),
+      maxRounds = 60, hostCapacity = 4.0, hostRefill = 4.0,
+      rankPriority = true)
+    assertParity(cfg)
+    // the stamp must actually reorder the crawl (not a vacuous re-encode
+    // of discovery order): the same web crawled discovery-ordered yields
+    // a different fetch sequence
+    val off = new CrawlOracle(cfg.copy(outDir = tmpDir("crawlrank-off-"),
+                                       rankPriority = false)).run()
+    val on = new CrawlOracle(cfg).run()
+    assert(on.fetchLog.map(e => (e.round, e.host, e.seq, e.url)) !=
+             off.fetchLog.map(e => (e.round, e.host, e.seq, e.url)),
+           "rankPriority left the fetch order identical to discovery order")
+    // same pages end up crawled either way — ordering, not coverage
+    assert(on.seen == off.seen, "rankPriority changed the seen SET")
+  }
+
   test("resume from checkpoint is bit-identical to uninterrupted run") {
     val web = WebConfig(seed = 11, nHosts = 3, listPagesPerHost = 3,
                         detailsPerList = 5)
