@@ -76,6 +76,39 @@ object Bench {
       (if (f.length > 7) f(7) else 0L, f.take(8).sum)
     } catch { case _: Throwable => (0L, 0L) }
 
+  /** The ONE contamination threshold every timed phase applies (crawl
+    * runs and at-scale legs alike): a window with more hypervisor steal
+    * than this is a measurement of the co-tenant, re-attempted up to
+    * twice with the lowest-steal attempt kept and its steal%% reported.
+    */
+  private val stealRetryPct = 4.0
+
+  /** Run one at-scale bench leg with its own /proc/stat steal window —
+    * the round-4 dedup leg ran 2-3.5x its round-3 figures with
+    * bit-identical counts and the artifact carried no interference
+    * evidence for that phase (steal was only measured around the crawl
+    * runs). Same contamination rule as the crawl runs: a window with
+    * >4% hypervisor steal is a measurement of the co-tenant, so the
+    * leg is re-attempted (fresh session, up to 3 attempts, steal
+    * measured independently of the metric); if the host never quiets
+    * down the lowest-steal attempt is kept and its steal%% is reported
+    * beside the timings.
+    */
+  private def legWithSteal[T](run: () => T): (T, Double) = {
+    var best: (T, Double) = null
+    var attempts = 0
+    while (attempts < 3 && (best == null || best._2 > stealRetryPct)) {
+      System.gc()
+      val (st0, tt0) = cpuTicks()
+      val v = run()
+      val (st1, tt1) = cpuTicks()
+      val steal = if (tt1 > tt0) 100.0 * (st1 - st0) / (tt1 - tt0) else 0.0
+      if (best == null || steal < best._2) best = (v, steal)
+      attempts += 1
+    }
+    best
+  }
+
   /** Counts Spark job submissions — makes "jobs per crawl round" a
     * measured artifact field instead of prose (structural scheduler
     * wins like dropped anti-joins show up here even when wall time is
@@ -252,8 +285,8 @@ object Bench {
     // re-attempted up to twice — steal is measured independently of the
     // wall time, so this filters contaminated samples without selecting
     // on the metric itself; if the host never quiets down, the lowest-
-    // steal attempt is kept and its steal% is reported beside the time.
-    val stealRetryPct = 4.0
+    // steal attempt is kept and its steal% is reported beside the time
+    // (threshold: the shared stealRetryPct policy field).
     def cleanRun(cores: Int): (Long, Double, Double, String, Int, Double) = {
       var best: (Long, Double, Double, String, Int, Double) = null
       var attempts = 0
@@ -295,9 +328,9 @@ object Bench {
     // distinct variants (~10^5 documents), through exact clustering and
     // the capped ids-only MinHash LSH path. The accumulator proves the
     // bucket caps engaged (or not) — truncation is never silent.
-    val s3 = session(cpus)
-    val (dedupDocs, exactSec, exactClusters, lshSec, lshPairs, lshDropped,
-         incrSec, incrPairs) =
+    val ((dedupDocs, exactSec, exactClusters, lshSec, lshPairs, lshDropped,
+          incrSec, incrPairs), dedupSteal) = legWithSteal { () =>
+      val s3 = session(cpus)
       try {
         import org.apache.spark.sql.functions._
         val snaps3 = new Snapshots(lastOut)
@@ -365,6 +398,7 @@ object Bench {
         (nDocs, tExact, nClusters, tLsh, nPairs, acc.value.toLong, tIncr,
          r1 + r2)
       } finally s3.stop()
+    }
 
     // part 4: ANN at scale — the embeddings table expanded 64x
     // (~128k vectors at sf0.1): k=0 original, k=1 an EXACT mirror (the
@@ -376,36 +410,58 @@ object Bench {
     // in two rounds split so every mirror pair straddles them (k
     // parity); round 2 — new vectors against the persisted band index —
     // is the steady-state maintenance cost.
-    val s4 = session(cpus)
-    val (annVecs, annBatchSec, annBatchPairs, annIncrSec, annIncrPairs,
-         annSmallSec, annSmallPairs) =
+    val ((annVecs, annBatchSec, annBatchPairs, annIncrSec, annIncrPairs,
+          annSmallSec, annSmallPairs), annSteal) = legWithSteal { () =>
+      val s4 = session(cpus)
       try annAtScale(s4, sfDir) finally s4.stop()
+    }
 
-    // part 5: connected components at scale — 2M nodes in 100k chains
-    // of 20 (a path graph is the adversarial shape for label
-    // propagation; large-star/small-star contracts it in O(log n)
-    // alternations). Counts are structural: exactly nodes/20 components
-    // of size 20, asserted each repeat via the med3 drift check.
-    val s5 = session(cpus)
-    val (ccSec, ccComponents) =
+    // part 5: connected components at 10^7-edge scale — a seeded
+    // random recursive FOREST: node ids partition into groups of 1000,
+    // every non-root node wires to a hash-random EARLIER node of its
+    // own group (xxhash64-seeded, deterministic), so the graph is
+    // random-shaped but the component count is exact by construction
+    // (one per group; edges = nodes - groups). A random recursive tree
+    // on 10^3 nodes has O(log n) depth and large-star/small-star
+    // contracts it in O(log n) alternations — the measured `rounds` is
+    // asserted against that bound, pinning the convergence claim
+    // empirically the way the 10^7-URL crawl leg pins the frontier.
+    val nNodes = 10010000L
+    val groupLen = 1000L
+    val nGroups = nNodes / groupLen
+    val ccMaxRounds = 16 // generous O(log n): depth ~ e*ln(1000) ~ 19,
+                         // alternations contract it in well under this
+    val ((ccSec, ccComponents, ccEdges, ccRounds), ccSteal) = legWithSteal { () =>
+      val s5 = session(cpus)
       try {
         import org.apache.spark.sql.functions._
-        val chainLen = 20L
-        val nNodes = 2000000L
+        val off = pmod(col("id"), lit(groupLen)) // 0 = group root
         val edges = s5.range(0, nNodes)
-          .filter(pmod(col("id"), lit(chainLen)) =!= (chainLen - 1))
-          .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
-        val (t, nComp) = med3(timed {
-          val comp = graft.ops.ConnectedComponents.components(edges)
+          .filter(off =!= 0)
+          .select(col("id").as("id_a"),
+                  (col("id") - off + pmod(xxhash64(col("id"), lit(41L)), off))
+                    .as("id_b"))
+        val nEdges = nNodes - nGroups
+        // med3 packs (components, rounds) into one long for the drift
+        // check: a repeat that converges in a different round count or
+        // component count must fail loudly
+        val (t, packed) = med3(timed {
+          val (comp, rounds) =
+            graft.ops.ConnectedComponents.componentsWithRounds(edges)
           val sizes = comp.groupBy("component_id").count()
-          val bad = sizes.filter(col("count") =!= chainLen).count()
+          val bad = sizes.filter(col("count") =!= groupLen).count()
           require(bad == 0, s"$bad components of wrong size")
-          sizes.count()
+          val nComp = sizes.count()
+          require(rounds <= ccMaxRounds,
+                  s"CC took $rounds rounds (> $ccMaxRounds) on a " +
+                    s"$nEdges-edge random forest — O(log n) regression")
+          nComp * 100L + rounds
         })
-        require(nComp == nNodes / chainLen,
-                s"expected ${nNodes / chainLen} components, got $nComp")
-        (t, nComp)
+        require(packed / 100L == nGroups,
+                s"expected $nGroups components, got ${packed / 100L}")
+        (t, packed / 100L, nEdges, (packed % 100L).toInt)
       } finally s5.stop()
+    }
 
     // part 6: corpus hygiene at scale — the documents table expanded
     // 32x with per-copy salting (distinct texts), every k=1 copy
@@ -415,8 +471,9 @@ object Bench {
     // fragment's three 5-grams; boundary grams mix vocabularies and
     // cannot match). Then the clean corpus is chunked (12/8 sliding
     // windows) and globally numbered — counts structural per repeat.
-    val s6 = session(cpus)
-    val (hygDocs, nBench, deconSec, nContam, chunkSec, nChunks) =
+    val ((hygDocs, nBench, deconSec, nContam, chunkSec, nChunks), hygSteal) =
+      legWithSteal { () =>
+      val s6 = session(cpus)
       try {
         import org.apache.spark.sql.functions._
         val base = s6.read.parquet(s"$sfDir/documents.parquet")
@@ -484,6 +541,7 @@ object Bench {
         corpus.unpersist()
         (nDocs, 200L, tDecon, contam, tChunk, chunks)
       } finally s6.stop()
+    }
 
     val qs = qTimes.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
@@ -502,16 +560,20 @@ object Bench {
         s""""dedup_at_scale":{"docs":$dedupDocs,"exact_sec":${fmt(exactSec, 2)},""" +
         s""""exact_clusters":$exactClusters,"lsh_sec":${fmt(lshSec, 2)},""" +
         s""""lsh_pairs":$lshPairs,"lsh_dropped_rows":$lshDropped,""" +
-        s""""incr_round2_sec":${fmt(incrSec, 2)},"incr_pairs":$incrPairs},""" +
+        s""""incr_round2_sec":${fmt(incrSec, 2)},"incr_pairs":$incrPairs,""" +
+        s""""steal_pct":${fmt(dedupSteal, 2)}},""" +
         s""""ann_at_scale":{"vecs":$annVecs,"batch_sec":${fmt(annBatchSec, 2)},""" +
         s""""batch_pairs":$annBatchPairs,"incr_round2_sec":${fmt(annIncrSec, 2)},""" +
         s""""incr_pairs":$annIncrPairs,""" +
         s""""incr_small_delta_sec":${fmt(annSmallSec, 2)},""" +
-        s""""incr_small_delta_pairs":$annSmallPairs},""" +
-        s""""cc_at_scale":{"nodes":2000000,"components":$ccComponents,""" +
-        s""""sec":${fmt(ccSec, 2)}},""" +
+        s""""incr_small_delta_pairs":$annSmallPairs,""" +
+        s""""steal_pct":${fmt(annSteal, 2)}},""" +
+        s""""cc_at_scale":{"nodes":$nNodes,"edges":$ccEdges,""" +
+        s""""components":$ccComponents,"rounds":$ccRounds,""" +
+        s""""sec":${fmt(ccSec, 2)},"steal_pct":${fmt(ccSteal, 2)}},""" +
         s""""hygiene_at_scale":{"docs":$hygDocs,"bench_items":$nBench,""" +
         s""""decon_sec":${fmt(deconSec, 2)},"contaminated":$nContam,""" +
-        s""""chunk_index_sec":${fmt(chunkSec, 2)},"chunks":$nChunks}}""")
+        s""""chunk_index_sec":${fmt(chunkSec, 2)},"chunks":$nChunks,""" +
+        s""""steal_pct":${fmt(hygSteal, 2)}}}""")
   }
 }
