@@ -603,13 +603,27 @@ object SparkEntry {
                   .as("text"))
       val union = docs.select(col("doc_id").as("id"), col("text"))
         .unionByName(bench)
-      Dedup.minhashNearDups(union, "id", "text", shingleN = 3,
-                            numHashes = 64, rowsPerBand = 2,
-                            threshold = 0.6, maxBucket = 1024)
+      // certain recall must not leak back in through the bucket cap:
+      // a capped bucket silently drops candidates, so a decontamination
+      // sweep (correctness-gated, unlike throughput dedup) forces the
+      // result and REQUIRES zero drops — a pathological bucket fails
+      // loud instead of passing a contaminated corpus. (Pipeline order
+      // at scale keeps this safe: dedup runs BEFORE decon, so no
+      // near-identical flood can concentrate one bucket.)
+      val acc = s.sparkContext.longAccumulator("q87_lsh_dropped")
+      val pairs = Dedup.minhashNearDups(union, "id", "text", shingleN = 3,
+                                        numHashes = 64, rowsPerBand = 2,
+                                        threshold = 0.6, maxBucket = 1024,
+                                        acc = Some(acc))
         .filter(col("id_a") < 1000000L && col("id_b") >= 1000000L)
         .select(col("id_a").as("doc_id"),
                 (col("id_b") - 1000000L).as("bench_doc"), col("jaccard"))
         .orderBy("doc_id", "bench_doc")
+        .localCheckpoint()
+      require(acc.value == 0L,
+              s"q87: ${acc.value} LSH bucket rows capped — recall no " +
+                "longer certain; dedup the corpus first or raise maxBucket")
+      pairs
     }),
     "q79_chunking" -> ((s, dir) => {
       // sliding-window chunking: 12-word chunks at stride 8 (overlap
