@@ -81,6 +81,23 @@ object SparkEntry {
       new Snapshots(dir(s)).latestRound.getOrElse(0)
   }
 
+  /** Rank-priority sibling of [[CrawlOnce]]: the SAME synthetic web
+    * crawled with `rankPriority` on — q93's fixture; the sequential
+    * oracle runs [[graft.oracle.CrawlOracle]] with the same flag.
+    */
+  private[graft] object RankCrawlOnce {
+    private val cache = scala.collection.concurrent.TrieMap[String, String]()
+    val cfg: String => CrawlConfig = out =>
+      CrawlOnce.cfg(out).copy(rankPriority = true)
+    def dir(s: SparkSession): String = cache.getOrElseUpdate("crawl", {
+      val out = tmpWorkDir("graft-rankcrawl-")
+      new CrawlScheduler(s, cfg(out)).run()
+      out
+    })
+    def lastRound(s: SparkSession): Int =
+      new Snapshots(dir(s)).latestRound.getOrElse(0)
+  }
+
   /** Flagship: full crawl of the synthetic web → interleaved-span docs. */
   def entry(spark: SparkSession): DataFrame = {
     val snaps = new Snapshots(CrawlOnce.dir(spark))
@@ -1279,6 +1296,18 @@ object SparkEntry {
                .otherwise(0L)).as("fetched_retryable"))
         .orderBy("round", "bucket")
     }),
+    "q93_rank_crawl_log" -> ((s, _) => {
+      // the rank-informed crawl's canonical fetch log (ST3/T3 with
+      // CrawlConfig.rankPriority on, same synthetic web as q51): the
+      // oracle is the sequential CrawlOracle run with the same flag —
+      // parity holds because the rank stamp is integer fixed-point
+      // PageRank + floor-division bucketing, bit-equal at any
+      // parallelism (CrawlSchedulerSpec pins the three-way equality;
+      // this row pins it through the driver's DuckDB gate too)
+      val snaps = new Snapshots(RankCrawlOnce.dir(s))
+      s.read.parquet(snaps.fetchLogPaths(RankCrawlOnce.lastRound(s)): _*)
+        .orderBy("round", "host_hash", "seq")
+    }),
     "q67_training_shard" -> ((s, _) => trainingShard(s, scaleIds = false)),
     // ---------------- streaming (deterministic replay oracles) --------
     "q64_stream_sessions" -> ((s, dir) => {
@@ -2052,6 +2081,7 @@ object SparkEntry {
         |FROM w WHERE len(fields) >= 20 ORDER BY doc_id""".stripMargin,
     "q50_crawl_docs" -> dumpSql("q50_crawl_docs", "doc_id"),
     "q51_crawl_fetch_log" -> dumpSql("q51_crawl_fetch_log", "\"round\", host_hash, seq"),
+    "q93_rank_crawl_log" -> dumpSql("q93_rank_crawl_log", "\"round\", host_hash, seq"),
     "q52_crawl_spans" -> dumpSql("q52_crawl_spans", "doc_id, \"offset\""),
     "q53_crawl_metrics" ->
       s"""SELECT "round", ((host_hash % 32) + 32) % 32 AS bucket,

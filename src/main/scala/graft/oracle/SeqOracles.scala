@@ -94,6 +94,14 @@ object SeqOracles {
       o.fetchLog.sortBy(e => (e.round, e.host_hash, e.seq))
     write(dumpRoot, "q51_crawl_fetch_log", q51.toDF())
 
+    // q93: the SAME web crawled rank-priority-ordered — the sequential
+    // oracle recomputes the integer PageRank stamp in plain loops
+    // (CrawlOracle.seqRanks), so the distributed run must match
+    // bit-for-bit by determinism
+    val oRank = new CrawlOracle(cfg.copy(rankPriority = true)).run()
+    write(dumpRoot, "q93_rank_crawl_log",
+          oRank.fetchLog.sortBy(e => (e.round, e.host_hash, e.seq)).toDF())
+
     val q52 = o.docs.values.toSeq
       .flatMap(d => d.spans.map(s =>
         Q52Row(d.doc_id, s.offset, s.kind, s.text, s.media_ref)))

@@ -116,9 +116,9 @@ class CrawlSchedulerSpec extends SparkSuite {
   test("rank-informed frontier priority matches its sequential oracle bit-for-bit") {
     // opt-in rankPriority: round k's integer-PageRank over the
     // accumulated link graph stamps round k+1 candidates' sort key.
-    // Parity holds by determinism (integer fixed-point rank, NLZ
-    // bucket) — the full three-way assert (fetch log, seen set, spans)
-    // runs unchanged.
+    // Parity holds by determinism (integer fixed-point rank,
+    // max-relative floor-division bucket) — the full three-way assert
+    // (fetch log, seen set, spans) runs unchanged.
     val web = WebConfig(seed = 63, nHosts = 5, listPagesPerHost = 3,
                         detailsPerList = 6, crossHostLinkPct = 30,
                         paginationFanout = 2)

@@ -19,8 +19,8 @@ class OracleDumpSpec extends SparkSuite {
     "q37_image_meta",
     "q38_frame_sample", "q71_frame_profile", "q39_media_from_crawl", "q43_next_data_extract",
     "q44_enrich_join", "q45_facet_split", "q50_crawl_docs",
-    "q51_crawl_fetch_log", "q52_crawl_spans", "q60_ua_pick",
-    "q61_auth_enrich", "q64_stream_sessions")
+    "q51_crawl_fetch_log", "q93_rank_crawl_log", "q52_crawl_spans",
+    "q60_ua_pick", "q61_auth_enrich", "q64_stream_sessions")
 
   test("every dump matches its Spark query: schema and rows") {
     dumped
