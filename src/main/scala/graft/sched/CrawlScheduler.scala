@@ -445,7 +445,24 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
           }
         }.toDF("src", "dst")
           .write.mode("overwrite").parquet(s"$edgesDir/r$r")
-        val all = spark.read.parquet((1 to r).map(j => s"$edgesDir/r$j"): _*)
+        // rank_edges slots are written by runRound ONLY: a revoke()
+        // commit advances the round counter without one, and an
+        // all-empty round writes a part-file-less dir that defeats
+        // schema inference — so resume reads the slots that exist,
+        // with the schema stated (a missing slot holds zero edges by
+        // construction: no fetches happened in that round)
+        val fs = new org.apache.hadoop.fs.Path(edgesDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val slotPaths = (1 to r)
+          .map(j => s"$edgesDir/r$j")
+          .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+        val all =
+          if (slotPaths.isEmpty)
+            spark.range(0).select(col("id").as("src"), col("id").as("dst"))
+          else
+            spark.read
+              .schema("src BIGINT, dst BIGINT")
+              .parquet(slotPaths: _*)
         val ranks =
           if (all.isEmpty)
             spark.range(0).select(col("id").as("node"), col("id").as("rank"))

@@ -223,6 +223,34 @@ class CrawlSchedulerSpec extends SparkSuite {
     assert(seen.count(_.url_hash == hashOf(revokedUrl)) == 1)
   }
 
+  test("rank-priority crawl resumes across a revoke round (no rank_edges slot)") {
+    // revoke() commits a round WITHOUT executing runRound, so that round
+    // has no rank_edges slot — the resumed rank-priority crawl must read
+    // only the slots that exist (a missing slot holds zero edges by
+    // construction), not crash on the gap
+    import graft.store.Snapshots
+    val web = WebConfig(seed = 23, nHosts = 2, listPagesPerHost = 2,
+                        detailsPerList = 4, pct404 = 0, pct503 = 0,
+                        crossHostLinkPct = 0)
+    val cfg = CrawlConfig(web = web, outDir = tmpDir("crawlrankrevoke-"),
+                          maxRounds = 60, hostCapacity = 8.0,
+                          hostRefill = 8.0, rankPriority = true)
+    val sched = new CrawlScheduler(spark, cfg)
+    sched.run()
+    val listing = "https://host-0.test/list/0"
+    val revokedUrl = graft.synthweb.SyntheticWeb.detailUrl(web, 0, 0, 1)
+    sched.revoke(Seq(revokedUrl), reseed = Seq(listing))
+    val last = sched.run() // threw PATH_NOT_FOUND before the slot filter
+    val snaps = new Snapshots(cfg.outDir)
+    assert(snaps.readManifest(last).done, "resumed crawl must drain")
+    val log = spark.read
+      .schema(implicitly[org.apache.spark.sql.Encoder[FetchLogEntry]].schema)
+      .parquet(snaps.fetchLogPaths(last): _*)
+      .as[FetchLogEntry].collect()
+    assert(log.count(_.url == revokedUrl) == 2,
+           s"revoked URL fetches: ${log.filter(_.url == revokedUrl).toSeq}")
+  }
+
   test("politeness budget is never exceeded per host per round") {
     val cfg = CrawlConfig(
       web = WebConfig(seed = 3, nHosts = 3, listPagesPerHost = 2, detailsPerList = 8),
