@@ -32,20 +32,25 @@ final class CrawlOracle(cfg: CrawlConfig) {
       rounds: Int
   )
 
-  def run(): Result = {
+  /** Mutable crawl state, factored out of [[run]] so [[runWithRevoke]]
+    * can apply revocation semantics between two [[loop]] passes.
+    */
+  private final class St {
     val fetcher = SimulatedFetcher(cfg.web, simulateLatency = false)
-    val entryOrd = CrawlScheduler.entryOrd
-
-    var frontier = Vector.newBuilder[FrontierEntry].result()
+    var frontier: Vector[FrontierEntry] = Vector.empty
     val robots = mutable.Map.empty[String, Seq[String]]
     val tokens = mutable.Map.empty[String, Double]
     val seen = mutable.Map.empty[String, Int]
     val docs = mutable.Map.empty[String, Doc]
-    val log = Vector.newBuilder[FetchLogEntry]
+    val log = mutable.ArrayBuffer.empty[FetchLogEntry]
     // cumulative link graph for cfg.rankPriority (60-bit nid pairs —
     // the scheduler's per-round edge slots, deduplicated, as one set)
     val edges = mutable.HashSet.empty[(Long, Long)]
+    var r = 1
+  }
 
+  private def initState(): St = {
+    val st = new St
     // init (mirrors CrawlScheduler.init)
     val seeds = cfg.web.seedUrls.zipWithIndex.map { case (u, i) =>
       Fetcher.entryOf(u, SyntheticWeb.priorityOf(u), i.toLong, 0, 0, cfg.salts)
@@ -53,11 +58,56 @@ final class CrawlOracle(cfg: CrawlConfig) {
     val robotsSeeds = seeds.map(_.host).distinct.zipWithIndex.map { case (h, i) =>
       Fetcher.entryOf(s"https://$h/robots.txt", 0, i.toLong, 0, 0, cfg.salts)
     }
-    frontier = (robotsSeeds ++ seeds).distinctBy(_.url_hash).toVector
-    frontier.map(_.host).distinct.foreach(h => tokens(h) = 0.0)
+    st.frontier = (robotsSeeds ++ seeds).distinctBy(_.url_hash).toVector
+    st.frontier.map(_.host).distinct.foreach(h => st.tokens(h) = 0.0)
+    st
+  }
 
-    var r = 1
-    var done = false
+  private def result(st: St): Result =
+    Result(st.log.toVector, st.docs.toMap, st.seen.toMap, st.r - 1)
+
+  def run(): Result = {
+    val st = initState()
+    loop(st)
+    result(st)
+  }
+
+  /** [[run]], then the scheduler's `revoke(urls, reseed)` semantics
+    * applied sequentially, then the resumed rounds — full fetch-log /
+    * seen / span parity across an administrative revocation. Models a
+    * revoke against a DRAINED crawl (the scheduler also allows
+    * mid-crawl revokes; the sequential model keeps the drained case).
+    * Round numbering mirrors the scheduler exactly: the revoke commit
+    * occupies round latest+1 with no fetches, reseed entries carry
+    * (dt = (latest+1)*1e6 + i, round = latest+1) like
+    * CrawlScheduler.revoke's entryOf calls, and resumed fetches start
+    * at latest+2.
+    */
+  def runWithRevoke(urls: Seq[String], reseed: Seq[String] = Nil): Result = {
+    val st = initState()
+    loop(st)
+    require(st.frontier.isEmpty, "oracle revoke models a drained crawl")
+    urls.foreach { u =>
+      st.seen.remove(UrlCanon.urlHash(UrlCanon.canonicalize(u)))
+    }
+    val rr = st.r // latest + 1: the round the revoke commit occupies
+    st.frontier = reseed.zipWithIndex.map { case (u, i) =>
+      Fetcher.entryOf(u, SyntheticWeb.priorityOf(u),
+                      rr.toLong * 1000000L + i, 0, rr, cfg.salts)
+    }.distinctBy(_.url_hash).toVector
+    // new reseed hosts start at zero tokens (HostState defaults);
+    // existing hosts keep their drained-state balance, like host_state
+    st.frontier.map(_.host).distinct.foreach(h =>
+      if (!st.tokens.contains(h)) st.tokens(h) = 0.0)
+    st.r = rr + 1
+    loop(st)
+    result(st)
+  }
+
+  private def loop(st: St): Unit = {
+    import st._
+    val entryOrd = CrawlScheduler.entryOrd
+    var done = frontier.isEmpty
     while (!done && r <= cfg.maxRounds) {
       val retries = mutable.ArrayBuffer.empty[FrontierEntry]
       // per fetched page: (source url_hash, links)
@@ -198,8 +248,6 @@ final class CrawlOracle(cfg: CrawlConfig) {
       done = frontier.isEmpty
       r += 1
     }
-
-    Result(log.result(), docs.toMap, seen.toMap, r - 1)
   }
 
   private def capacityOf(host: String): Double = cfg.hostCapacity

@@ -25,6 +25,11 @@ class CrawlSchedulerSpec extends SparkSuite {
 
   private def assertParity(cfg: CrawlConfig): Unit = {
     val (oracle, snaps, last) = runBoth(cfg)
+    assertMatch(oracle, snaps, last)
+  }
+
+  private def assertMatch(oracle: CrawlOracle#Result, snaps: Snapshots,
+                          last: Int): Unit = {
     assert(snaps.readManifest(last).done, "crawl must drain the frontier")
 
     // (a) fetch log equality in canonical (round, host_hash, seq) order
@@ -223,32 +228,37 @@ class CrawlSchedulerSpec extends SparkSuite {
     assert(seen.count(_.url_hash == hashOf(revokedUrl)) == 1)
   }
 
-  test("rank-priority crawl resumes across a revoke round (no rank_edges slot)") {
-    // revoke() commits a round WITHOUT executing runRound, so that round
-    // has no rank_edges slot — the resumed rank-priority crawl must read
-    // only the slots that exist (a missing slot holds zero edges by
-    // construction), not crash on the gap
-    import graft.store.Snapshots
+  test("revocation parity: scheduler matches oracle across revoke+reseed (rank off/on)") {
+    // full three-way parity (fetch log, seen set, spans) ACROSS an
+    // administrative revocation, both with discovery-order priority and
+    // with rankPriority on. The rank case is also the regression pin
+    // for resume-across-revoke: revoke() commits a round WITHOUT
+    // executing runRound, so that round has no rank_edges slot — the
+    // resumed rank-priority crawl must read only the slots that exist
+    // (a missing slot holds zero edges by construction), not crash on
+    // the gap
     val web = WebConfig(seed = 23, nHosts = 2, listPagesPerHost = 2,
                         detailsPerList = 4, pct404 = 0, pct503 = 0,
                         crossHostLinkPct = 0)
-    val cfg = CrawlConfig(web = web, outDir = tmpDir("crawlrankrevoke-"),
-                          maxRounds = 60, hostCapacity = 8.0,
-                          hostRefill = 8.0, rankPriority = true)
-    val sched = new CrawlScheduler(spark, cfg)
-    sched.run()
     val listing = "https://host-0.test/list/0"
     val revokedUrl = graft.synthweb.SyntheticWeb.detailUrl(web, 0, 0, 1)
-    sched.revoke(Seq(revokedUrl), reseed = Seq(listing))
-    val last = sched.run() // threw PATH_NOT_FOUND before the slot filter
-    val snaps = new Snapshots(cfg.outDir)
-    assert(snaps.readManifest(last).done, "resumed crawl must drain")
-    val log = spark.read
-      .schema(implicitly[org.apache.spark.sql.Encoder[FetchLogEntry]].schema)
-      .parquet(snaps.fetchLogPaths(last): _*)
-      .as[FetchLogEntry].collect()
-    assert(log.count(_.url == revokedUrl) == 2,
-           s"revoked URL fetches: ${log.filter(_.url == revokedUrl).toSeq}")
+    for (rank <- Seq(false, true)) {
+      val cfg = CrawlConfig(web = web,
+                            outDir = tmpDir(s"crawlrevpar$rank-"),
+                            maxRounds = 60, hostCapacity = 8.0,
+                            hostRefill = 8.0, rankPriority = rank)
+      val sched = new CrawlScheduler(spark, cfg)
+      sched.run()
+      sched.revoke(Seq(revokedUrl), reseed = Seq(listing))
+      val last = sched.run() // rank case threw PATH_NOT_FOUND pre-fix
+      val snaps = new Snapshots(cfg.outDir)
+      val oracle = new CrawlOracle(cfg)
+        .runWithRevoke(Seq(revokedUrl), reseed = Seq(listing))
+      assertMatch(oracle, snaps, last)
+      assert(oracle.fetchLog.count(_.url == revokedUrl) == 2,
+             s"revoked URL fetches (rank=$rank): " +
+               oracle.fetchLog.filter(_.url == revokedUrl).toString)
+    }
   }
 
   test("politeness budget is never exceeded per host per round") {
