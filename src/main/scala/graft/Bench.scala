@@ -96,6 +96,11 @@ object Bench {
     var best: (T, Double) = null
     var attempts = 0
     while (attempts < 3 && (best == null || best._2 > stealRetryPct)) {
+      // GC before every attempt (like the crawl path's cleanRun): the
+      // first timed repeat of a leg must not absorb a major collection
+      // of the PREVIOUS phase's garbage inside its window — that is
+      // local noise the steal counter cannot flag
+      System.gc()
       val r = f
       if (best == null || r._2 < best._2) best = r
       attempts += 1
@@ -160,12 +165,18 @@ object Bench {
     * stolen the reported median can be.
     */
   private def med3(f: => (Double, Long, Double)): (Double, Long, Double) = {
+    // EVERY executed attempt's count rides the drift require — including
+    // attempts cleanRepeat discards for steal. A drifted count is
+    // nondeterminism in the operator, which interference cannot excuse;
+    // discarding it with the timing would hide exactly the failure the
+    // guard exists for.
+    val allCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
     val runs = (1 to 3).map { _ =>
-      val ((sec, v), steal) = cleanRepeat { val r = f; ((r._1, r._2), r._3) }
+      val ((sec, v), steal) =
+        cleanRepeat { val r = f; allCounts += r._2; ((r._1, r._2), r._3) }
       (sec, v, steal)
     }
-    require(runs.map(_._2).distinct.size == 1,
-            s"bench drift: ${runs.map(_._2)}")
+    require(allCounts.distinct.size == 1, s"bench drift: $allCounts")
     (runs.map(_._1).sorted.apply(1), runs.head._2, runs.map(_._3).max)
   }
 
@@ -232,6 +243,8 @@ object Bench {
     //     number that separates incremental from batch.
     val delta = base.select((lit(10000000L) + col("id0")).as("id"),
                             col("embedding").as("vec"))
+    val annAllCounts =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val incrRuns = (1 to 3).map { _ =>
       // one repeat = two timed windows (round 2 + small delta); the
       // repeat's steal is the max of the two, and the repeat retries
@@ -247,11 +260,12 @@ object Bench {
         val (t3, r3c, st3) = timed(graft.ops.IncrementalAnn.roundPairs(
           s4, idx, delta, "id", "vec", threshold = 0.9999,
           bits = bandBits).count())
+        annAllCounts += ((r1c + r2c, r3c)) // steal-discarded attempts too
         (((t2, t3), (r1c + r2c, r3c)), math.max(st2, st3))
       }
     }
-    require(incrRuns.map(_._1._2).distinct.size == 1,
-            s"ann bench drift: ${incrRuns.map(_._1._2)}")
+    require(annAllCounts.distinct.size == 1,
+            s"ann bench drift: $annAllCounts")
     val tIncr = incrRuns.map(_._1._1._1).sorted.apply(1)
     val tIncrSmall = incrRuns.map(_._1._1._2).sorted.apply(1)
     val (annUnion, annSmallPairs) = incrRuns.head._1._2
@@ -305,12 +319,17 @@ object Bench {
     // on the metric itself; if the host never quiets down, the lowest-
     // steal attempt is kept and its steal% is reported beside the time
     // (threshold: the shared stealRetryPct policy field).
+    // page counts from EVERY crawl attempt (kept or steal-discarded)
+    // ride the workload-drift require below — interference never excuses
+    // a nondeterministic page count
+    val crawlAllPages = scala.collection.mutable.ArrayBuffer.empty[Long]
     def cleanRun(cores: Int): (Long, Double, Double, String, Int, Double) = {
       var best: (Long, Double, Double, String, Int, Double) = null
       var attempts = 0
       while (attempts < 3 && (best == null || best._3 > stealRetryPct)) {
         System.gc()
         val r = crawlRun(cores)
+        crawlAllPages += r._1
         if (best == null || r._3 < best._3) best = r
         attempts += 1
       }
@@ -332,6 +351,8 @@ object Bench {
     val (pages8, sec8, runs8, steal8, _, _, jpr8) = medianOf3(8)
     val (pages32, sec32, runs32, steal32, lastOut, lastRound, jpr32) = medianOf3(32)
     require(pages8 == pages32, s"workload drift: $pages8 vs $pages32 pages")
+    require(crawlAllPages.distinct.size == 1,
+            s"workload drift across attempts: $crawlAllPages pages")
     val pps8 = pages8 / sec8
     val pps32 = pages32 / sec32
     val eff = (pps32 / pps8) / 4.0
@@ -375,13 +396,33 @@ object Bench {
           graft.ops.Dedup.exactClusters(copies, "id", "text")
             .filter(col("n_dups") > 1).count()))
         val acc = s3.sparkContext.longAccumulator("bench_lsh_dropped")
-        val (tLsh, nPairs, stLsh) = med3 {
-          acc.reset() // per-run drop count, not a 3-run sum
-          timed(graft.ops.Dedup.minhashNearDups(
-            copies, "id", "text", shingleN = 3, numHashes = 32,
-            rowsPerBand = 4, threshold = 1.0, maxBucket = 1024,
-            acc = Some(acc)).count())
+        // hand-rolled repeat loop (not med3): the drop accumulator must
+        // be captured INSIDE each attempt's tuple so the reported value
+        // belongs to the KEPT measurement — reading acc.value after the
+        // loop would report the LAST attempt, which under steal retries
+        // may be a discarded one (and a Spark task retry inside it can
+        // double-count the accumulator). Drops stay OUT of the drift
+        // require for the same reason: accumulator totals are not
+        // retry-exact, pair counts are.
+        val lshAllPairs = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val lshRuns = (1 to 3).map { _ =>
+          cleanRepeat {
+            acc.reset() // per-attempt drop count, not a cross-attempt sum
+            val (t, pairs, st) = timed(graft.ops.Dedup.minhashNearDups(
+              copies, "id", "text", shingleN = 3, numHashes = 32,
+              rowsPerBand = 4, threshold = 1.0, maxBucket = 1024,
+              acc = Some(acc)).count())
+            lshAllPairs += pairs
+            ((t, pairs, acc.value.toLong), st)
+          }
         }
+        require(lshAllPairs.distinct.size == 1, s"bench drift: $lshAllPairs")
+        val tLsh = lshRuns.map(_._1._1).sorted.apply(1)
+        val nPairs = lshRuns.head._1._2
+        // max over kept attempts — the bound on caps engaging, matching
+        // the steal column's "worst kept repeat" semantics
+        val lshDroppedKept = lshRuns.map(_._1._3).max
+        val stLsh = lshRuns.map(_._2).max
         // incremental maintenance at the same scale: the corpus arrives
         // in two ingest rounds (id % 2 splits every planted mirror pair
         // across the rounds: original k=0 is even, mirror k=1 is odd).
@@ -412,7 +453,7 @@ object Bench {
         require(r1 + r2 >= nPairs,
                 s"incremental union ${r1 + r2} < batch $nPairs")
         copies.unpersist()
-        (nDocs, tExact, nClusters, tLsh, nPairs, acc.value.toLong, tIncr,
+        (nDocs, tExact, nClusters, tLsh, nPairs, lshDroppedKept, tIncr,
          r1 + r2, Seq(stExact, stLsh, stIncr).max)
       } finally s3.stop()
     }
@@ -535,10 +576,9 @@ object Bench {
         val (tChunk, chunks, stChunk) = med3 {
           // each globalRowNumber call pins a localCheckpoint copy of
           // the ~1.1M-row chunk frame until the reference is GC'd;
-          // prompt the ContextCleaner between repeats (OUTSIDE the
-          // timed region — GC time is not the operator's cost) so
-          // stale copies don't crowd the block manager
-          System.gc()
+          // cleanRepeat's per-attempt System.gc() prompts the
+          // ContextCleaner between repeats (outside the timed region)
+          // so stale copies don't crowd the block manager
           timed {
           val ch = graft.ops.Chunking.slidingChunks(corpus, "id", "text", 12, 8)
           // the global index over the chunk rows must be exactly

@@ -178,20 +178,28 @@ class CrawlSchedulerSpec extends SparkSuite {
     assert(seenOf(sa, lastA) == seenOf(sb, lastB))
   }
 
+  // one revocation scenario, shared by the cuckoo-internals test and the
+  // oracle-parity test so the two cannot silently diverge: same web
+  // shape, same reseeded listing, same revoked detail page
+  private val revokeWeb = WebConfig(seed = 23, nHosts = 2,
+                                    listPagesPerHost = 2, detailsPerList = 4,
+                                    pct404 = 0, pct503 = 0,
+                                    crossHostLinkPct = 0)
+  private val revokeListing = "https://host-0.test/list/0"
+  private val revokedUrl =
+    graft.synthweb.SyntheticWeb.detailUrl(revokeWeb, 0, 0, 1)
+
   test("revocation: cuckoo deletion lets a re-discovered URL re-fetch") {
     import graft.seen.{BloomFilter, CuckooFilter}
     import graft.canon.UrlCanon
     import graft.store.Snapshots
-    val web = WebConfig(seed = 23, nHosts = 2, listPagesPerHost = 2,
-                        detailsPerList = 4, pct404 = 0, pct503 = 0,
-                        crossHostLinkPct = 0)
+    val web = revokeWeb
     val cfg = CrawlConfig(web = web, outDir = tmpDir("crawlrevoke-"),
                           maxRounds = 60, hostCapacity = 8.0, hostRefill = 8.0)
     val sched = new CrawlScheduler(spark, cfg)
     sched.run()
 
-    val listing = "https://host-0.test/list/0"
-    val revokedUrl = graft.synthweb.SyntheticWeb.detailUrl(web, 0, 0, 1)
+    val listing = revokeListing
     val siblingUrl = graft.synthweb.SyntheticWeb.detailUrl(web, 0, 0, 2)
     def hashOf(u: String) = UrlCanon.urlHash(UrlCanon.canonicalize(u))
 
@@ -237,13 +245,9 @@ class CrawlSchedulerSpec extends SparkSuite {
     // resumed rank-priority crawl must read only the slots that exist
     // (a missing slot holds zero edges by construction), not crash on
     // the gap
-    val web = WebConfig(seed = 23, nHosts = 2, listPagesPerHost = 2,
-                        detailsPerList = 4, pct404 = 0, pct503 = 0,
-                        crossHostLinkPct = 0)
-    val listing = "https://host-0.test/list/0"
-    val revokedUrl = graft.synthweb.SyntheticWeb.detailUrl(web, 0, 0, 1)
+    val listing = revokeListing
     for (rank <- Seq(false, true)) {
-      val cfg = CrawlConfig(web = web,
+      val cfg = CrawlConfig(web = revokeWeb,
                             outDir = tmpDir(s"crawlrevpar$rank-"),
                             maxRounds = 60, hostCapacity = 8.0,
                             hostRefill = 8.0, rankPriority = rank)
