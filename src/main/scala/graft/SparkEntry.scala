@@ -98,6 +98,30 @@ object SparkEntry {
       new Snapshots(dir(s)).latestRound.getOrElse(0)
   }
 
+  /** Real-transport sibling of [[CrawlOnce]]: the SAME synthetic web
+    * crawled over REAL loopback HTTP — a [[graft.synthweb.SynthWebServer]]
+    * gateway serves the pages, [[graft.fetch.HttpFetcher]] fetches them
+    * with the ST4 transport limits applied. q95's fixture; its oracle is
+    * the SAME sequential dump as q51's, because transport must not
+    * change the crawl (RealTransportSpec pins the parity in-suite).
+    */
+  private[graft] object HttpCrawlOnce {
+    private val cache = scala.collection.concurrent.TrieMap[String, String]()
+    def dir(s: SparkSession): String = cache.getOrElseUpdate("crawl", {
+      val out = tmpWorkDir("graft-httpcrawl-")
+      val web = CrawlOnce.cfg("unused").web
+      val server = new graft.synthweb.SynthWebServer(web)
+      try {
+        val cfg = CrawlOnce.cfg(out).copy(
+          fetcher = graft.fetch.HttpFetcherFactory(server.baseUrl))
+        new CrawlScheduler(s, cfg).run()
+      } finally server.stop()
+      out
+    })
+    def lastRound(s: SparkSession): Int =
+      new Snapshots(dir(s)).latestRound.getOrElse(0)
+  }
+
   /** Flagship: full crawl of the synthetic web → interleaved-span docs. */
   def entry(spark: SparkSession): DataFrame = {
     val snaps = new Snapshots(CrawlOnce.dir(spark))
@@ -713,6 +737,36 @@ object SparkEntry {
              countDistinct(md5(col("text"))).as("n_distinct_md5"))
         .orderBy("source")
     }),
+    "q94_jdbc_roundtrip" -> ((s, dir) => {
+      // K2 JDBC batch sink, exercised for REAL against embedded Derby
+      // (the one JDBC engine on the sandbox classpath): write the
+      // supplier table through JdbcSink with concurrent writer
+      // partitions, read it back over JDBC, and aggregate with
+      // order-independent fidelity probes on every column class —
+      // integer sum (BIGINT), md5-distinct (CLOB/string), min/max
+      // (DOUBLE, exact binary copies) — against the parquet source as
+      // oracle. Any type-mapping or batching corruption in either
+      // direction breaks the hash. MySQL in production differs only in
+      // url/driver strings (db/mysql.go:8-19).
+      val out = tmpWorkDir("graft-derby-")
+      // keep Derby's engine log inside the per-run temp dir
+      System.setProperty("derby.stream.error.file", s"$out/derby.log")
+      val url = s"jdbc:derby:$out/db;create=true"
+      val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+      graft.sinks.JdbcSink(url, "supplier_rt", user = "app",
+                           password = "app", driver = driver,
+                           batchSize = 64, numPartitions = 4)
+        .write(T(s, dir, "supplier"))
+      s.read.format("jdbc").option("url", url).option("driver", driver)
+        .option("dbtable", "supplier_rt").load()
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"),
+             sum("s_suppkey").cast("long").as("sum_keys"),
+             min("s_acctbal").as("min_bal"),
+             max("s_acctbal").as("max_bal"),
+             countDistinct(md5(col("s_name"))).as("n_distinct_md5"))
+        .orderBy("s_nationkey")
+    }),
     "q91_bucketed_join" -> ((s, dir) => {
       // co-located join via bucketing: both sides bucketed AND sorted
       // on the join key at write time, so the join and the key-aligned
@@ -1308,6 +1362,18 @@ object SparkEntry {
       s.read.parquet(snaps.fetchLogPaths(RankCrawlOnce.lastRound(s)): _*)
         .orderBy("round", "host_hash", "seq")
     }),
+    "q95_http_crawl_log" -> ((s, _) => {
+      // the real-transport crawl's canonical fetch log (ST4 made real):
+      // the SAME web as q51, but every page crosses a real socket —
+      // SynthWebServer on loopback, HttpFetcher consuming the transport
+      // limits, retry counters on the wire as X-Graft-Attempt. The
+      // oracle is q51's SEQUENTIAL dump: transport must not change the
+      // crawl, so the real-HTTP fetch log hash-matches the in-memory
+      // oracle through DuckDB.
+      val snaps = new Snapshots(HttpCrawlOnce.dir(s))
+      s.read.parquet(snaps.fetchLogPaths(HttpCrawlOnce.lastRound(s)): _*)
+        .orderBy("round", "host_hash", "seq")
+    }),
     "q67_training_shard" -> ((s, _) => trainingShard(s, scaleIds = false)),
     // ---------------- streaming (deterministic replay oracles) --------
     "q64_stream_sessions" -> ((s, dir) => {
@@ -1825,6 +1891,12 @@ object SparkEntry {
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_items
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q94_jdbc_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n_suppliers,
+        |  CAST(sum(s_suppkey) AS BIGINT) AS sum_keys,
+        |  min(s_acctbal) AS min_bal, max(s_acctbal) AS max_bal,
+        |  count(DISTINCT md5(s_name)) AS n_distinct_md5
+        |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
     "q89_corpus_diff" ->
       """WITH v1 AS (SELECT doc_id, text FROM documents),
         |v2 AS (
@@ -2082,6 +2154,10 @@ object SparkEntry {
     "q50_crawl_docs" -> dumpSql("q50_crawl_docs", "doc_id"),
     "q51_crawl_fetch_log" -> dumpSql("q51_crawl_fetch_log", "\"round\", host_hash, seq"),
     "q93_rank_crawl_log" -> dumpSql("q93_rank_crawl_log", "\"round\", host_hash, seq"),
+    // q95 deliberately rides q51's SEQUENTIAL dump: the real-HTTP crawl
+    // must produce the exact fetch log the in-memory sequential oracle
+    // does — transport is not allowed to change the crawl
+    "q95_http_crawl_log" -> dumpSql("q51_crawl_fetch_log", "\"round\", host_hash, seq"),
     "q52_crawl_spans" -> dumpSql("q52_crawl_spans", "doc_id, \"offset\""),
     "q53_crawl_metrics" ->
       s"""SELECT "round", ((host_hash % 32) + 32) % 32 AS bucket,

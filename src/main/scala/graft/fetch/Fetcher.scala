@@ -86,6 +86,111 @@ final case class SimulatedFetcher(cfg: WebConfig, simulateLatency: Boolean = fal
   }
 }
 
+/** Executor-side fetcher construction. The scheduler builds fetchers
+  * INSIDE `mapPartitions` (one per partition, like a per-executor HTTP
+  * client pool), so what ships through the closure is this small
+  * factory, never a live client. [[SimulatedFetcherFactory]] is the
+  * default (deterministic synthetic web, no sockets);
+  * [[HttpFetcherFactory]] swaps in real HTTP transport against a
+  * [[graft.synthweb.SynthWebServer]] loopback gateway — same crawl,
+  * bit-equal fetch logs (RealTransportSpec pins the parity).
+  */
+trait FetcherFactory extends Serializable {
+  def create(web: WebConfig, simulateLatency: Boolean): Fetcher
+}
+
+case object SimulatedFetcherFactory extends FetcherFactory {
+  override def create(web: WebConfig, simulateLatency: Boolean): Fetcher =
+    SimulatedFetcher(web, simulateLatency)
+}
+
+/** Real-transport factory: the crawl's fetch stages talk HTTP to
+  * `baseUrl` (a loopback [[graft.synthweb.SynthWebServer]] in-sandbox;
+  * any origin-mapping proxy outside it). The synthetic `web` config is
+  * unused by the client — page content comes over the wire.
+  */
+final case class HttpFetcherFactory(baseUrl: String,
+                                    transport: TransportConfig =
+                                      TransportConfig())
+    extends FetcherFactory {
+  override def create(web: WebConfig, simulateLatency: Boolean): Fetcher =
+    HttpFetcher(baseUrl, transport)
+}
+
+/** ST4 made real: a `java.net.http.HttpClient` fetcher that consumes
+  * [[TransportConfig]] verbatim — request timeout (apna/main.go:44,
+  * olx_c226/main.go:66) as the per-request `timeout`, the TLS/connect
+  * window (apna/main.go:42) as the client's `connectTimeout`, session
+  * cookies/headers (ST7, olx_c226/phone.go:90-93) on every request, and
+  * ST5's deterministic UA rotation (the same `xxhash64(url) % table`
+  * pick as [[graft.ops.Extract.ua_pick]], via Spark's own XXH64) in the
+  * `User-Agent` header. Connection reuse/keep-alive is the JDK pool's
+  * (`maxIdleConns`/`keepAliveSec` document the reference's intent —
+  * apna/main.go:36-38 — the JDK client manages its pool internally).
+  *
+  * Transport failures (timeout, refused connection, reset) surface as
+  * status 599 — a retryable non-404 under the scheduler's
+  * retry-unless-404 policy (olx_c226/main.go:188-193), exactly like a
+  * synthetic 503. The retry counter rides the `X-Graft-Attempt` header
+  * so the deterministic origin can apply its retryable-503 upgrade.
+  *
+  * One client per partition (built lazily on first use after
+  * deserialization), mirroring a per-executor connection pool.
+  */
+final case class HttpFetcher(baseUrl: String,
+                             transport: TransportConfig = TransportConfig())
+    extends Fetcher {
+
+  @transient private lazy val client: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(
+        java.time.Duration.ofSeconds(transport.tlsHandshakeTimeoutSec.toLong))
+      .followRedirects(java.net.http.HttpClient.Redirect.NEVER)
+      .build()
+
+  private def uaOf(url: String): String = {
+    val uas = transport.userAgents
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUTF8String(org.apache.spark.unsafe.types.UTF8String.fromString(url),
+                      42L)
+    uas(java.lang.Math.floorMod(h, uas.size.toLong).toInt)
+  }
+
+  override def fetch(entry: FrontierEntry): FetchResult = {
+    val physical = baseUrl + "/" + entry.url.replaceFirst("^https?://", "")
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(physical))
+      .timeout(java.time.Duration.ofSeconds(transport.requestTimeoutSec.toLong))
+      .header("User-Agent", uaOf(entry.url))
+      .header("X-Graft-Attempt", entry.attempt.toString)
+    if (transport.cookies.nonEmpty)
+      b.header("Cookie",
+               transport.cookies.map { case (k, v) => s"$k=$v" }.mkString("; "))
+    transport.headers.foreach { case (k, v) => b.header(k, v) }
+    val t0 = System.nanoTime()
+    val (status, body) =
+      try {
+        val r = client.send(
+          b.build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString(
+            java.nio.charset.StandardCharsets.UTF_8))
+        (r.statusCode(), r.body())
+      } catch {
+        case _: java.io.IOException => (599, "") // timeout/refused/reset
+      }
+    FetchResult(
+      url = entry.url,
+      url_hash = entry.url_hash,
+      host = entry.host,
+      status = status,
+      body = body,
+      latency_ms = ((System.nanoTime() - t0) / 1000000L).toInt,
+      attempt = entry.attempt,
+      priority = entry.priority,
+      discovery_time = entry.discovery_time
+    )
+  }
+}
+
 /** ST7 credentialed enrichment client (olx_c226/phone.go:53-93): one
   * instance per partition inside `mapPartitions`, session cookies from
   * [[TransportConfig]] attached to every request. [[phone]] surfaces

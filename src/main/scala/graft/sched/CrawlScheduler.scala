@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 import graft.canon.UrlCanon
-import graft.fetch.{Fetcher, SimulatedFetcher}
+import graft.fetch.{Fetcher, FetcherFactory, SimulatedFetcherFactory}
 import graft.model._
 import graft.parse.HtmlSpans
 import graft.polite.Robots
@@ -37,7 +37,12 @@ final case class CrawlConfig(
     // graph feeds round k+1's sort key (deterministic integer PageRank —
     // see the candRanked step); off by default (discovery-order crawl)
     rankPriority: Boolean = false,
-    rankIters: Int = 4 // damped PR iterations per round when enabled
+    rankIters: Int = 4, // damped PR iterations per round when enabled
+    // transport plug point (ST4): the default crawls the deterministic
+    // synthetic web in-process; HttpFetcherFactory swaps in real HTTP
+    // against a loopback SynthWebServer gateway — same fetch log
+    // bit-for-bit (RealTransportSpec)
+    fetcher: FetcherFactory = SimulatedFetcherFactory
 ) {
   /** Per-bucket bloom shard size; constant across rounds so shards stay
     * mergeable/incrementable.
@@ -256,6 +261,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     val par = spark.sparkContext.defaultParallelism
     val web = cfg.web
     val simLat = cfg.simulateLatency
+    val mkFetcher = cfg.fetcher // small factory in the closure, not a client
     val maxAtt = cfg.maxAttempts
     val hasPri0 = !m.counters.get("frontier_pri0").contains(0L)
     // fetch stages are FUSED with parsing: the page body is turned into
@@ -270,7 +276,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
       else Some(frontier.filter(col("priority") === 0).as[FrontierEntry]
         .repartition(par)
         .mapPartitions { it =>
-          val f = SimulatedFetcher(web, simLat)
+          val f = mkFetcher.create(web, simLat)
           it.map { e =>
             val fr = f.fetch(e)
             val pre =
@@ -364,7 +370,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     val mainFetched = selected
       .repartition(par)
       .mapPartitions { it =>
-        val f = SimulatedFetcher(web, simLat)
+        val f = mkFetcher.create(web, simLat)
         it.map { s =>
           val fr = f.fetch(s.e)
           val hh = UrlCanon.hostHash(fr.host)

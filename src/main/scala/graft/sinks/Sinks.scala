@@ -22,9 +22,12 @@ trait Sink extends Serializable {
   *     pool's idle limit (db/mysql.go:16-17: 200 open / 10 idle);
   *   - `isolationLevel` READ_COMMITTED matches autocommitted INSERTs.
   *
-  * No JDBC driver jar ships in this sandbox, so integration runs are
-  * deferred (see BASELINE.md); the option plumbing and failure path are
-  * spec-tested, and `options` is exposed for inspection.
+  * In-sandbox the sink runs for real against embedded Derby (its
+  * driver ships on the Spark classpath): q94 round-trips a table
+  * through `jdbc:derby:` and SinksSpec pins write+readback fidelity
+  * with concurrent writer partitions. MySQL differs only in `url` /
+  * `driver` strings (no MySQL driver jar ships here, so that pairing
+  * stays configuration).
   */
 final case class JdbcSink(url: String, table: String, user: String,
                           password: String,

@@ -165,11 +165,35 @@ class GraphQlSourceSpec extends SparkSuite {
   }
 }
 
-/** K2 JDBC sink capability: option plumbing + the sandbox-exercised
-  * parquet path (driver jar absent by design — BASELINE.md).
+/** K2 JDBC sink capability: option plumbing, the MySQL failure path
+  * (that driver jar is absent by design — BASELINE.md), and a REAL
+  * write+readback roundtrip against embedded Derby with concurrent
+  * writer partitions (q94 runs the same pairing through the DuckDB
+  * oracle gate).
   */
 class SinksSpec extends SparkSuite {
   import spark.implicits._
+
+  test("jdbc sink roundtrips rows through embedded Derby") {
+    val dir = tmpDir("derbyspec-")
+    System.setProperty("derby.stream.error.file", s"$dir/derby.log")
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    val rows = (1 to 257).map(i => (i.toLong, s"name-$i", i * 1.5, i % 7))
+    val df = rows.toDF("id", "name", "bal", "grp").repartition(4)
+    JdbcSink(url, "rt", "app", "app", driver = driver, batchSize = 32,
+             numPartitions = 4).write(df)
+    val back = spark.read.format("jdbc").option("url", url)
+      .option("driver", driver).option("dbtable", "rt").load()
+      .as[(Long, String, Double, Int)].collect().toSet
+    assert(back == rows.toSet) // every row, every column class, exact
+    // append mode appends (not replaces): a second write doubles rows
+    JdbcSink(url, "rt", "app", "app", driver = driver, batchSize = 32,
+             numPartitions = 2).write(df.limit(10))
+    val n = spark.read.format("jdbc").option("url", url)
+      .option("driver", driver).option("dbtable", "rt").load().count()
+    assert(n == 267L)
+  }
 
   test("jdbc sink carries the reference pool/batch settings") {
     val sink = JdbcSink("jdbc:mysql://db.test:3306/colly", "jobs_apna",
