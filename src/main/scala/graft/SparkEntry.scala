@@ -767,6 +767,51 @@ object SparkEntry {
              countDistinct(md5(col("s_name"))).as("n_distinct_md5"))
         .orderBy("s_nationkey")
     }),
+    "q96_asof_join" -> ((s, dir) => {
+      // backward as-of join (the operator Spark has no built-in for):
+      // every click gets the user's most recent purchase at-or-before
+      // it, left-outer. Right side pre-deduped per (user, ts) with
+      // plain max aggregates so "most recent" is total — the same
+      // dedupe the oracle applies, so DuckDB's ASOF LEFT JOIN is an
+      // independent reimplementation of the semantics. Plan: one
+      // union, one exchange on user_id, one running-frame window
+      // (TemporalJoin.asofBackward; no row replication, no cartesian).
+      val ev = T(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max("event_id").as("purchase_id"),
+             max("value").as("purchase_value"))
+      graft.ops.TemporalJoin
+        .asofBackward(clicks, purchases, key = "user_id",
+                      leftTs = "ts", rightTs = "ts",
+                      payloadCols = Seq("purchase_id", "purchase_value"))
+        .orderBy("event_id")
+    }),
+    "q97_range_join" -> ((s, dir) => {
+      // pure interval range join (no equi key): each purchase opens a
+      // 30-minute attribution window; count the windows containing
+      // each click. TemporalJoin.intervalJoin buckets time at the
+      // window width so the plan is a shuffled equi-join on the
+      // bucket (replication ≤ 2 per interval), never a
+      // BroadcastNestedLoopJoin over the corpus — the oracle is
+      // DuckDB's native inequality join.
+      val ev = T(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "ts")
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+                col("ts").as("w_start"),
+                (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+      graft.ops.TemporalJoin
+        .intervalJoin(clicks, "ts", windows, "w_start", "w_end",
+                      bucketSec = 1800L)
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_windows"),
+             min("purchase_id").as("first_purchase"))
+        .orderBy("event_id")
+    }),
     "q91_bucketed_join" -> ((s, dir) => {
       // co-located join via bucketing: both sides bucketed AND sorted
       // on the join key at write time, so the join and the key-aligned
@@ -1897,6 +1942,26 @@ object SparkEntry {
         |  min(s_acctbal) AS min_bal, max(s_acctbal) AS max_bal,
         |  count(DISTINCT md5(s_name)) AS n_distinct_md5
         |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q96_asof_join" ->
+      """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id,
+        |                  max(value) AS purchase_value
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |c AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts,
+        |       p.purchase_id, p.purchase_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "q97_range_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, ts AS w_start,
+        |                  ts + INTERVAL 30 MINUTE AS w_end
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, count(*) AS n_windows,
+        |       min(p.purchase_id) AS first_purchase
+        |FROM c JOIN p ON c.ts >= p.w_start AND c.ts < p.w_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q89_corpus_diff" ->
       """WITH v1 AS (SELECT doc_id, text FROM documents),
         |v2 AS (

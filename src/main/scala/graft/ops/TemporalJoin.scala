@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators a training-data pipeline needs that Spark
+  * has no built-in for: the backward as-of join (most recent right row
+  * at-or-before each left row, per key) and the pure interval range
+  * join (probe timestamp inside [start, end), NO equi key). Both are
+  * composed from shuffle-planned primitives — one exchange per input,
+  * no cartesian product, no driver-side loop — so they hold at 100 TB:
+  *
+  *   - [[asofBackward]] is the union-and-carry-forward formulation:
+  *     tag both sides, union, and run ONE running-frame window
+  *     (UNBOUNDED PRECEDING .. CURRENT ROW) per key. The frame is
+  *     incremental in Spark's WindowExec (no whole-group
+  *     re-evaluation), the only exchange is the hash partition on the
+  *     key, and per-key memory is the group's rows (events per user —
+  *     naturally bounded; a pathological key would salt the same way
+  *     [[Skew.topKByGroup]] does).
+  *   - [[intervalJoin]] is the bucketed formulation of the
+  *     inequality join: intervals explode across the fixed-width time
+  *     buckets they cover (replication = len/width + 1, caller picks
+  *     the width to match interval length), probes land in exactly
+  *     one bucket, and the engine plans a plain shuffled equi-join on
+  *     the bucket with the exact range predicate evaluated inside —
+  *     never a BroadcastNestedLoopJoin over the corpus. At 100 TB the
+  *     bucket column is also the natural partition-pruning key when
+  *     the interval table is written out partitioned by it.
+  */
+object TemporalJoin {
+
+  /** Backward as-of join: for every left row, attach the payload of
+    * the most recent right row with the same `key` whose `rightTs`
+    * is <= the left row's `leftTs` (inclusive). Left rows with no
+    * prior right row keep null payloads (left-outer semantics).
+    *
+    * The right side must be unique per (key, rightTs) — ties inside
+    * one timestamp have no "most recent" — so callers pre-aggregate
+    * (q96 dedupes with max(event_id)); enforced lazily by the fact
+    * that which duplicate wins would be nondeterministic only if the
+    * caller skipped that step.
+    *
+    * Plan shape: one union, one hash exchange on `key`, one sort, one
+    * running-frame window. Nothing re-shuffles the left table twice
+    * and no row of the right table is replicated.
+    */
+  def asofBackward(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // right rows sort BEFORE left rows at an equal timestamp so the
+    // at-or-before match is inclusive (c.ts >= p.ts)
+    val l = left
+      .withColumn("__t", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__payload",
+                  lit(null).cast(org.apache.spark.sql.types.StructType(
+                    right.select(payloadCols.map(col): _*).schema.fields)))
+    val r = right
+      .select((col(key) +: payloadCols.map(col)) :+
+                col(rightTs).as("__t"): _*)
+      .withColumn("__side", lit(0))
+      .withColumn("__payload", struct(payloadCols.map(col): _*))
+      .drop(payloadCols: _*)
+    val unioned = l.select(
+      (Seq(col(key), col("__t"), col("__side"), col("__payload")) ++
+        leftCols.filterNot(_ == key).map(c => col(c))): _*)
+      .unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = unioned.withColumn(
+      "__carry", last(col("__payload"), ignoreNulls = true).over(w))
+    filled
+      .filter(col("__side") === 1)
+      .select((leftCols.map(col) ++
+                payloadCols.map(p => col(s"__carry.$p").as(p))): _*)
+  }
+
+  /** Pure interval range join (no equi key): every (probe, interval)
+    * pair with `probeTs` in [start, end). Returns probe columns plus
+    * the interval's columns; callers aggregate (q97 counts windows
+    * per probe).
+    *
+    * `bucketSec` is the bin width: intervals replicate over the
+    * buckets they span (len/width + 1 copies), probes hash to exactly
+    * one bucket, and each qualifying pair meets in exactly one bucket
+    * — no post-join dedup. Pick the width near the typical interval
+    * length; empty/negative intervals contribute nothing.
+    */
+  def intervalJoin(probe: DataFrame, probeTs: String,
+                   intervals: DataFrame, startCol: String, endCol: String,
+                   bucketSec: Long): DataFrame = {
+    require(bucketSec > 0, s"bucketSec must be positive: $bucketSec")
+    val w = bucketSec * 1000000L // micros
+    // exact floor division on longs: Spark's `/` is double division,
+    // which rounds at epoch-microsecond magnitudes; subtracting the
+    // pmod first makes the quotient exactly representable (and gives
+    // floor — not truncate-toward-zero — for pre-1970 instants)
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+    // TIMESTAMP_NTZ columns (parquet default) cast through the session
+    // zone; the cast is monotone non-decreasing, and bucketing only
+    // needs probe/interval AGREEMENT — the exact range predicate below
+    // compares the original untouched columns
+    def micros(c: String) = unix_micros(col(c).cast("timestamp"))
+    val p = probe.withColumn("__bucket", bucketOf(micros(probeTs)))
+    val iv = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn(
+        "__bucket",
+        // an interval spanning >10k buckets fails loud on Spark's
+        // sequence cap — the caller picked a width 4 orders of
+        // magnitude off the interval length
+        explode(sequence(bucketOf(micros(startCol)),
+                         // end-exclusive: the last covered instant is
+                         // end - 1 microsecond
+                         bucketOf(micros(endCol) - 1))))
+    p.join(iv, Seq("__bucket"))
+      .filter(col(probeTs) >= col(startCol) && col(probeTs) < col(endCol))
+      .drop("__bucket")
+  }
+}
