@@ -812,6 +812,20 @@ object SparkEntry {
              min("purchase_id").as("first_purchase"))
         .orderBy("event_id")
     }),
+    "q98_kmv_distinct" -> ((s, dir) => {
+      // KMV distinct-count sketch per language (the "novel sketch" of
+      // the custom-operator triple): deterministic given the hash, so
+      // the oracle re-derives the exact same k smallest md5-prefix
+      // hashes and integer-division estimate from scratch. Plan: one
+      // distinct exchange + the salted two-phase top-k (O(k) task
+      // memory) + a tiny final agg; the sketch rows are mergeable
+      // across shards (SketchesSpec pins merge == whole).
+      val k = 64
+      val sk = graft.ops.Sketches.kmvSketch(
+        T(s, dir, "documents"), "lang", "text", k)
+      graft.ops.Sketches.kmvEstimate(sk, "lang", k)
+        .orderBy("lang")
+    }),
     "q91_bucketed_join" -> ((s, dir) => {
       // co-located join via bucketing: both sides bucketed AND sorted
       // on the join key at write time, so the join and the key-aligned
@@ -1962,6 +1976,20 @@ object SparkEntry {
         |       min(p.purchase_id) AS first_purchase
         |FROM c JOIN p ON c.ts >= p.w_start AND c.ts < p.w_end
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q98_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT lang,
+        |    CAST(('0x' || substring(md5(text), 1, 14)) AS BIGINT) AS hv
+        |  FROM documents),
+        |r AS (SELECT lang, hv,
+        |        row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+        |      FROM h),
+        |agg AS (SELECT lang, count(*) AS n_kept, max(hv) AS kth_min
+        |        FROM r WHERE rn <= 64 GROUP BY 1)
+        |SELECT lang, n_kept, kth_min,
+        |  CAST(CASE WHEN n_kept < 64 THEN n_kept
+        |       ELSE (63 * 72057594037927936) // greatest(kth_min, 1)
+        |       END AS BIGINT) AS est_distinct
+        |FROM agg ORDER BY lang""".stripMargin,
     "q89_corpus_diff" ->
       """WITH v1 AS (SELECT doc_id, text FROM documents),
         |v2 AS (

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values) distinct-count sketch — the third of the
+  * brief's custom-operator triple (as-of join, range join, a sketch).
+  * Unlike HLL-family sketches, KMV is DETERMINISTIC given the hash
+  * function: the sketch state is literally the k smallest distinct
+  * hash values per group, so an independent engine recomputes the
+  * exact same state and estimate — q98's DuckDB oracle re-derives it
+  * from scratch (md5 prefix → bigint → window top-k → integer
+  * division) and hash-matches bit-for-bit.
+  *
+  * Scale shape: one exchange for the distinct, then the same salted
+  * two-phase top-k the skew operators use ([[Skew.topKByGroup]]) —
+  * task memory O(k) regardless of group size, no whole-group
+  * materialization. The sketch is MERGEABLE (union + re-top-k), which
+  * is what makes it a sketch rather than a query: shard-local sketches
+  * at 100 TB combine associatively into the global one
+  * ([[kmvMerge]]; SketchesSpec pins merge == whole exactly).
+  *
+  * Estimator: with h uniform on [0, 2^56) (first 14 hex chars of
+  * md5), E[kth smallest of n distinct] ≈ k/(n+1) · 2^56, so
+  * n̂ = (k-1) · 2^56 / h_(k); when fewer than k distinct values
+  * exist the sketch IS the exact distinct set. All arithmetic stays
+  * in integer division (`div`) so the distributed result is bit-equal
+  * to any sequential recomputation — no IEEE rounding in the path.
+  */
+object Sketches {
+
+  /** 56-bit uniform hash: first 14 hex chars of md5 as a long.
+    * 56 bits keeps (k-1) · 2^56 inside int64 for k ≤ 128.
+    */
+  def kmvHash(c: Column): Column =
+    conv(substring(md5(c), 1, 14), 16, 10).cast("long")
+
+  private def checkK(k: Int): Unit =
+    require(k >= 2 && k <= 128, s"k must be in [2, 128]: $k")
+
+  /** Build the sketch: the k smallest DISTINCT hash values per group,
+    * as rows (groupCol, hv). Distinct first — KMV order statistics
+    * are over the distinct hash set, not the multiset.
+    */
+  def kmvSketch(df: DataFrame, groupCol: String, valueCol: String,
+                k: Int, salts: Int = 16): DataFrame = {
+    checkK(k)
+    val hashed = df
+      .select(col(groupCol), kmvHash(col(valueCol)).as("hv"))
+      .distinct()
+    // hv is unique within a group after distinct, so it is a total
+    // ordering by itself
+    Skew.topKByGroup(hashed, groupCol, Seq(col("hv").asc), k, salts)
+  }
+
+  /** Merge two sketches over the same group/k: union, re-dedupe (a
+    * value present on both sides carries the same hash), re-top-k.
+    * Associative and commutative — the shard-combine path.
+    */
+  def kmvMerge(a: DataFrame, b: DataFrame, groupCol: String, k: Int,
+               salts: Int = 16): DataFrame = {
+    checkK(k)
+    Skew.topKByGroup(a.unionByName(b).distinct(), groupCol,
+                     Seq(col("hv").asc), k, salts)
+  }
+
+  /** Finalize: per group, (n_kept, kth_min, est_distinct). Exact when
+    * the group held fewer than k distinct values; otherwise the
+    * (k-1)·2^56 div h_(k) estimator, integer division throughout
+    * (h_(k) = 0 has probability 2^-56 per value; guarded to keep the
+    * expression total).
+    */
+  def kmvEstimate(sketch: DataFrame, groupCol: String, k: Int): DataFrame = {
+    checkK(k)
+    val num = (k - 1).toLong * (1L << 56)
+    sketch
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_kept"), max("hv").as("kth_min"))
+      .withColumn(
+        "est_distinct",
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"${num}L div greatest(kth_min, 1L)")))
+  }
+}
