@@ -826,6 +826,25 @@ object SparkEntry {
       graft.ops.Sketches.kmvEstimate(sk, "lang", k)
         .orderBy("lang")
     }),
+    "q99_bloom_join" -> ((s, dir) => {
+      // bloom-prefiltered join: one pass over the (selective) small
+      // side builds a persistable, mergeable bloom (the crawl's seen
+      // tier generalized to join keys); the big side drops definite
+      // non-matches BEFORE its shuffle via a codegen'd probe fused
+      // into the scan stage (BloomPruneSpec pins the plan). The bloom
+      // has no false negatives, so the result — and the oracle — is
+      // exactly the plain join.
+      val big = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_quantity"))
+      val small = T(s, dir, "orders")
+        .filter(col("o_totalprice") > 350000.0)
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      graft.ops.BloomPrune.bloomPrefilteredJoin(big, small, "okey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+             sum("l_quantity").cast("long").as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
     "q91_bucketed_join" -> ((s, dir) => {
       // co-located join via bucketing: both sides bucketed AND sorted
       // on the join key at write time, so the join and the key-aligned
@@ -1975,6 +1994,14 @@ object SparkEntry {
         |SELECT c.event_id, count(*) AS n_windows,
         |       min(p.purchase_id) AS first_purchase
         |FROM c JOIN p ON c.ts >= p.w_start AND c.ts < p.w_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q99_bloom_join" ->
+      """WITH s AS (SELECT o_orderkey AS okey, o_orderpriority
+        |           FROM orders WHERE o_totalprice > 350000.0),
+        |b AS (SELECT l_orderkey AS okey, l_quantity FROM lineitem)
+        |SELECT o_orderpriority, count(*) AS cnt,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM b JOIN s USING (okey)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q98_kmv_distinct" ->
       """WITH h AS (SELECT DISTINCT lang,
