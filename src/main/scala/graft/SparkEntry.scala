@@ -826,6 +826,25 @@ object SparkEntry {
       graft.ops.Sketches.kmvEstimate(sk, "lang", k)
         .orderBy("lang")
     }),
+    "q100_kmv_setops" -> ((s, dir) => {
+      // KMV sketch algebra: pairwise union/intersection distinct
+      // estimates between the part sets shipped in each month of
+      // 1996 (~600 distinct parts of 2000 per month — the sets
+      // genuinely differ, so union > singles > intersection and a
+      // pass-through bug cannot hide), computed entirely from the
+      // O(groups*k) sketch rows (the raw table is scanned once, for
+      // the sketch). Deterministic integer arithmetic end-to-end —
+      // the oracle re-derives sketch, union re-top-k and
+      // inclusion-exclusion from scratch in SQL.
+      val k = 64
+      val li = T(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1996)
+        .select(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+                col("l_partkey").cast("string").as("pk"))
+      val sk = graft.ops.Sketches.kmvSketch(li, "ship_month", "pk", k)
+      graft.ops.Sketches.kmvPairEstimates(sk, "ship_month", k)
+        .orderBy("ga", "gb")
+    }),
     "q99_bloom_join" -> ((s, dir) => {
       // bloom-prefiltered join: one pass over the (selective) small
       // side builds a persistable, mergeable bloom (the crawl's seen
@@ -1995,6 +2014,36 @@ object SparkEntry {
         |       min(p.purchase_id) AS first_purchase
         |FROM c JOIN p ON c.ts >= p.w_start AND c.ts < p.w_end
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q100_kmv_setops" ->
+      """WITH h AS (SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS g,
+        |    CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 14)) AS BIGINT) AS hv
+        |  FROM lineitem WHERE year(l_shipdate) = 1996),
+        |sk AS (SELECT g, hv FROM (
+        |    SELECT g, hv, row_number() OVER (PARTITION BY g ORDER BY hv) AS rn
+        |    FROM h) WHERE rn <= 64),
+        |singles AS (SELECT g, count(*) AS n_kept, max(hv) AS kth
+        |            FROM sk GROUP BY 1),
+        |est AS (SELECT g, CAST(CASE WHEN n_kept < 64 THEN n_kept
+        |          ELSE (63 * 72057594037927936) // greatest(kth, 1)
+        |          END AS BIGINT) AS est_distinct FROM singles),
+        |pairs AS (SELECT a.g AS ga, b.g AS gb
+        |          FROM est a JOIN est b ON a.g < b.g),
+        |u AS (SELECT DISTINCT p.ga, p.gb, s.hv FROM pairs p
+        |      JOIN sk s ON s.g = p.ga OR s.g = p.gb),
+        |ru AS (SELECT ga, gb, hv,
+        |         row_number() OVER (PARTITION BY ga, gb ORDER BY hv) AS rn
+        |       FROM u),
+        |uagg AS (SELECT ga, gb, count(*) AS n_kept, max(hv) AS kth
+        |         FROM ru WHERE rn <= 64 GROUP BY 1, 2),
+        |uest AS (SELECT ga, gb, CAST(CASE WHEN n_kept < 64 THEN n_kept
+        |           ELSE (63 * 72057594037927936) // greatest(kth, 1)
+        |           END AS BIGINT) AS est_union FROM uagg)
+        |SELECT ga, gb, ea.est_distinct AS est_a, eb.est_distinct AS est_b,
+        |       est_union,
+        |       CAST(greatest(0, ea.est_distinct + eb.est_distinct - est_union)
+        |            AS BIGINT) AS est_inter
+        |FROM uest JOIN est ea ON ea.g = ga JOIN est eb ON eb.g = gb
+        |ORDER BY ga, gb""".stripMargin,
     "q99_bloom_join" ->
       """WITH s AS (SELECT o_orderkey AS okey, o_orderpriority
         |           FROM orders WHERE o_totalprice > 350000.0),

@@ -70,15 +70,70 @@ object Sketches {
     * (h_(k) = 0 has probability 2^-56 per value; guarded to keep the
     * expression total).
     */
-  def kmvEstimate(sketch: DataFrame, groupCol: String, k: Int): DataFrame = {
+  def kmvEstimate(sketch: DataFrame, groupCol: String, k: Int): DataFrame =
+    estimateBy(sketch, Seq(groupCol), k)
+
+  private def estimateBy(sketch: DataFrame, groupCols: Seq[String],
+                         k: Int): DataFrame = {
     checkK(k)
     val num = (k - 1).toLong * (1L << 56)
     sketch
-      .groupBy(groupCol)
+      .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_kept"), max("hv").as("kth_min"))
       .withColumn(
         "est_distinct",
         when(col("n_kept") < k, col("n_kept"))
           .otherwise(expr(s"${num}L div greatest(kth_min, 1L)")))
+  }
+
+  /** All-pairs set-operation estimates from one per-group sketch table:
+    * for every unordered group pair (ga < gb), the estimated distinct
+    * count of each side, of the union, and of the intersection
+    * (inclusion-exclusion, clamped at 0). Rides on the classic KMV
+    * closure property: the k smallest of (sketch(A) ∪ sketch(B)) ARE
+    * the k smallest of A ∪ B, so the union sketch is exact sketch
+    * algebra — no second pass over the data. When the union's kept
+    * count is below k both inputs were complete distinct sets and
+    * every figure is exact.
+    *
+    * Scale shape: inputs are sketch ROWS (O(groups · k), independent
+    * of data size), so the pair expansion is sketch-side tiny — the
+    * pair list broadcasts, the union re-top-k reuses the salted
+    * two-phase machinery on the composite pair key, and nothing ever
+    * revisits the raw table. Integer arithmetic throughout — the
+    * estimates are bit-reproducible by an independent engine (q100's
+    * oracle re-derives everything from scratch in SQL).
+    */
+  def kmvPairEstimates(sketch: DataFrame, groupCol: String, k: Int,
+                       salts: Int = 16): DataFrame = {
+    checkK(k)
+    val singles = estimateBy(sketch, Seq(groupCol), k)
+      .select(col(groupCol), col("est_distinct"))
+    val groups = sketch.select(col(groupCol)).distinct()
+    val pairs = groups.select(col(groupCol).as("ga"))
+      .join(groups.select(col(groupCol).as("gb")), col("ga") < col("gb"))
+    val sideA = pairs.join(
+      sketch.select(col(groupCol).as("ga"), col("hv")), Seq("ga"))
+    val sideB = pairs.join(
+      sketch.select(col(groupCol).as("gb"), col("hv")), Seq("gb"))
+    val unioned = sideA.select("ga", "gb", "hv")
+      .unionByName(sideB.select("ga", "gb", "hv"))
+      .distinct() // a value in both sketches carries the same hash
+      // \u0001 separator: group values cannot collide across the
+      // pair boundary ("ab"+"c" vs "a"+"bc"); internal only — the
+      // column dies at the groupBy below
+      .withColumn("__pair", concat_ws("\u0001", col("ga"), col("gb")))
+    val unionSketch =
+      Skew.topKByGroup(unioned, "__pair", Seq(col("hv").asc), k, salts)
+    estimateBy(unionSketch, Seq("ga", "gb"), k)
+      .withColumnRenamed("est_distinct", "est_union")
+      .drop("n_kept", "kth_min")
+      .join(singles.withColumnRenamed(groupCol, "ga")
+              .withColumnRenamed("est_distinct", "est_a"), Seq("ga"))
+      .join(singles.withColumnRenamed(groupCol, "gb")
+              .withColumnRenamed("est_distinct", "est_b"), Seq("gb"))
+      .withColumn("est_inter",
+                  greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+      .select("ga", "gb", "est_a", "est_b", "est_union", "est_inter")
   }
 }

@@ -84,6 +84,50 @@ class SketchesSpec extends SparkSuite {
     assert(est("h") == ((1L, 1L)))
   }
 
+  test("pair estimates equal a from-scratch driver recompute (closure property)") {
+    val rows = docs.select("lang", "text").as[(String, String)].collect().toSeq
+    val sk = Sketches.kmvSketch(docs, "lang", "text", K)
+    val got = Sketches.kmvPairEstimates(sk, "lang", K)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map { case (a, b, ea, eb, eu, ei) => (a, b) -> ((ea, eb, eu, ei)) }
+      .toMap
+    // driver recompute: union sketch straight from the FULL per-group
+    // hash sets (not from the k-truncated sketches) — passing iff the
+    // closure property (top-k of sketch union == top-k of set union)
+    // held in the distributed path
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 14), 16)
+    }
+    val full: Map[String, Set[Long]] =
+      rows.groupBy(_._1).map { case (g, vs) => g -> vs.map(v => h(v._2)).toSet }
+    def est(hs: Set[Long]): Long = {
+      val kept = hs.toSeq.sorted.take(K)
+      if (kept.size < K) kept.size.toLong
+      else (K - 1).toLong * (1L << 56) / math.max(kept.max, 1L)
+    }
+    val langs = full.keys.toSeq.sorted
+    val want = (for {
+      i <- langs.indices; j <- (i + 1) until langs.length
+      a = langs(i); b = langs(j)
+      eu = est(full(a) ++ full(b))
+      ea = est(full(a)); eb = est(full(b))
+    } yield (a, b) -> ((ea, eb, eu, math.max(0L, ea + eb - eu)))).toMap
+    assert(got == want)
+    assert(got.nonEmpty, "vacuous: no language pairs in the fixture")
+  }
+
+  test("pair estimates are exact when both groups are below k") {
+    val tiny = Seq("g" -> "a", "g" -> "b", "g" -> "c",
+                   "h" -> "b", "h" -> "x").toDF("grp", "v")
+    val sk = Sketches.kmvSketch(tiny, "grp", "v", K)
+    val got = Sketches.kmvPairEstimates(sk, "grp", K)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    // |g|=3, |h|=2, |g ∪ h|=4 ({a,b,c,x}), |g ∩ h|=1 ({b})
+    assert(got == Seq(("g", "h", 3L, 2L, 4L, 1L)))
+  }
+
   test("k bounds are enforced") {
     intercept[IllegalArgumentException] {
       Sketches.kmvSketch(docs, "lang", "text", 1)
