@@ -62,23 +62,19 @@ final case class SimulatedFetcher(cfg: WebConfig, simulateLatency: Boolean = fal
     extends Fetcher {
 
   override def fetch(entry: FrontierEntry): FetchResult = {
-    val p = SyntheticWeb.page(cfg, entry.url)
-    if (simulateLatency && p.latencyMs > 0) Thread.sleep(p.latencyMs.toLong)
-    val status =
-      if (p.status == 503 && entry.attempt > p.retryableUntilAttempt) 200
-      else p.status
-    val body =
-      if (status == 200 && p.status == 503)
-        // the retried fetch now sees real content
-        SyntheticWeb.page(cfg.copy(pct503 = 0, pct404 = 0), entry.url).body
-      else p.body
+    // the retryable-503 upgrade lives in SyntheticWeb.serve — ONE
+    // definition shared with SynthWebServer, so the two transports
+    // cannot drift (RealTransportSpec pins their bit-parity)
+    val (status, body, latencyMs) =
+      SyntheticWeb.serve(cfg, entry.url, entry.attempt)
+    if (simulateLatency && latencyMs > 0) Thread.sleep(latencyMs.toLong)
     FetchResult(
       url = entry.url,
       url_hash = entry.url_hash,
       host = entry.host,
       status = status,
       body = body,
-      latency_ms = p.latencyMs,
+      latency_ms = latencyMs,
       attempt = entry.attempt,
       priority = entry.priority,
       discovery_time = entry.discovery_time
@@ -158,24 +154,33 @@ final case class HttpFetcher(baseUrl: String,
 
   override def fetch(entry: FrontierEntry): FetchResult = {
     val physical = baseUrl + "/" + entry.url.replaceFirst("^https?://", "")
-    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(physical))
-      .timeout(java.time.Duration.ofSeconds(transport.requestTimeoutSec.toLong))
-      .header("User-Agent", uaOf(entry.url))
-      .header("X-Graft-Attempt", entry.attempt.toString)
-    if (transport.cookies.nonEmpty)
-      b.header("Cookie",
-               transport.cookies.map { case (k, v) => s"$k=$v" }.mkString("; "))
-    transport.headers.foreach { case (k, v) => b.header(k, v) }
     val t0 = System.nanoTime()
     val (status, body) =
       try {
+        val b = java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(physical))
+          .timeout(
+            java.time.Duration.ofSeconds(transport.requestTimeoutSec.toLong))
+          .header("User-Agent", uaOf(entry.url))
+          .header("X-Graft-Attempt", entry.attempt.toString)
+        if (transport.cookies.nonEmpty)
+          b.header("Cookie",
+                   transport.cookies.map { case (k, v) => s"$k=$v" }
+                     .mkString("; "))
+        transport.headers.foreach { case (k, v) => b.header(k, v) }
         val r = client.send(
           b.build(),
           java.net.http.HttpResponse.BodyHandlers.ofString(
             java.nio.charset.StandardCharsets.UTF_8))
         (r.statusCode(), r.body())
       } catch {
-        case _: java.io.IOException => (599, "") // timeout/refused/reset
+        // timeout/refused/reset — and the IllegalArgumentException a
+        // malformed URL raises in URI.create: an unfetchable URL is a
+        // transport failure for THIS url (→ retry-unless-404 path), not
+        // a job-aborting task error. Thread interrupts (task kill)
+        // still propagate.
+        case _: java.io.IOException      => (599, "")
+        case _: IllegalArgumentException => (599, "")
       }
     FetchResult(
       url = entry.url,

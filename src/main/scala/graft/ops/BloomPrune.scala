@@ -50,13 +50,22 @@ object BloomPrune {
   /** Canonical key encoding shared by build and probe: sha-256 hex of
     * the key's string form — the (already uniform) double-hash input
     * [[BloomFilter.put]] expects. Null keys stay null and are dropped
-    * by the probe, matching inner-join semantics.
+    * by the probe, matching inner-join semantics. Both sides must
+    * carry the SAME key type ([[bloomPrefilteredJoin]] enforces it);
+    * avoid floating-point keys — join equality normalizes -0.0 == 0.0
+    * but their string forms (and so hashes) differ.
     */
   def keyHex(c: Column): Column = sha2(c.cast("string"), 256)
 
-  /** One distributed pass over `small`'s keys → the bloom, sized for
-    * `expected` items (default: one cheap count of the small side —
-    * an upper bound on distinct keys, which only oversizes).
+  /** One aggregation pass over `small`'s keys → the bloom, sized for
+    * `expected` items. The default (`expected = -1`) first COUNTS the
+    * small side — a second, cheap scan (row-count only, no hashing)
+    * whose result is an upper bound on distinct keys and only
+    * oversizes. When the "small" side is itself large (a frontier or
+    * blocklist at scale), pass `expected` explicitly to make the
+    * build a genuine single pass; sizing cannot follow the
+    * aggregation, because the filter's bit width must be fixed before
+    * the first `put`.
     */
   def buildKeyBloom(small: DataFrame, key: String, fpp: Double = 0.01,
                     expected: Long = -1L): BloomFilter = {
@@ -85,6 +94,17 @@ object BloomPrune {
   def bloomPrefilteredJoin(big: DataFrame, small: DataFrame, key: String,
                            fpp: Double = 0.01,
                            expected: Long = -1L): DataFrame = {
+    // keyHex encodes the key's STRING form, while a mixed-type join
+    // would compare under Catalyst's numeric coercion — e.g. double
+    // 1.0 ("1.0") joins long 1 ("1") but their hashes differ, a bloom
+    // FALSE NEGATIVE that silently drops matching rows. Refuse the
+    // mismatch up front; the caller casts one side explicitly.
+    val bt = big.schema(key).dataType
+    val st = small.schema(key).dataType
+    require(bt == st,
+            s"bloomPrefilteredJoin key '$key' types differ: big=$bt " +
+              s"small=$st — cast one side so string-form hashing agrees " +
+              "with join equality")
     val filter = buildKeyBloom(small, key, fpp, expected)
     val bc = big.sparkSession.sparkContext.broadcast(filter)
     big.filter(mightContainCol(col(key), bc)).join(small, Seq(key))

@@ -40,13 +40,18 @@ object Sketches {
 
   /** Build the sketch: the k smallest DISTINCT hash values per group,
     * as rows (groupCol, hv). Distinct first — KMV order statistics
-    * are over the distinct hash set, not the multiset.
+    * are over the distinct hash set, not the multiset. Null values
+    * are absence, not a member: a null hv would sort FIRST under the
+    * ascending top-k (Spark ascending = nulls first), stealing a
+    * sketch slot count() sees but max("hv") ignores — so they are
+    * dropped here, matching COUNT(DISTINCT) semantics.
     */
   def kmvSketch(df: DataFrame, groupCol: String, valueCol: String,
                 k: Int, salts: Int = 16): DataFrame = {
     checkK(k)
     val hashed = df
       .select(col(groupCol), kmvHash(col(valueCol)).as("hv"))
+      .filter(col("hv").isNotNull)
       .distinct()
     // hv is unique within a group after distinct, so it is a total
     // ordering by itself
@@ -119,12 +124,11 @@ object Sketches {
     val unioned = sideA.select("ga", "gb", "hv")
       .unionByName(sideB.select("ga", "gb", "hv"))
       .distinct() // a value in both sketches carries the same hash
-      // \u0001 separator: group values cannot collide across the
-      // pair boundary ("ab"+"c" vs "a"+"bc"); internal only — the
-      // column dies at the groupBy below
-      .withColumn("__pair", concat_ws("\u0001", col("ga"), col("gb")))
+    // composite (ga, gb) group key — partitioned on the columns
+    // directly, so no separator byte and no cross-pair collisions
     val unionSketch =
-      Skew.topKByGroup(unioned, "__pair", Seq(col("hv").asc), k, salts)
+      Skew.topKByGroups(unioned, Seq("ga", "gb"), Seq(col("hv").asc),
+                        k, salts)
     estimateBy(unionSketch, Seq("ga", "gb"), k)
       .withColumnRenamed("est_distinct", "est_union")
       .drop("n_kept", "kth_min")

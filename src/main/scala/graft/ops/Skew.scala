@@ -36,18 +36,30 @@ object Skew {
     * O(k) regardless of group size.
     */
   def topKByGroup(df: DataFrame, groupCol: String, orderCols: Seq[Column],
-                  k: Int, salts: Int = 16): DataFrame = {
+                  k: Int, salts: Int = 16): DataFrame =
+    topKByGroups(df, Seq(groupCol), orderCols, k, salts)
+
+  /** [[topKByGroup]] over a composite group key — partitioning on the
+    * columns directly, so group values containing any would-be
+    * separator byte cannot collide.
+    */
+  def topKByGroups(df: DataFrame, groupCols: Seq[String],
+                   orderCols: Seq[Column], k: Int,
+                   salts: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(groupCols.nonEmpty, "pass at least one grouping column")
     require(orderCols.nonEmpty, "pass a total ordering (include a tiebreak)")
     val salted = df.withColumn(
       "__salt",
       pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salts.toLong)))
-    val w1 = Window.partitionBy(col(groupCol), col("__salt")).orderBy(orderCols: _*)
+    val w1 = Window
+      .partitionBy(groupCols.map(col) :+ col("__salt"): _*)
+      .orderBy(orderCols: _*)
     val partial = salted
       .withColumn("__r", row_number().over(w1))
       .filter(col("__r") <= k)
       .drop("__r")
-    val w2 = Window.partitionBy(col(groupCol)).orderBy(orderCols: _*)
+    val w2 = Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
     partial
       .withColumn("__r", row_number().over(w2))
       .filter(col("__r") <= k)

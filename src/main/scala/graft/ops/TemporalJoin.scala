@@ -59,6 +59,11 @@ object TemporalJoin {
                   lit(null).cast(org.apache.spark.sql.types.StructType(
                     right.select(payloadCols.map(col): _*).schema.fields)))
     val r = right
+      // SQL equality semantics: a null key matches nothing, but
+      // Window.partitionBy groups nulls together — so null-key right
+      // rows must not enter the carry (left null-key rows then form a
+      // right-free partition and keep null payloads, as a join would)
+      .filter(col(key).isNotNull)
       .select((col(key) +: payloadCols.map(col)) :+
                 col(rightTs).as("__t"): _*)
       .withColumn("__side", lit(0))
@@ -91,8 +96,27 @@ object TemporalJoin {
     */
   def intervalJoin(probe: DataFrame, probeTs: String,
                    intervals: DataFrame, startCol: String, endCol: String,
-                   bucketSec: Long): DataFrame = {
+                   bucketSec: Long, maxSpanBuckets: Long = 10000L): DataFrame = {
     require(bucketSec > 0, s"bucketSec must be positive: $bucketSec")
+    // Non-instant inputs (TIMESTAMP_NTZ / date / string) reach micros
+    // through a session-zone cast. In a DST-observing zone that cast is
+    // not monotone across the spring-forward gap, so a probe inside a
+    // valid interval could bucket outside the interval's exploded range
+    // and silently vanish — refuse those zones up front.
+    import org.apache.spark.sql.types.TimestampType
+    val allInstants =
+      Seq(probe.schema(probeTs), intervals.schema(startCol),
+          intervals.schema(endCol)).forall(_.dataType == TimestampType)
+    if (!allInstants) {
+      val zone = java.time.ZoneId.of(
+        probe.sparkSession.sessionState.conf.sessionLocalTimeZone)
+      require(
+        zone.getRules.isFixedOffset,
+        s"intervalJoin over non-instant timestamp columns needs a fixed-" +
+          s"offset session zone (got $zone): the $zone cast is not " +
+          "monotone across DST gaps. Set spark.sql.session.timeZone=UTC " +
+          "or pass TIMESTAMP (instant) columns.")
+    }
     val w = bucketSec * 1000000L // micros
     // exact floor division on longs: Spark's `/` is double division,
     // which rounds at epoch-microsecond magnitudes; subtracting the
@@ -101,22 +125,35 @@ object TemporalJoin {
     def bucketOf(c: org.apache.spark.sql.Column) =
       ((c - pmod(c, lit(w))) / lit(w)).cast("long")
     // TIMESTAMP_NTZ columns (parquet default) cast through the session
-    // zone; the cast is monotone non-decreasing, and bucketing only
-    // needs probe/interval AGREEMENT — the exact range predicate below
+    // zone; under the fixed-offset zones the guard above admits, the
+    // cast is strictly monotone, and bucketing only needs
+    // probe/interval AGREEMENT — the exact range predicate below
     // compares the original untouched columns
     def micros(c: String) = unix_micros(col(c).cast("timestamp"))
     val p = probe.withColumn("__bucket", bucketOf(micros(probeTs)))
     val iv = intervals
       .filter(col(endCol) > col(startCol))
+      .withColumn("__b0", bucketOf(micros(startCol)))
+      // end-exclusive: the last covered instant is end - 1 microsecond
+      .withColumn("__b1", bucketOf(micros(endCol) - 1))
+      // loud row-local guard: an interval spanning > maxSpanBuckets
+      // means the caller picked a width orders of magnitude off the
+      // interval length — fail with the numbers instead of silently
+      // replicating that row millions of times (Spark's own sequence
+      // cap is ~2^31, far too late to help). The guard is fused INTO
+      // the sequence bound so column pruning cannot optimize it away.
       .withColumn(
-        "__bucket",
-        // an interval spanning >10k buckets fails loud on Spark's
-        // sequence cap — the caller picked a width 4 orders of
-        // magnitude off the interval length
-        explode(sequence(bucketOf(micros(startCol)),
-                         // end-exclusive: the last covered instant is
-                         // end - 1 microsecond
-                         bucketOf(micros(endCol) - 1))))
+        "__b1g",
+        when(col("__b1") - col("__b0") < lit(maxSpanBuckets), col("__b1"))
+          .otherwise(raise_error(concat(
+            lit(s"intervalJoin: interval spans more than $maxSpanBuckets " +
+              s"buckets of ${bucketSec}s (start="),
+            col(startCol).cast("string"), lit(", end="),
+            col(endCol).cast("string"),
+            lit(") — pick a bucketSec near the interval length")))
+            .cast("long")))
+      .withColumn("__bucket", explode(sequence(col("__b0"), col("__b1g"))))
+      .drop("__b0", "__b1", "__b1g")
     p.join(iv, Seq("__bucket"))
       .filter(col(probeTs) >= col(startCol) && col(probeTs) < col(endCol))
       .drop("__bucket")

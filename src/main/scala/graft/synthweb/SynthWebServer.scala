@@ -57,7 +57,11 @@ final class SynthWebServer(cfg: WebConfig,
         Thread.sleep(slowMs)
         respond(ex, 200, "slow")
       } else {
-        val logical = "https://" + path.stripPrefix("/") +
+        // RAW path: the logical URL must be rebuilt byte-for-byte as
+        // the client sent it — getPath percent-DECODES, so an encoded
+        // sequence (/a%2Fb) would map to a different synthetic page
+        // than the simulated transport hashes, breaking bit-parity
+        val logical = "https://" + uri.getRawPath.stripPrefix("/") +
           Option(uri.getRawQuery).map("?" + _).getOrElse("")
         val names = ex.getRequestHeaders.keySet()
         val hdrs = names.toArray(Array.empty[String]).map { k =>
@@ -67,13 +71,9 @@ final class SynthWebServer(cfg: WebConfig,
         val attempt =
           Option(ex.getRequestHeaders.getFirst("X-graft-attempt"))
             .flatMap(_.toIntOption).getOrElse(0)
-        val p = SyntheticWeb.page(cfg, logical)
-        // retryable-503 upgrade: identical to SimulatedFetcher.fetch
-        val (status, body) =
-          if (p.status == 503 && attempt > p.retryableUntilAttempt)
-            (200, SyntheticWeb.page(cfg.copy(pct503 = 0, pct404 = 0),
-                                    logical).body)
-          else (p.status, p.body)
+        // the retryable-503 upgrade is the shared SyntheticWeb.serve —
+        // the same code path SimulatedFetcher runs, by construction
+        val (status, body, _) = SyntheticWeb.serve(cfg, logical, attempt)
         respond(ex, status, body)
       }
     } catch {

@@ -119,6 +119,20 @@ object SyntheticWeb {
     case _         => 2
   }
 
+  /** The post-retry-upgrade response a fetch of `url` at `attempt`
+    * receives — the SINGLE definition of the retryable-503 upgrade,
+    * shared by both transports ([[graft.fetch.SimulatedFetcher]] and
+    * [[SynthWebServer]]) so the bit-parity invariant the crawl specs
+    * pin cannot drift between them. Returns (status, body, latencyMs).
+    */
+  def serve(cfg: WebConfig, url: String, attempt: Int): (Int, String, Int) = {
+    val p = page(cfg, url)
+    if (p.status == 503 && attempt > p.retryableUntilAttempt)
+      // the retried fetch now sees real content
+      (200, page(cfg.copy(pct503 = 0, pct404 = 0), url).body, p.latencyMs)
+    else (p.status, p.body, p.latencyMs)
+  }
+
   /** The pure page function. Unknown URLs (including /private/) 404. */
   def page(cfg: WebConfig, url: String): Page = {
     val canon = UrlCanon.canonicalize(url)

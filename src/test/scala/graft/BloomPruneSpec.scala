@@ -96,6 +96,16 @@ class BloomPruneSpec extends SparkSuite {
     }
   }
 
+  test("mismatched key types are refused (string-form hashing vs join coercion)") {
+    import spark.implicits._
+    val big = Seq((1.0, "a")).toDF("okey", "v") // double 1.0 → "1.0"
+    val small = Seq((1L, "x")).toDF("okey", "w") // long 1 → "1"
+    val e = intercept[IllegalArgumentException] {
+      BloomPrune.bloomPrefilteredJoin(big, small, "okey")
+    }
+    assert(e.getMessage.contains("types differ"))
+  }
+
   test("null keys are dropped by the probe, matching inner-join semantics") {
     import spark.implicits._
     val big = Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"))

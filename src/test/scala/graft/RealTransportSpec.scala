@@ -81,6 +81,32 @@ class RealTransportSpec extends SparkSuite {
     }
   }
 
+  test("a malformed URL is a 599 transport failure, not a task-killing throw") {
+    withServer(web) { server =>
+      val http = HttpFetcher(server.baseUrl)
+      // the space makes URI.create throw IllegalArgumentException; the
+      // fetch must absorb it into the retryable-599 path (a bad URL in
+      // a 100 TB frontier must never abort the stage)
+      val r = http.fetch(entry("https://host-0.test/bad path"))
+      assert(r.status == 599)
+      assert(r.body.isEmpty)
+    }
+  }
+
+  test("percent-encoded URLs map to the same logical page on both transports") {
+    withServer(web) { server =>
+      val http = HttpFetcher(server.baseUrl)
+      val sim = SimulatedFetcher(web)
+      // %2F must NOT be decoded into a path separator server-side: the
+      // raw path is the logical identity (an unknown page on both
+      // transports — but the same unknown page, hence the same 404)
+      val url = "https://host-0.test/a%2Fb"
+      val h = http.fetch(entry(url))
+      val s = sim.fetch(entry(url))
+      assert(h.status == s.status && h.body == s.body)
+    }
+  }
+
   test("deterministic UA rotation and session cookies cross the wire") {
     import spark.implicits._
     val transport = TransportConfig(cookies = Map("t" -> "tok-abc"),

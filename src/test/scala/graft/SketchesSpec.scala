@@ -72,9 +72,11 @@ class SketchesSpec extends SparkSuite {
     assert(em == ew)
   }
 
-  test("below-k groups are exact: the sketch IS the distinct set") {
-    val tiny = Seq("g" -> "a", "g" -> "b", "g" -> "c", "g" -> "a",
-                   "h" -> "x").toDF("grp", "v")
+  test("below-k groups are exact: the sketch IS the distinct set; nulls are absence") {
+    val tiny = Seq(Some("a"), Some("b"), Some("c"), Some("a"), None)
+      .map(v => "g" -> v)
+      .++(Seq("h" -> Some("x")))
+      .toDF("grp", "v")
     val est = Sketches.kmvEstimate(
       Sketches.kmvSketch(tiny, "grp", "v", K), "grp", K)
       .select("grp", "n_kept", "est_distinct")

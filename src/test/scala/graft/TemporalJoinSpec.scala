@@ -44,6 +44,64 @@ class TemporalJoinSpec extends SparkSuite {
     assert(out(5L) == ((Some(101L), Some(2.5))))
   }
 
+  test("asofBackward: null keys never match, on either side") {
+    val left = Seq(
+      (1L, Some(10L), ts("2024-01-01 10:30:00")),
+      (2L, None, ts("2024-01-01 10:30:00")) // null key: null payload
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (Some(10L), ts("2024-01-01 10:00:00"), 100L),
+      // a null-key right row must not become anyone's carry — SQL
+      // equality semantics, NULL matches nothing
+      (Option.empty[Long], ts("2024-01-01 10:00:00"), 666L)
+    ).toDF("user_id", "ts", "purchase_id")
+    val out = TemporalJoin
+      .asofBackward(left, right, "user_id", "ts", "ts", Seq("purchase_id"))
+      .select("event_id", "purchase_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(1L) == Some(100L))
+    assert(out(2L) == None)
+  }
+
+  test("intervalJoin: a span past maxSpanBuckets fails loud, not silently exploding") {
+    val probes = Seq((1L, ts("2024-01-01 00:00:30"))).toDF("pid", "pts")
+    val ivs = Seq((ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00")))
+      .toDF("s", "e") // 86400 one-second buckets
+    val e = intercept[Exception] {
+      TemporalJoin.intervalJoin(probes, "pts", ivs, "s", "e",
+                                bucketSec = 1L, maxSpanBuckets = 100L)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("spans more than 100 buckets")),
+           s"wrong error: ${msgs(e)}")
+  }
+
+  test("intervalJoin refuses DST session zones for non-instant columns") {
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      // timestamp literals from toDF are TIMESTAMP (instant) — build an
+      // NTZ column to hit the guarded path
+      val probes = Seq("2024-01-01 00:00:30").toDF("raw")
+        .select(col("raw").cast("timestamp_ntz").as("pts"), lit(1L).as("pid"))
+      val ivs = Seq(("2024-01-01 00:00:00", "2024-01-01 01:00:00"))
+        .toDF("rs", "re")
+        .select(col("rs").cast("timestamp_ntz").as("s"),
+                col("re").cast("timestamp_ntz").as("e"))
+      val e = intercept[IllegalArgumentException] {
+        TemporalJoin.intervalJoin(probes, "pts", ivs, "s", "e", 1800L)
+      }
+      assert(e.getMessage.contains("fixed-offset"))
+      // and the same shape is accepted under UTC
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      val n = TemporalJoin
+        .intervalJoin(probes, "pts", ivs, "s", "e", 1800L).count()
+      assert(n == 1L)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("asofBackward equals the brute-force inequality join on real events") {
     val clicks = events.filter(col("event_type") === "click")
       .select("event_id", "user_id", "ts")
