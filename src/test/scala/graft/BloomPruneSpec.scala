@@ -96,6 +96,26 @@ class BloomPruneSpec extends SparkSuite {
     }
   }
 
+  test("the filter is a persistable artifact: serialize → disk → reuse, identical pruning") {
+    val (big, small) = bigSmall()
+    val built = BloomPrune.buildKeyBloom(small, "okey")
+    val path = java.nio.file.Paths.get(tmpDir("bloomp"), "keys.bloom")
+    java.nio.file.Files.write(path, built.serialize())
+    // a later query (or a later ROUND) reloads the artifact instead of
+    // re-scanning the small side — the cross-query reuse the operator
+    // exists for
+    val reloaded = graft.seen.BloomFilter.deserialize(
+      java.nio.file.Files.readAllBytes(path))
+    val bc = spark.sparkContext.broadcast(reloaded)
+    val keptReloaded =
+      big.filter(BloomPrune.mightContainCol(col("okey"), bc)).count()
+    val bcOrig = spark.sparkContext.broadcast(built)
+    val keptOrig =
+      big.filter(BloomPrune.mightContainCol(col("okey"), bcOrig)).count()
+    assert(keptReloaded == keptOrig)
+    assert(reloaded.itemCount == built.itemCount)
+  }
+
   test("mismatched key types are refused (string-form hashing vs join coercion)") {
     import spark.implicits._
     val big = Seq((1.0, "a")).toDF("okey", "v") // double 1.0 → "1.0"
