@@ -323,18 +323,16 @@ object Bench {
     // ride the workload-drift require below — interference never excuses
     // a nondeterministic page count
     val crawlAllPages = scala.collection.mutable.ArrayBuffer.empty[Long]
-    def cleanRun(cores: Int): (Long, Double, Double, String, Int, Double) = {
-      var best: (Long, Double, Double, String, Int, Double) = null
-      var attempts = 0
-      while (attempts < 3 && (best == null || best._3 > stealRetryPct)) {
-        System.gc()
+    // the ONE retry policy (cleanRepeat) applied to the crawl legs —
+    // keyed on the run's own steal column, folding every executed
+    // attempt's page count into the drift check (interference can
+    // excuse a timing, never a count)
+    def cleanRun(cores: Int): (Long, Double, Double, String, Int, Double) =
+      cleanRepeat {
         val r = crawlRun(cores)
         crawlAllPages += r._1
-        if (best == null || r._3 < best._3) best = r
-        attempts += 1
-      }
-      best
-    }
+        (r, r._3)
+      }._1
     def medianOf3(cores: Int)
         : (Long, Double, Seq[Double], Seq[Double], String, Int, Double) = {
       val runs = (1 to 3).map(_ => cleanRun(cores))

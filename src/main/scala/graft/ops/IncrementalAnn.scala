@@ -82,7 +82,12 @@ object IncrementalAnn {
   private def readRounds(spark: SparkSession, dir: String, rounds: Seq[Int],
                          empty: DataFrame): DataFrame =
     if (rounds.isEmpty) empty
-    else spark.read.parquet(rounds.map(k => s"$dir/r$k"): _*)
+    // explicit schema (from the caller's empty frame): a committed slot
+    // whose round held zero rows has a _SUCCESS marker and no part
+    // files, and schema INFERENCE over such slots throws — wedging
+    // every later read of the index. An empty round is valid state.
+    else spark.read.schema(empty.schema)
+      .parquet(rounds.map(k => s"$dir/r$k"): _*)
 
   /** One maintenance round: verified cosine near-dup pairs of `newEmb`
     * against the persisted index (and among themselves), then the index
@@ -244,13 +249,20 @@ object IncrementalAnn {
 
     private def postings(j: Int): DataFrame = {
       val rs = RoundSlots.roundIdxs(cellsDir(j)).toSeq.sorted
-      if (rs.isEmpty)
+      val emptyP =
         spark.emptyDataset[(Int, Long, Array[Float])].toDF("cell", "id", "vec")
+      if (rs.isEmpty) emptyP
       else
         // one read per round slot (each slot is its own partition-
         // discovery root — the r<k> level is a slot, not a partition);
-        // a cell filter still prunes inside every branch of the union
-        rs.map(k => spark.read.parquet(s"${cellsDir(j)}/r$k")
+        // a cell filter still prunes inside every branch of the union.
+        // Explicit schema: a zero-vector append commits a slot holding
+        // only _SUCCESS (partitionBy writes no files for an empty
+        // frame), and inference over that slot would throw forever;
+        // with the schema given, Spark resolves `cell` from the
+        // partition directories when present and returns empty when not
+        rs.map(k => spark.read.schema(emptyP.schema)
+                      .parquet(s"${cellsDir(j)}/r$k")
                       .select(col("cell").cast("int"), col("id"), col("vec")))
           .reduce(_ unionByName _)
     }

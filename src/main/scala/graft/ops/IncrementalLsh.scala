@@ -181,7 +181,14 @@ object IncrementalLsh {
   private def readRounds(spark: SparkSession, dir: String, rounds: Seq[Int],
                          empty: DataFrame): DataFrame =
     if (rounds.isEmpty) empty
-    else spark.read.parquet(rounds.map(k => s"$dir/r$k"): _*)
+    // explicit schema (from the caller's empty frame): a committed slot
+    // whose round held zero rows (e.g. a micro-batch where every doc
+    // fell below shingleN words) has a _SUCCESS marker and no part
+    // files, and schema INFERENCE over such slots throws — wedging the
+    // index and, through the streaming sinks, replaying the same batch
+    // forever. An empty round is valid state.
+    else spark.read.schema(empty.schema)
+      .parquet(rounds.map(k => s"$dir/r$k"): _*)
 
   /** One maintenance round: verified near-dup pairs of `newDocs`
     * against the index (and among themselves), then the index is

@@ -25,23 +25,12 @@ private[graft] object RoundSlots {
 
   /** Committed round indices under `dir` (slots `r0`, `r1`, ...,
     * `_SUCCESS`-gated). A name must be `r` + at least one digit — a
-    * bare "r" is junk, not a slot.
+    * bare "r" is junk, not a slot. Delegates to [[committedIdxs]] —
+    * the ONE marker-gated scan — so a fix there reaches this listing
+    * too (this was a byte-identical copy before).
     */
-  def roundIdxs(dir: String): Set[Int] = {
-    val p = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.isDirectory(p)) Set.empty
-    else {
-      val out = scala.collection.mutable.Set.empty[Int]
-      val s = java.nio.file.Files.list(p)
-      try s.forEach { c =>
-        val n = c.getFileName.toString
-        if (n.startsWith("r") && n.length > 1 && n.drop(1).forall(_.isDigit)
-            && java.nio.file.Files.exists(c.resolve("_SUCCESS")))
-          out += n.drop(1).toInt
-      } finally s.close()
-      out.toSet
-    }
-  }
+  def roundIdxs(dir: String): Set[Int] =
+    committedIdxs(dir, "r", "_SUCCESS").toSet
 
   /** Rounds committed in EVERY one of `dirs`, ascending. */
   def completeRounds(dirs: Seq[String]): Seq[Int] =

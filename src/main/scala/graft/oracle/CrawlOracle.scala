@@ -91,7 +91,15 @@ final class CrawlOracle(cfg: CrawlConfig) {
       st.seen.remove(UrlCanon.urlHash(UrlCanon.canonicalize(u)))
     }
     val rr = st.r // latest + 1: the round the revoke commit occupies
-    st.frontier = reseed.zipWithIndex.map { case (u, i) =>
+    // mirror CrawlScheduler.revoke: a reseed onto a never-seen host
+    // also seeds that host's robots.txt (st.tokens membership is the
+    // sequential equivalent of a host_state row)
+    val reseedHostsOrdered = reseed
+      .map(u => UrlCanon.hostOf(UrlCanon.canonicalize(u))).distinct
+    val robotsSeedUrls = reseedHostsOrdered
+      .filterNot(st.tokens.contains)
+      .map(h => s"https://$h/robots.txt")
+    st.frontier = (robotsSeedUrls ++ reseed).zipWithIndex.map { case (u, i) =>
       Fetcher.entryOf(u, SyntheticWeb.priorityOf(u),
                       rr.toLong * 1000000L + i, 0, rr, cfg.salts)
     }.distinctBy(_.url_hash).toVector
@@ -108,7 +116,10 @@ final class CrawlOracle(cfg: CrawlConfig) {
     import st._
     val entryOrd = CrawlScheduler.entryOrd
     var done = frontier.isEmpty
-    while (!done && r <= cfg.maxRounds) {
+    // per-invocation budget, mirroring CrawlScheduler.run(): a resumed
+    // loop after a revoke gets a full maxRounds budget of its own
+    val startR = r
+    while (!done && r - startR < cfg.maxRounds) {
       val retries = mutable.ArrayBuffer.empty[FrontierEntry]
       // per fetched page: (source url_hash, links)
       val pageLinks = mutable.ArrayBuffer.empty[(String, Seq[String])]

@@ -307,7 +307,17 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
             else Iterator.empty
           }
         }
-        robots.union(newRobots).dropDuplicates("host")
+        // first-fetch-wins, DETERMINISTICALLY: a host already holding a
+        // rule keeps it (the sequential oracle's `if (!robots.contains)`
+        // update). dropDuplicates("host") here would keep an arbitrary
+        // row whenever a re-fetched robots.txt (revoke-reseed) collides
+        // with the stored rule — partition-order nondeterminism on the
+        // one table that gates every fetch. Refreshing a stale rule is
+        // an administrative revocation concern, not a crawl-round one.
+        robots.union(
+          newRobots.join(robots.select(col("host").as("o_host")),
+                         newRobots("host") === col("o_host"), "left_anti")
+            .as[RobotsRule])
     }).persist(StorageLevel.MEMORY_AND_DISK)
 
     // -- robots gate (non-robots frontier, with this round's rules) ------
@@ -512,6 +522,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     val shardBits = cfg.bloomShardBits
     val bloomK = cfg.bloomHashes
     val seenIdxSegs = m.seenIndexSegs
+    val tieredCaches = mutable.ArrayBuffer.empty[Dataset[(FrontierEntry, Boolean)]]
     def seenFree(cands: Dataset[FrontierEntry]): Dataset[FrontierEntry] = {
       val tiered = cands.mapPartitions { it =>
         // task-local memo: one validated cache lookup per bucket per task
@@ -522,7 +533,11 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
             b, filterRounds.get(b).flatMap(fr => FilterShardCache.bloom(root, fr, b)))
           (c, bf.forall(_.mightContain(c.url_hash)))
         }
-      }
+        // persisted: defNew and exactNew below are two subtrees over this
+        // dataset — uncached, each would re-run the whole candidate
+        // pipeline (flatMap + dedup shuffle + bloom probes) once more
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      tieredCaches += tiered
       val defNew = tiered.filter(!_._2).map(_._1)
       val exactNew = tiered.filter(_._2).map(_._1)
         .groupByKey(c => bucketOf(c.host_hash, nb))
@@ -941,6 +956,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     (Seq(frontier, gated, selected, mainFetched, seenDelta,
          candSeenFree, robotsAll) ++ robotsFetchedOpt)
       .foreach(_.unpersist(false))
+    tieredCaches.foreach(_.unpersist(false))
 
     RoundResult(r, selectedCnt, okCnt, newCnt, frontierLeft, frontierLeft == 0)
   }
@@ -1032,9 +1048,26 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     // count); distinctBy url_hash because two reseed URLs can
     // canonicalize to the same entry (same guard as init()). Untouched
     // buckets carry forward by manifest reference.
-    val reseedEntries = reseed.zipWithIndex.map { case (u, i) =>
-      Fetcher.entryOf(u, SyntheticWeb.priorityOf(u), r.toLong * 1000000L + i,
-                      0, r, cfg.salts)
+    // A reseed onto a never-seen host must also seed that host's
+    // robots.txt (exactly as init() does for seed hosts): the robots
+    // gate holds robots-unknown entries in the frontier, and nothing
+    // else ever enqueues a robots fetch for a frontier-resident row —
+    // without this, the crawl would spin selecting nothing until
+    // maxRounds. Known hosts (any host_state row) resolved their rules
+    // when first discovered, or have a pri-0 entry already pending.
+    val hostState = readT[HostState](m.tables("host_state"))
+    val reseedHostsOrdered = reseed
+      .map(u => UrlCanon.hostOf(UrlCanon.canonicalize(u))).distinct
+    val knownReseedHosts =
+      if (reseedHostsOrdered.isEmpty) Set.empty[String]
+      else hostState.filter(col("host").isin(reseedHostsOrdered: _*))
+        .select("host").as[String].collect().toSet
+    val robotsSeedUrls = reseedHostsOrdered.filterNot(knownReseedHosts)
+      .map(h => s"https://$h/robots.txt")
+    val reseedEntries = (robotsSeedUrls ++ reseed).zipWithIndex.map {
+      case (u, i) =>
+        Fetcher.entryOf(u, SyntheticWeb.priorityOf(u),
+                        r.toLong * 1000000L + i, 0, r, cfg.salts)
     }.distinctBy(_.url_hash)
     var frontierSegs = m.frontierSegs
     var frontierCounts = m.frontierCounts
@@ -1060,8 +1093,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     val frontierCnt = frontierCounts.values.sum
     val pri0Cnt = frontierPri0.values.sum
 
-    // 4. host state rows for any new reseed hosts
-    val hostState = readT[HostState](m.tables("host_state"))
+    // 4. host state rows for any new reseed hosts (hostState read above)
     val capD = cfg.hostCapacity
     val refD = cfg.hostRefill
     val newHosts = acceptedReseeds.map(_.host).distinct.toSeq.toDS()
@@ -1091,7 +1123,12 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
   }
 
   /** Run from scratch (or resume if a manifest exists) until the frontier
-    * drains or maxRounds. Returns the last round executed.
+    * drains or `maxRounds` rounds have executed IN THIS CALL. The budget
+    * is per-invocation, not an absolute round ceiling: a resume after
+    * `revoke()` near round maxRounds still gets a full budget to crawl
+    * the reseeded frontier (an absolute ceiling would return immediately,
+    * silently, with the reseeds uncrawled). Returns the last round
+    * executed.
     */
   def run(): Int = {
     val start = snaps.latestRound match {
@@ -1101,7 +1138,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     }
     var r = start
     var done = false
-    while (!done && r <= cfg.maxRounds) {
+    while (!done && r - start < cfg.maxRounds) {
       val res = runRound(r)
       done = res.done
       r += 1

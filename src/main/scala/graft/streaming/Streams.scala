@@ -120,7 +120,14 @@ object Streams {
             }
           }
           val wm = state.getCurrentWatermarkMs()
-          val (closed, open) = chain.partition(_.last_ts.getTime + gapMs <= wm)
+          // STRICT <: the watermark admits events at ts == wm, and an
+          // event there still merges into a session whose
+          // last_ts + gap == wm (the merge rule is <= gap). Sealing at
+          // equality would emit two HostSession rows for one logical
+          // session depending on batch arrival timing — the sequential
+          // (schedule-free) semantics the replay oracle pins never
+          // split there.
+          val (closed, open) = chain.partition(_.last_ts.getTime + gapMs < wm)
           if (open.isEmpty) state.remove()
           else {
             state.update(open)

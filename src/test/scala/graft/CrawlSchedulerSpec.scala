@@ -265,6 +265,37 @@ class CrawlSchedulerSpec extends SparkSuite {
     }
   }
 
+  test("reseed onto a never-seen host seeds its robots.txt: crawl drains, parity holds") {
+    // without the robots seed the reseeded entry is held at the gate
+    // forever (robots unknown → neither eligible nor blocked) and the
+    // crawl spins to maxRounds selecting nothing. The host is absent
+    // from the synthetic web (nHosts = 2 → host-7 404s), which is fine:
+    // robots 404 → allow-all, listing 404 → seen; what matters is that
+    // BOTH fetches happen and the crawl terminates drained.
+    val newHostListing = "https://host-7.test/list/0"
+    val cfg = CrawlConfig(web = revokeWeb,
+                          outDir = tmpDir("crawlrevnewhost-"),
+                          maxRounds = 60, hostCapacity = 8.0,
+                          hostRefill = 8.0)
+    val sched = new CrawlScheduler(spark, cfg)
+    sched.run()
+    sched.revoke(Nil, reseed = Seq(newHostListing))
+    val last = sched.run()
+    val snaps = new Snapshots(cfg.outDir)
+    assert(snaps.readManifest(last).done,
+           "crawl did not drain — the reseeded host's gate never resolved")
+    val log = spark.read
+      .schema(implicitly[org.apache.spark.sql.Encoder[FetchLogEntry]].schema)
+      .parquet(snaps.fetchLogPaths(last): _*)
+      .as[FetchLogEntry].collect()
+    assert(log.count(_.url == "https://host-7.test/robots.txt") == 1,
+           "robots.txt of the reseeded host was never fetched")
+    assert(log.count(_.url == newHostListing) == 1)
+    val oracle = new CrawlOracle(cfg)
+      .runWithRevoke(Nil, reseed = Seq(newHostListing))
+    assertMatch(oracle, snaps, last)
+  }
+
   test("politeness budget is never exceeded per host per round") {
     val cfg = CrawlConfig(
       web = WebConfig(seed = 3, nHosts = 3, listPagesPerHost = 2, detailsPerList = 8),

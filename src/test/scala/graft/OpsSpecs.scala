@@ -883,6 +883,23 @@ class IncrementalAnnSpec extends SparkSuite {
     assert(got.nonEmpty && got.toSeq == want.toSeq)
   }
 
+  test("IvfIndex: an empty ingest round commits a file-less slot without wedging later reads") {
+    // partitionBy of an empty frame writes a slot holding only _SUCCESS;
+    // schema inference over that slot would throw on EVERY later
+    // postings read — the explicit-schema read must treat it as the
+    // valid empty round it is
+    val idx = new IncrementalAnn.IvfIndex(
+      spark, tmpDir("ivfidx-empty-"), nCells = 8, iters = 4)
+    idx.append(corpus.filter(pmod(col("id"), lit(3)) === 0), "id", "vec")
+    val (e1, r1) = idx.append(corpus.limit(0), "id", "vec")
+    assert((e1, r1) == (0, 1))
+    val (e2, r2) = idx.append(
+      corpus.filter(pmod(col("id"), lit(3)) === 1), "id", "vec")
+    assert((e2, r2) == (0, 2))
+    val got = idx.topK((0L until 3L).toSeq, k = 3, nProbe = 3).collect()
+    assert(got.nonEmpty, "queries against the index failed after an empty round")
+  }
+
   test("IvfIndex: retrain cadence opens a new committed epoch; answers stay batch-equal") {
     val rtDir = tmpDir("ivfidx-rt-")
     val idx = new IncrementalAnn.IvfIndex(
