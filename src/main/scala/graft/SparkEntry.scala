@@ -789,6 +789,26 @@ object SparkEntry {
                       payloadCols = Seq("purchase_id", "purchase_value"))
         .orderBy("event_id")
     }),
+    "q101_asof_forward" -> ((s, dir) => {
+      // forward as-of join — "what happened next": every click gets
+      // the user's EARLIEST purchase at-or-after it, left-outer. Same
+      // dedupe and plan shape as q96 (one union, one exchange, one
+      // running-frame window — time-reversed). DuckDB has no native
+      // forward ASOF, so the oracle is the independent arg_min
+      // formulation over the inequality join.
+      val ev = T(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max("event_id").as("purchase_id"),
+             max("value").as("purchase_value"))
+      graft.ops.TemporalJoin
+        .asofForward(clicks, purchases, key = "user_id",
+                     leftTs = "ts", rightTs = "ts",
+                     payloadCols = Seq("purchase_id", "purchase_value"))
+        .orderBy("event_id")
+    }),
     "q97_range_join" -> ((s, dir) => {
       // pure interval range join (no equi key): each purchase opens a
       // 30-minute attribution window; count the windows containing
@@ -1994,6 +2014,18 @@ object SparkEntry {
         |  min(s_acctbal) AS min_bal, max(s_acctbal) AS max_bal,
         |  count(DISTINCT md5(s_name)) AS n_distinct_md5
         |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q101_asof_forward" ->
+      """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id,
+        |                  max(value) AS purchase_value
+        |           FROM events WHERE event_type = 'purchase'
+        |           GROUP BY 1, 2),
+        |c AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts,
+        |       arg_min(p.purchase_id, p.ts) AS purchase_id,
+        |       arg_min(p.purchase_value, p.ts) AS purchase_value
+        |FROM c LEFT JOIN p ON c.user_id = p.user_id AND p.ts >= c.ts
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "q96_asof_join" ->
       """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id,
         |                  max(value) AS purchase_value

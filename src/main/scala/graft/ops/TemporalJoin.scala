@@ -48,10 +48,27 @@ object TemporalJoin {
     */
   def asofBackward(left: DataFrame, right: DataFrame, key: String,
                    leftTs: String, rightTs: String,
-                   payloadCols: Seq[String]): DataFrame = {
+                   payloadCols: Seq[String]): DataFrame =
+    asofDirectional(left, right, key, leftTs, rightTs, payloadCols,
+                    forward = false)
+
+  /** Forward as-of join: for every left row, attach the payload of the
+    * EARLIEST right row with the same `key` whose `rightTs` is >= the
+    * left row's `leftTs` (inclusive) — "what happened next". Same
+    * contracts and plan shape as [[asofBackward]]; implemented as the
+    * time-reversed carry (descending sort, identical running frame).
+    */
+  def asofForward(left: DataFrame, right: DataFrame, key: String,
+                  leftTs: String, rightTs: String,
+                  payloadCols: Seq[String]): DataFrame =
+    asofDirectional(left, right, key, leftTs, rightTs, payloadCols,
+                    forward = true)
+
+  private def asofDirectional(left: DataFrame, right: DataFrame,
+                              key: String, leftTs: String, rightTs: String,
+                              payloadCols: Seq[String],
+                              forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
-    // right rows sort BEFORE left rows at an equal timestamp so the
-    // at-or-before match is inclusive (c.ts >= p.ts)
     val l = left
       .withColumn("__t", col(leftTs))
       .withColumn("__side", lit(1))
@@ -62,8 +79,11 @@ object TemporalJoin {
       // SQL equality semantics: a null key matches nothing, but
       // Window.partitionBy groups nulls together — so null-key right
       // rows must not enter the carry (left null-key rows then form a
-      // right-free partition and keep null payloads, as a join would)
-      .filter(col(key).isNotNull)
+      // right-free partition and keep null payloads, as a join would).
+      // A null RIGHT timestamp satisfies no inequality either: without
+      // the filter it would sort to the nulls-first end and masquerade
+      // as the carry for every left row before the first real match.
+      .filter(col(key).isNotNull && col(rightTs).isNotNull)
       .select((col(key) +: payloadCols.map(col)) :+
                 col(rightTs).as("__t"): _*)
       .withColumn("__side", lit(0))
@@ -73,7 +93,15 @@ object TemporalJoin {
       (Seq(col(key), col("__t"), col("__side"), col("__payload")) ++
         leftCols.filterNot(_ == key).map(c => col(c))): _*)
       .unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"))
+    // right rows (side 0) sort BEFORE left rows at an equal timestamp,
+    // so the match is INCLUSIVE in both directions. nulls_first pins
+    // null LEFT timestamps to the start of the partition, ahead of any
+    // right row — they keep null payloads instead of borrowing the
+    // extreme carry.
+    val ord =
+      if (forward) Seq(col("__t").desc_nulls_first, col("__side"))
+      else Seq(col("__t").asc_nulls_first, col("__side"))
+    val w = Window.partitionBy(key).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = unioned.withColumn(
       "__carry", last(col("__payload"), ignoreNulls = true).over(w))

@@ -44,6 +44,69 @@ class TemporalJoinSpec extends SparkSuite {
     assert(out(5L) == ((Some(101L), Some(2.5))))
   }
 
+  test("asofForward: boundary fixture — inclusive match, earliest-following wins, no-match null") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // exact tie with a right row
+      (2L, 10L, ts("2024-01-01 09:30:00")), // earliest following = 10:00
+      (3L, 10L, ts("2024-01-01 10:46:00")), // after last right: null
+      (4L, 11L, ts("2024-01-01 12:00:00")), // key with no right rows
+      (5L, 10L, ts("2024-01-01 10:01:00"))  // next right (10:45) wins
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 10:00:00"), 100L, 1.5),
+      (10L, ts("2024-01-01 10:45:00"), 101L, 2.5)
+    ).toDF("user_id", "ts", "purchase_id", "purchase_value")
+    val out = TemporalJoin
+      .asofForward(left, right, "user_id", "ts", "ts",
+                   Seq("purchase_id", "purchase_value"))
+      .select("event_id", "purchase_id", "purchase_value")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map { case (k, v1, v2) => k -> ((v1, v2)) }.toMap
+    assert(out(1L) == ((Some(100L), Some(1.5)))) // ts <= right ts: inclusive
+    assert(out(2L) == ((Some(100L), Some(1.5))))
+    assert(out(3L) == ((None, None)))
+    assert(out(4L) == ((None, None)))
+    assert(out(5L) == ((Some(101L), Some(2.5))))
+  }
+
+  test("asofForward equals the brute-force inequality join on real events") {
+    val clicks = events.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts")
+      .agg(max("event_id").as("purchase_id"))
+    val got = TemporalJoin
+      .asofForward(clicks, purchases, "user_id", "ts", "ts",
+                   Seq("purchase_id"))
+      .select("event_id", "purchase_id")
+      .as[(Long, Option[Long])].collect().toMap
+    // brute force: min-ts right at-or-after, per left row
+    val want = clicks.alias("c")
+      .join(purchases.alias("p"),
+            col("c.user_id") === col("p.user_id") &&
+              col("p.ts") >= col("c.ts"), "left")
+      .groupBy(col("c.event_id"))
+      .agg(min_by(col("p.purchase_id"), col("p.ts")).as("purchase_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == want)
+    assert(got.valuesIterator.exists(_.isDefined) &&
+             got.valuesIterator.exists(_.isEmpty),
+           "fixture must exercise both match and no-match rows")
+  }
+
+  test("asof: a null right timestamp is never a carry, in either direction") {
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, Option.empty[Timestamp], 666L))
+      .toDF("user_id", "ts", "purchase_id")
+    for (fwd <- Seq(false, true)) {
+      val op =
+        if (fwd) TemporalJoin.asofForward _ else TemporalJoin.asofBackward _
+      val out = op(left, right, "user_id", "ts", "ts", Seq("purchase_id"))
+        .select("purchase_id").as[Option[Long]].collect()
+      assert(out.toSeq == Seq(None), s"forward=$fwd matched a null-ts right row")
+    }
+  }
+
   test("asofBackward: null keys never match, on either side") {
     val left = Seq(
       (1L, Some(10L), ts("2024-01-01 10:30:00")),
