@@ -257,7 +257,6 @@ object SeqOracles {
     val sigs: Map[Long, Array[Int]] = all.map { case (id, v) =>
       id -> Array.tabulate(tables)(t => Similarity.signatureAt(v, seed, t, bits))
     }.toMap
-    val vecs = all.toMap
     val out = all.filter(t => queryIds.contains(t._1)).sortBy(_._1).flatMap {
       case (q, qv) =>
         val probeSets: Array[Set[Int]] = Array.tabulate(tables) { t =>
@@ -267,13 +266,35 @@ object SeqOracles {
         val cands = all.iterator
           .filter(c => !queryIds.contains(c._1))
           .filter(c => (0 until tables).exists(t => probeSets(t).contains(sigs(c._1)(t))))
-          .map(c => (c._1, Similarity.cosine(qv, vecs(c._1))))
+          .map(c => (c._1, Similarity.cosine(qv, c._2)))
           .toVector
         cands.sortBy(c => (-c._2, c._1)).take(k)
           .map { case (id, sim) => Q35Row(q, id, round4(sim)) }
     }
     val sorted = out.sortBy(r => (r.query_id, -r.sim, r.neighbor_id))
     write(dumpRoot, "q35_ann_lsh", sorted.toSeq.toDF())
+  }
+
+  /** Shared sequential IVF probe + exact re-rank used by the q57 and
+    * q68 oracles (previously duplicated verbatim — a tie-break or
+    * rounding fix to one copy would have silently missed the other).
+    * Queries are ids 0..9; k nearest non-query vectors from the probed
+    * cells, ties broken by id, sims rounded like the engine output.
+    */
+  private def ivfProbeTopK(all: Array[(Long, Array[Float])],
+                           centroids: Array[Array[Float]],
+                           cellOf: Map[Long, Int], nProbe: Int,
+                           k: Int): Array[Q35Row] = {
+    val queryIds = (0L until 10L).toSet
+    all.filter(t => queryIds.contains(t._1)).flatMap { case (q, qv) =>
+      val probes = Similarity.probeCells(qv, centroids, nProbe).toSet
+      all.iterator
+        .filter(t => !queryIds.contains(t._1) && probes.contains(cellOf(t._1)))
+        .map(t => (t._1, Similarity.cosine(qv, t._2)))
+        .toVector
+        .sortBy(c => (-c._2, c._1)).take(k)
+        .map { case (id, sim) => Q35Row(q, id, round4(sim)) }
+    }
   }
 
   /** Sequential IVF ANN with q57's parameters: the cell assignment,
@@ -291,16 +312,7 @@ object SeqOracles {
       Similarity.kmeans(all.take(sampleN).map(_._2), nCells, iters, seed)
     val cellOf: Map[Long, Int] =
       all.map { case (id, v) => id -> Similarity.nearestCell(v, centroids) }.toMap
-    val queryIds = (0L until 10L).toSet
-    val out = all.filter(t => queryIds.contains(t._1)).flatMap { case (q, qv) =>
-      val probes = Similarity.probeCells(qv, centroids, nProbe).toSet
-      all.iterator
-        .filter(t => !queryIds.contains(t._1) && probes.contains(cellOf(t._1)))
-        .map(t => (t._1, Similarity.cosine(qv, t._2)))
-        .toVector
-        .sortBy(c => (-c._2, c._1)).take(k)
-        .map { case (id, sim) => Q35Row(q, id, round4(sim)) }
-    }
+    val out = ivfProbeTopK(all, centroids, cellOf, nProbe, k)
     write(dumpRoot, "q57_ann_ivf",
           out.sortBy(r => (r.query_id, -r.sim, r.neighbor_id)).toSeq.toDF())
   }
@@ -348,16 +360,7 @@ object SeqOracles {
     val centroids = cs
     val cellOf: Map[Long, Int] =
       all.map { case (id, v) => id -> Similarity.nearestCell(v, centroids) }.toMap
-    val queryIds = (0L until 10L).toSet
-    val out = all.filter(t => queryIds.contains(t._1)).flatMap { case (q, qv) =>
-      val probes = Similarity.probeCells(qv, centroids, nProbe).toSet
-      all.iterator
-        .filter(t => !queryIds.contains(t._1) && probes.contains(cellOf(t._1)))
-        .map(t => (t._1, Similarity.cosine(qv, t._2)))
-        .toVector
-        .sortBy(c => (-c._2, c._1)).take(k)
-        .map { case (id, sim) => Q35Row(q, id, round4(sim)) }
-    }
+    val out = ivfProbeTopK(all, centroids, cellOf, nProbe, k)
     write(dumpRoot, "q68_ivf_index_topk",
           out.sortBy(r => (r.query_id, -r.sim, r.neighbor_id)).toSeq.toDF())
   }
@@ -613,7 +616,11 @@ object SeqOracles {
     def guarded(name: String)(body: => Unit): Unit =
       try body
       catch { case e: Throwable =>
-        System.err.println(s"[seq-oracle] $name failed: ${e.getMessage}")
+        // e.toString + stack, not getMessage: an NPE's message is null,
+        // and the downstream symptom (a DuckDB read of the missing
+        // parquet) points nowhere near the real cause
+        System.err.println(s"[seq-oracle] $name failed: $e")
+        e.printStackTrace()
       }
     guarded("crawl")(crawlDumps(spark, dumpRoot))
     guarded("q28")(q28Dump(spark, dir, dumpRoot))
