@@ -865,6 +865,22 @@ object SparkEntry {
       graft.ops.Sketches.kmvPairEstimates(sk, "ship_month", k)
         .orderBy("ga", "gb")
     }),
+    "q102_hist_quantiles" -> ((s, dir) => {
+      // deterministic log-bucket quantile sketch (DDSketch-style):
+      // p50/p90/p99 of price cents per returnflag from an
+      // O(groups*buckets) histogram — one data-scale exchange, raw
+      // values never shuffle, counts merge by addition, ~2^-4
+      // relative error. Integer arithmetic on binary-string-derived
+      // bucket ids end-to-end, so the oracle re-derives the identical
+      // estimate (to_base vs conv — both exact, unlike libm log2).
+      val li = T(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+                floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val sk = graft.ops.QuantileSketch.histSketch(li, "l_returnflag", "cents")
+      graft.ops.QuantileSketch
+        .histQuantiles(sk, "l_returnflag", Seq(50, 90, 99))
+        .orderBy("l_returnflag", "pct")
+    }),
     "q99_bloom_join" -> ((s, dir) => {
       // bloom-prefiltered join: one pass over the (selective) small
       // side builds a persistable, mergeable bloom (the crawl's seen
@@ -2046,6 +2062,29 @@ object SparkEntry {
         |       min(p.purchase_id) AS first_purchase
         |FROM c JOIN p ON c.ts >= p.w_start AND c.ts < p.w_end
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q102_hist_quantiles" ->
+      """WITH v AS (SELECT l_returnflag AS g,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS x
+        |  FROM lineitem WHERE l_extendedprice > 0),
+        |b AS (SELECT g, CASE WHEN x < 16 THEN x
+        |        ELSE CAST(length(to_base(x, 2)) - 1 AS BIGINT) * 16
+        |             + (x >> (length(to_base(x, 2)) - 1 - 4)) - 16 END AS bucket,
+        |        count(*) AS c
+        |      FROM v GROUP BY 1, 2),
+        |cum AS (SELECT g, bucket,
+        |          sum(c) OVER (PARTITION BY g ORDER BY bucket) AS cc
+        |        FROM b),
+        |tot AS (SELECT g, sum(c) AS n FROM b GROUP BY 1),
+        |pcts(p) AS (SELECT unnest([50, 90, 99])),
+        |hit AS (SELECT cum.g, p AS pct, min(bucket) AS qb
+        |        FROM cum JOIN tot ON cum.g = tot.g CROSS JOIN pcts
+        |        WHERE cc >= (CAST(p AS BIGINT) * n + 99) // 100
+        |        GROUP BY 1, 2)
+        |SELECT g AS l_returnflag, pct,
+        |       CASE WHEN qb < 16 THEN qb
+        |            ELSE ((qb % 16) + 16) << (CAST(qb // 16 AS INT) - 4)
+        |            END AS est
+        |FROM hit ORDER BY 1, 2""".stripMargin,
     "q100_kmv_setops" ->
       """WITH h AS (SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS g,
         |    CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 14)) AS BIGINT) AS hv
