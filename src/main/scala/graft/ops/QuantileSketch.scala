@@ -99,9 +99,15 @@ object QuantileSketch {
     val spark = sketch.sparkSession
     import spark.implicits._
     val w = Window.partitionBy(groupCol).orderBy("bucket")
-    val cum = sketch.withColumn("cc", sum("cnt").over(w))
-    val tot = sketch.groupBy(groupCol).agg(sum("cnt").as("n"))
-    cum.join(tot, Seq(groupCol))
+    // group totals as a second window over the SAME partitioning — not
+    // a separate aggregate of `sketch`, which would re-execute the
+    // whole data-scale scan+bucket subtree a second time (Spark does
+    // not reuse the exchange across differently-shaped aggregates)
+    val wAll = Window.partitionBy(groupCol)
+    val cum = sketch
+      .withColumn("cc", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(wAll))
+    cum
       .crossJoin(broadcast(pcts.toDF("pct")))
       .filter(col("cc") >= expr("(cast(pct AS BIGINT) * n + 99L) div 100L"))
       .groupBy(col(groupCol), col("pct"))

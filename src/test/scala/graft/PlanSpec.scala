@@ -185,4 +185,18 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("Generate"), s"no generator (explode) in plan:\n$plan")
     assert(plan.contains("FileScan parquet"), s"no direct scan:\n$plan")
   }
+
+  test("quantile sketch: one scan, map-side combine before the only data-scale exchange") {
+    val plan = planOf(SparkEntry.queries("q102_hist_quantiles")(spark, dir))
+    // the raw table is read ONCE — the group-total is a window over
+    // the sketch, not a second aggregate re-executing the scan subtree
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"quantile sketch scans the table $scans times:\n$plan")
+    // raw values never shuffle: the (group, bucket) partial aggregate
+    // sits UNDER the first exchange (partial_count before Exchange in
+    // the plan's bottom-up print order means combine happens map-side)
+    assert(plan.contains("partial_count"), s"no map-side combine:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_extendedprice:double,l_returnflag:string>"),
+           s"scan not pruned to the two needed columns:\n$plan")
+  }
 }
