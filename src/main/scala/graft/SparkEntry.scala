@@ -1659,6 +1659,34 @@ object SparkEntry {
       q.awaitTermination()
       s.read.parquet(s"$outDir/r*").orderBy("id_a", "id_b")
     }),
+    "q103_stream_quantiles" -> ((s, dir) => {
+      // streaming maintenance of the q102 quantile sketch in TRUE
+      // stream mode: events replay in three micro-batches, each
+      // batch's partial sketch lands in its own slot via foreachBatch,
+      // and the merged sketch's quantiles are read at the end. Sketch
+      // merge is ADDITION, so stream-final == one batch sketch over
+      // all events exactly — the oracle is the q102-style SQL over
+      // the whole table, bit-exact.
+      val ev = T(s, dir, "events")
+        .select(col("event_type"),
+                floor(col("value") * 100).cast("long").as("cents"))
+      val logDir = tmpWorkDir("q103-log-")
+      val skDir = tmpWorkDir("q103-sk-")
+      val chkDir = tmpWorkDir("q103-chk-")
+      Replay.writeLog(
+        ev.withColumn("batch", pmod(col("cents"), lit(3)).cast("int")),
+        "batch", logDir)
+      val src = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(logDir)
+      Streams.quantileSketchSink(s, src, skDir, chkDir,
+                                 "event_type", "cents")
+        .awaitTermination()
+      val sketch = Streams.readQuantileSketch(
+        s, skDir, "event_type", org.apache.spark.sql.types.StringType)
+      graft.ops.QuantileSketch
+        .histQuantiles(sketch, "event_type", Seq(50, 90, 99))
+        .orderBy("event_type", "pct")
+    }),
     "q86_stream_incr_ann" -> ((s, dir) => {
       // the vector-side twin of q83: the q63 planted corpus streams in
       // three micro-batches (batch = vec_id % 3) through foreachBatch +
@@ -2062,6 +2090,29 @@ object SparkEntry {
         |       min(p.purchase_id) AS first_purchase
         |FROM c JOIN p ON c.ts >= p.w_start AND c.ts < p.w_end
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q103_stream_quantiles" ->
+      """WITH v AS (SELECT event_type AS g,
+        |    CAST(floor(value * 100) AS BIGINT) AS x
+        |  FROM events WHERE CAST(floor(value * 100) AS BIGINT) > 0),
+        |b AS (SELECT g, CASE WHEN x < 16 THEN x
+        |        ELSE CAST(length(to_base(x, 2)) - 1 AS BIGINT) * 16
+        |             + (x >> (length(to_base(x, 2)) - 1 - 4)) - 16 END AS bucket,
+        |        count(*) AS c
+        |      FROM v GROUP BY 1, 2),
+        |cum AS (SELECT g, bucket,
+        |          sum(c) OVER (PARTITION BY g ORDER BY bucket) AS cc
+        |        FROM b),
+        |tot AS (SELECT g, sum(c) AS n FROM b GROUP BY 1),
+        |pcts(p) AS (SELECT unnest([50, 90, 99])),
+        |hit AS (SELECT cum.g, p AS pct, min(bucket) AS qb
+        |        FROM cum JOIN tot ON cum.g = tot.g CROSS JOIN pcts
+        |        WHERE cc >= (CAST(p AS BIGINT) * n + 99) // 100
+        |        GROUP BY 1, 2)
+        |SELECT g AS event_type, pct,
+        |       CASE WHEN qb < 16 THEN qb
+        |            ELSE ((qb % 16) + 16) << (CAST(qb // 16 AS INT) - 4)
+        |            END AS est
+        |FROM hit ORDER BY 1, 2""".stripMargin,
     "q102_hist_quantiles" ->
       """WITH v AS (SELECT l_returnflag AS g,
         |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS x

@@ -241,6 +241,63 @@ object Streams {
       .trigger(trigger)
       .start()
 
+  /** Streaming maintenance of the deterministic log-bucket quantile
+    * sketch ([[graft.ops.QuantileSketch]]): each micro-batch's
+    * (group, value) rows fold into a per-batch partial sketch written
+    * to slot `r<batchId>` (overwrite — an at-least-once replay
+    * rewrites its own slot, never double-counts), and the live sketch
+    * is the count-sum over all slots ([[readQuantileSketch]]).
+    * Because sketch merge is ADDITION, the stream-final sketch equals
+    * the one batch sketch over the union of all batches EXACTLY — so
+    * the online quantiles carry q102's bit-exact oracle (q103).
+    *
+    * Scale: per micro-batch cost is one map-side bucket projection +
+    * a groups × buckets aggregate of the batch alone; the read-side
+    * merge touches only sketch rows, never raw values.
+    */
+  def quantileSketchSink(spark: SparkSession, src: DataFrame,
+                         sketchDir: String, checkpointDir: String,
+                         groupCol: String, valueCol: String,
+                         subBits: Int = 4,
+                         trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    src.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // toIntExact: an out-of-range batch id must fail loud, never
+        // wrap into a colliding slot number
+        val slot = Math.toIntExact(batchId)
+        graft.ops.QuantileSketch
+          .histSketch(batch.toDF(), groupCol, valueCol, subBits)
+          .write.mode("overwrite").parquet(s"$sketchDir/r$slot")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** The live merged sketch over every committed slot of
+    * [[quantileSketchSink]] — feed to
+    * [[graft.ops.QuantileSketch.histQuantiles]]. Explicit schema from
+    * the caller (group type is theirs): a slot whose batch held zero
+    * in-domain rows must read as the valid empty round it is, not
+    * fail schema inference.
+    */
+  def readQuantileSketch(spark: SparkSession, sketchDir: String,
+                         groupCol: String,
+                         groupType: org.apache.spark.sql.types.DataType)
+      : DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField(groupCol, groupType), StructField("bucket", LongType),
+      StructField("cnt", LongType)))
+    val slots = graft.ops.RoundSlots.roundIdxs(sketchDir).toSeq.sorted
+    if (slots.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema)
+      .parquet(slots.map(k => s"$sketchDir/r$k"): _*)
+      .groupBy(groupCol, "bucket")
+      .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+  }
+
   final case class HostProgress(host: String, pages: Long, spans: Long,
                                 last_round: Int)
 

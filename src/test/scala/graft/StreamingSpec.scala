@@ -323,4 +323,38 @@ class StreamingSpec extends SparkSuite {
       assert(r == math.max(a % 3, b % 3).toInt, s"pair ($a,$b) in round $r")
     }
   }
+
+  test("quantileSketchSink: stream-maintained sketch equals the batch sketch; restart is a no-op") {
+    import graft.streaming.Replay
+    import graft.ops.QuantileSketch
+    val rows = (1L to 300L).map(v => (s"g${v % 3}", v * 7))
+    val df = rows.toDF("g", "v")
+    val logDir = Files.createTempDirectory("qsk-log-").toString
+    Replay.writeLog(
+      df.withColumn("batch", pmod(col("v"), lit(4)).cast("int")),
+      "batch", logDir)
+    val skDir = Files.createTempDirectory("qsk-sk-").toString
+    val chkDir = Files.createTempDirectory("qsk-chk-").toString
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1).parquet(logDir)
+      Streams.quantileSketchSink(spark, src, skDir, chkDir, "g", "v")
+        .awaitTermination()
+    }
+    runOnce()
+    def quantiles() = QuantileSketch.histQuantiles(
+        Streams.readQuantileSketch(spark, skDir, "g",
+          org.apache.spark.sql.types.StringType), "g", Seq(50, 90, 99))
+      .as[(String, Int, Long)].collect().toSet
+    val streamed = quantiles()
+    // merge is addition: stream-final == one batch sketch, EXACTLY
+    val batch = QuantileSketch.histQuantiles(
+        QuantileSketch.histSketch(df, "g", "v"), "g", Seq(50, 90, 99))
+      .as[(String, Int, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // a restart on the same checkpoint processes nothing new and
+    // changes nothing (slot overwrite = at-least-once safe)
+    runOnce()
+    assert(quantiles() == streamed)
+  }
 }
