@@ -44,7 +44,7 @@ object ConnectedComponents {
     * Input/output edges are (u, v) with u > v not required on input;
     * output always has u > v.
     */
-  private[ops] def largeStar(e: DataFrame): DataFrame = {
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
     val sym = e.select(col("u"), col("v"))
       .union(e.select(col("v").as("u"), col("u").as("v")))
     val m = least(col("u"), min(col("v")).over(Window.partitionBy("u")))
@@ -59,7 +59,7 @@ object ConnectedComponents {
     * node connects its smaller neighbors AND itself to the minimum of
     * that set.
     */
-  private[ops] def smallStar(e: DataFrame): DataFrame = {
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
     val withM = e.withColumn(
       "m", least(col("u"), min(col("v")).over(Window.partitionBy("u"))))
     withM.select(col("v").as("u"), col("m").as("v"))

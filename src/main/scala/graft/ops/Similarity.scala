@@ -110,18 +110,48 @@ object Similarity {
     (h.toDouble / Long.MaxValue.toDouble).toFloat
   }
 
+  /** Per-JVM memo of one table's hyperplane components, flattened
+    * [bit][dim] — the values are exactly [[planeComponent]]'s, computed
+    * once instead of once per row: signatureAt previously re-derived
+    * every component via mix64 for EVERY vector (tables × bits × dim
+    * hash calls per row — ~8k at 64 dims, the dominant CPU of every
+    * signature pass at corpus scale). A table's plane block is
+    * bits × dim floats (KBs); the cache is bounded by the distinct
+    * (seed, table, bits, dim) configs a JVM ever sees.
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int, Int), Array[Float]]()
+
+  private def planesFor(seed: Long, t: Int, bits: Int, dim: Int): Array[Float] =
+    planeCache.computeIfAbsent((seed, t, bits, dim), { _ =>
+      val a = new Array[Float](bits * dim)
+      var b = 0
+      while (b < bits) {
+        var d = 0
+        while (d < dim) { a(b * dim + d) = planeComponent(seed, t, b, d); d += 1 }
+        b += 1
+      }
+      a
+    })
+
   /** `bits`-bit random-hyperplane signature of `vec` in table `t`
     * (shared with the sequential ANN oracle in graft.oracle).
+    * Bit-identical to the uncached formulation: same component values
+    * ([[planesFor]] memoizes [[planeComponent]]), same double
+    * accumulation order.
     */
   private[graft] def signatureAt(vec: Array[Float], seed: Long, t: Int,
                                  bits: Int): Int = {
+    val planes = planesFor(seed, t, bits, vec.length)
+    val n = vec.length
     var sig = 0
     var b = 0
     while (b < bits) {
       var dot = 0.0
       var d = 0
-      while (d < vec.length) {
-        dot += vec(d).toDouble * planeComponent(seed, t, b, d)
+      val off = b * n
+      while (d < n) {
+        dot += vec(d).toDouble * planes(off + d)
         d += 1
       }
       if (dot >= 0) sig |= (1 << b)

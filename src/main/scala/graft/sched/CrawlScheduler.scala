@@ -628,6 +628,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     // jobs — the round's fixed commit cost is the longest single write,
     // not the sum of six sequential job launches.
     val obsLog = Observation()
+    spark.sparkContext.setJobDescription(s"crawl r$r: fetch+log")
     fetchLog.toDF()
       .observe(obsLog,
                count(lit(1)).as("n"),
@@ -651,6 +652,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
 
     val obsDocs = Observation()
     val docsF = Future {
+      spark.sparkContext.setJobDescription(s"crawl r$r: docs write")
       if (okMain > 0)
         docs.toDF()
           .observe(obsDocs, count(lit(1)).as("n"),
@@ -660,6 +662,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     }
     val obsSeen = Observation()
     val seenF = Future {
+      spark.sparkContext.setJobDescription(s"crawl r$r: seen write")
       seenDelta.toDF()
         .observe(obsSeen,
                  coalesce(sum(when(col("status") === 599, 1L).otherwise(0L)), lit(0L))
@@ -694,6 +697,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     // candidate on an absent hash => ENTRY.
     val fCompactEvery = cfg.compactEvery
     val frontF = Future {
+      spark.sparkContext.setJobDescription(s"crawl r$r: frontier update")
       frontierUpd
         .groupByKey(_.fb)
         .mapGroups { (fb: Int, it: Iterator[FUpd]) =>
@@ -773,6 +777,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     }
     // robots table only changes on rounds that fetched robots.txt
     val robotsF = Future {
+      spark.sparkContext.setJobDescription(s"crawl r$r: robots write")
       if (nRobots > 0) {
         robotsAll.coalesce(statePar)
           .write.mode("overwrite").parquet(snaps.tablePath(r, "robots"))
@@ -780,6 +785,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
       } else m.tables("robots")
     }
     val hostF = Future {
+      spark.sparkContext.setJobDescription(s"crawl r$r: host_state write")
       hostStateAll.toDF().coalesce(statePar)
         .write.mode("overwrite").parquet(snaps.tablePath(r, "host_state"))
     }
@@ -792,6 +798,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     // (rare); a bucket whose rebuild also overflows is omitted from the
     // manifest so readers fall back to the conservative maybe-seen path.
     val filtersF = Future {
+      spark.sparkContext.setJobDescription(s"crawl r$r: filter shards")
       val idxMergeEvery = cfg.compactEvery
       val updates = seenDelta
         .groupByKey(s => bucketOf(s.host_hash, nb))
@@ -892,6 +899,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     // (latest round wins) so revocation re-fetches cannot leave
     // duplicate rows in the table.
     val deltaRounds = m.seenDeltaRounds :+ r
+    spark.sparkContext.setJobDescription(s"crawl r$r: seen compaction")
     val (seenFullRound, seenRunRounds, seenDeltaRounds) =
       if (deltaRounds.size >= cfg.compactEvery) {
         if (m.seenRunRounds.size + 1 >= cfg.compactEvery) {
