@@ -128,6 +128,26 @@ object BenchExtra {
           graft.ops.Dedup.minhashNearDups(copies, "id", "text",
             shingleN = 3, numHashes = 32, rowsPerBand = 4,
             threshold = 1.0, maxBucket = 1024).count())
+        // verify-phase isolation: pair set pinned outside the timer
+        val banded2 = graft.ops.IncrementalLsh.bands(copies, "id", "text")
+        val pr = graft.ops.LshPairs.cappedIdPairs(banded2, 1024).localCheckpoint()
+        val nPr = pr.count()
+        println(s"pairsRaw rows=$nPr")
+        timeIt("ckpt+count-overhead")(
+          graft.ops.LshPairs.cappedIdPairs(banded2, 1024).localCheckpoint().count())
+        timeIt("verify-only") {
+          val ids = pr.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+          val lookup = copies
+            .join(broadcast(ids), Seq("id"), "left_semi")
+            .select(col("id"), graft.ops.Dedup.shingles(col("text"), 3).as("sh"))
+          broadcast(pr)
+            .join(lookup.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+            .join(lookup.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+            .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+            .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+            .filter(col("inter") / greatest(col("uni"), lit(1.0)) >= 1.0)
+            .count()
+        }
         copies.unpersist()
         s.stop()
 

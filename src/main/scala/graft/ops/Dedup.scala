@@ -73,11 +73,13 @@ object Dedup {
     * so a near-identical-heavy corpus cannot blow one task up
     * quadratically; drops are counted in a named accumulator.
     *
-    * The shingle computation executes in up to three plan branches
-    * (banding + both join-back sides) — a deliberate
-    * recompute-over-shuffle trade: row-local codegen'd work is cheaper
-    * at corpus scale than moving tokenized text. Callers iterating on
-    * one corpus can `df.persist()` upstream to collapse the branches.
+    * The shingle computation executes once over the corpus (banding)
+    * plus twice over the PAIR-SURVIVING ids only: the verification
+    * lookup is pruned by a semi join against the materialized pair
+    * set's ids before shingling, so the join-back branches recompute
+    * (and potentially shuffle) shingles for O(pairs) rows, not
+    * O(corpus) — the recompute-over-shuffle trade now applies to the
+    * sliver that actually needs verification.
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
     */
@@ -87,23 +89,55 @@ object Dedup {
                       maxBucket: Int = 1024,
                       acc: Option[org.apache.spark.util.LongAccumulator] = None)
       : DataFrame = {
-    val bands = numHashes / rowsPerBand
     val shingled = df.select(col(idCol).cast("long").as("id"),
                              shingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
 
+    // exact-dup mode (threshold >= 1.0, the at-scale/pipeline setting):
+    // signature EQUALITY is a lossless prefilter — equal shingle sets
+    // imply equal minhash signatures, so a candidate pair with ANY
+    // differing signature slot cannot reach jaccard 1.0. The prefilter
+    // rides INSIDE pair generation as a per-row tag (a hash of the full
+    // signature, compared within buckets by cappedIdPairs): a near-dup-
+    // heavy corpus generates O(family²) candidates, and suppressing the
+    // non-identical ones at emission keeps the pair set, its
+    // dropDuplicates exchange and the shingle verification at the
+    // true-duplicate scale. Tag hash collisions only admit extra
+    // candidates, which the exact verification below removes.
+    val exactOnly = threshold >= 1.0
     val banded = shingled
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .select(
-        col("id"),
-        posexplode(
-          transform(sequence(lit(0), lit(bands - 1)),
-                    b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
-          .as(Seq("band", "bucket")))
+        col("id") +: (if (exactOnly) Seq(xxhash64(col("sig")).as("tag")) else Nil) :+
+        // codegen'd one-pass banding (HashOps.bandBuckets) — buckets are
+        // bit-identical to the former transform/slice/xxhash64 chain,
+        // which evaluated as interpreted higher-order functions
+        posexplode(HashOps.band_buckets_col(col("sig"), rowsPerBand))
+          .as(Seq("band", "bucket")): _*)
 
-    LshPairs.cappedIdPairs(banded, maxBucket, acc)
-      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    // pair set pinned once (localCheckpoint: candidate generation must
+    // not re-execute per consumer) and COUNTED, then the verification
+    // lookup is PRUNED to ids that actually appear in a surviving pair —
+    // shingle arrays are recomputed (and, under a non-broadcast plan,
+    // shuffled) only for that sliver of the corpus instead of every
+    // row, twice. Both the id set (semi join) and the pair set
+    // (verify joins) carry a measured-size broadcast guard: when they
+    // fit the session threshold every corpus touch stays map-side.
+    val cand = LshPairs.cappedIdPairs(banded, maxBucket, acc,
+                                      matchTag = exactOnly)
+      .localCheckpoint()
+    val nCand = cand.count()
+    val pairIds = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val idsSide = LshPairs.broadcastIfFits(pairIds, 2L * nCand, 24L)
+    val pairSide = LshPairs.broadcastIfFits(cand, nCand, 48L)
+    val lookup = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("__mnd_text"))
+      .join(idsSide, Seq("id"), "left_semi")
+      .select(col("id"), shingles(col("__mnd_text"), shingleN).as("sh"))
+    pairSide
+      .join(lookup.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(lookup.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard_raw", col("inter") / greatest(col("uni"), lit(1.0)))

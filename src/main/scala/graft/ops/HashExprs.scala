@@ -120,6 +120,37 @@ object HashOps extends Serializable {
 
   def shingles_col(words: Column, n: Int): Column =
     GraftExprs.toColumn(ShinglesExpression(GraftExprs.toExpr(words), n))
+
+  /** One-pass LSH band buckets over a MinHash signature — bucket b is
+    * BIT-IDENTICAL to Catalyst's
+    * `xxhash64(slice(sig, b*rowsPerBand + 1, rowsPerBand), b)`:
+    * XxHash64 folds its children left-to-right from seed 42, hashing
+    * each array element with `XXH64.hashLong` and the band index (an
+    * int, from `sequence(0, bands-1)`) with `XXH64.hashInt`. The
+    * composed transform/slice/xxhash64 chain evaluated as interpreted
+    * higher-order functions and allocated a sub-array per band per row
+    * (measured ~2.2 s of the 125k-doc banding pass); this computes all
+    * bands in one codegen'd pass with zero allocation beyond the output.
+    */
+  def bandBuckets(sig: ArrayData, rowsPerBand: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val n = sig.numElements()
+    val bands = n / rowsPerBand
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 42L
+      var i = b * rowsPerBand
+      val end = i + rowsPerBand
+      while (i < end) { acc = XXH64.hashLong(sig.getLong(i), acc); i += 1 }
+      out(b) = XXH64.hashInt(b, acc)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def band_buckets_col(sig: Column, rowsPerBand: Int): Column =
+    GraftExprs.toColumn(BandBucketsExpression(GraftExprs.toExpr(sig), rowsPerBand))
 }
 
 case class SimHash64Expression(child: Expression) extends UnaryExpression {
@@ -143,6 +174,18 @@ case class MinHashExpression(child: Expression, numHashes: Int)
     defineCodeGen(ctx, ev, c => s"graft.ops.HashOps.minhash($c, $numHashes)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild, numHashes = numHashes)
+}
+
+case class BandBucketsExpression(child: Expression, rowsPerBand: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.bandBuckets(input.asInstanceOf[ArrayData], rowsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.HashOps.bandBuckets($c, $rowsPerBand)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild, rowsPerBand = rowsPerBand)
 }
 
 case class ShinglesExpression(child: Expression, n: Int)

@@ -137,13 +137,17 @@ object IncrementalAnn {
     val oldVecs = readRounds(spark, vecsDir(indexDir), complete,
                              spark.emptyDataset[(Long, Array[Float])]
                                .toDF("id", "vec"))
-    // vector lookup: old store + this round's slice (ids are globally
-    // unique across rounds — enforced by the caller's round partition)
-    val lookup = oldVecs.select(col("id"), col("vec")).unionByName(newVecs)
     val pairsRaw = IncrementalLsh
       .cappedNewPairs(oldBands, newBands, maxBucket, acc)
       .localCheckpoint()
     val nPairRows = pairsRaw.count()
+    // vector lookup: old store + this round's slice (ids are globally
+    // unique across rounds — enforced by the caller's round partition),
+    // PRUNED to pair-surviving ids so untouched index vectors are
+    // dropped right after the scan instead of riding the verify join
+    val pairIds = IncrementalLsh.broadcastPairIds(pairsRaw, nPairRows)
+    val lookup = oldVecs.select(col("id"), col("vec")).unionByName(newVecs)
+      .join(pairIds, Seq("id"), "left_semi")
     val pairs = IncrementalLsh
       .joinPairsToLookup(spark, pairsRaw, nPairRows, lookup)
       .select(col("id_a"), col("id_b"), col("payload_a"), col("payload_b"))

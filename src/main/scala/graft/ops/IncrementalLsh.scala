@@ -68,18 +68,15 @@ object IncrementalLsh {
     * instead of re-evaluating the caller's source plan a second time.
     */
   def bandsFromShingled(shingled: DataFrame, numHashes: Int,
-                        rowsPerBand: Int): DataFrame = {
-    val nBands = numHashes / rowsPerBand
+                        rowsPerBand: Int): DataFrame =
     shingled
       .withColumn("sig", Dedup.minhashSignature(col("sh"), numHashes))
       .select(
         col("id"),
-        posexplode(
-          transform(sequence(lit(0), lit(nBands - 1)),
-                    b => xxhash64(slice(col("sig"), b * rowsPerBand + 1,
-                                        lit(rowsPerBand)), b)))
+        // codegen'd one-pass banding — bit-identical buckets to the
+        // former transform/slice/xxhash64 chain (see HashOps.bandBuckets)
+        posexplode(HashOps.band_buckets_col(col("sig"), rowsPerBand))
           .as(Seq("band", "bucket")))
-  }
 
   /** Distinct capped candidate pairs (id_a < id_b) touching >= 1 new
     * row. `oldBands`/`newBands` carry (band, bucket, id); ids must be
@@ -219,6 +216,16 @@ object IncrementalLsh {
     * a guard on the measured count beats trusting the bound. `pairsRaw`
     * must be materialized (counted) — pass its row count.
     */
+  /** Distinct ids of a materialized pair set, broadcast-hinted when the
+    * measured count fits (the guard every pruning semi join shares).
+    */
+  private[graft] def broadcastPairIds(pairsRaw: DataFrame,
+                                      nPairRows: Long): DataFrame =
+    LshPairs.broadcastIfFits(
+      pairsRaw.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+        .distinct(),
+      2L * nPairRows, 24L)
+
   private[graft] def joinPairsToLookup(spark: SparkSession, pairsRaw: DataFrame,
                                        nPairRows: Long, lookup: DataFrame)
       : DataFrame = {
@@ -273,10 +280,6 @@ object IncrementalLsh {
     val oldShingles = readRounds(spark, shinglesDir(indexDir), complete,
                                  spark.emptyDataset[(Long, Seq[String])]
                                    .toDF("id", "sh"))
-    // shingle lookup: old store + this round's slice (ids are globally
-    // unique across rounds — enforced by the caller's round partition)
-    val lookup = oldShingles.select(col("id"), col("sh"))
-      .unionByName(newShingled)
     // materialize the capped pair set so the verify join is planned
     // from its MEASURED size (broadcast only if it fits — see
     // joinPairsToLookup); the checkpoint also pins the pair set before
@@ -284,7 +287,36 @@ object IncrementalLsh {
     val pairsRaw = cappedNewPairs(oldBands, newBands, maxBucket, acc)
       .localCheckpoint()
     val nPairRows = pairsRaw.count()
-    val pairs = joinPairsToLookup(spark, pairsRaw, nPairRows, lookup)
+    // exact-dup mode (threshold >= 1.0): signature equality is a
+    // lossless prefilter — equal shingle sets imply equal minhash
+    // signatures, so a candidate with ANY differing slot cannot reach
+    // jaccard 1.0 (same reasoning as Dedup.minhashNearDups). Signatures
+    // are recomputed row-locally from the stored/new shingle arrays
+    // (cheap next to the shingling the store already paid), cutting the
+    // fat shingle-verify join to the true-duplicate sliver.
+    val shingleAll = oldShingles.select(col("id"), col("sh"))
+      .unionByName(newShingled)
+    val (cand, nCand) =
+      if (threshold < 1.0) (pairsRaw, nPairRows)
+      else {
+        val sigAll = shingleAll.select(
+          col("id"), Dedup.minhashSignature(col("sh"), numHashes).as("sig"))
+        val c = LshPairs.broadcastIfFits(pairsRaw, nPairRows, 48L)
+          .join(sigAll.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+          .join(sigAll.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+          .filter(col("sig_a") === col("sig_b"))
+          .select(col("id_a"), col("id_b"))
+          .localCheckpoint()
+        (c, c.count())
+      }
+    // shingle lookup: old store + this round's slice (ids are globally
+    // unique across rounds — enforced by the caller's round partition),
+    // PRUNED to ids that appear in a surviving pair: fat shingle arrays
+    // of untouched index rows are dropped right after the scan instead
+    // of riding the verify join's exchange
+    val pairIds = broadcastPairIds(cand, nCand)
+    val lookup = shingleAll.join(pairIds, Seq("id"), "left_semi")
+    val pairs = joinPairsToLookup(spark, cand, nCand, lookup)
       .withColumnRenamed("payload_a", "sh_a")
       .withColumnRenamed("payload_b", "sh_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))

@@ -488,9 +488,20 @@ object Similarity {
         }
       }
       .toDF("band", "bucket", "id")
-    LshPairs.cappedIdPairs(banded, maxBucket)
-      .join(base.select(col("id").as("id_a"), col("vec").as("va")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("vec").as("vb")), "id_b")
+    // pair set pinned once, vector lookup pruned to pair-surviving ids
+    // (same shape as Dedup.minhashNearDups, measured-size broadcast
+    // guards included): embeddings of unpaired rows never ride the
+    // verify join's exchange
+    val pairsRaw = LshPairs.cappedIdPairs(banded, maxBucket).localCheckpoint()
+    val nPairRows = pairsRaw.count()
+    val pairIds = pairsRaw
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val idsSide = LshPairs.broadcastIfFits(pairIds, 2L * nPairRows, 24L)
+    val pairSide = LshPairs.broadcastIfFits(pairsRaw, nPairRows, 48L)
+    val lookup = base.join(idsSide, Seq("id"), "left_semi")
+    pairSide
+      .join(lookup.select(col("id").as("id_a"), col("vec").as("va")), "id_a")
+      .join(lookup.select(col("id").as("id_b"), col("vec").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"), col("va"), col("vb"))
       .as[(Long, Long, Array[Float], Array[Float])]
       .map { case (ia, ib, va, vb) => (ia, ib, math.rint(cosine(va, vb) * 10000) / 10000) }

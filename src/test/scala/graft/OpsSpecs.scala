@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, LangId, Multimodal, Similarity, TextOps, Fingerprint64}
+import graft.ops.{Dedup, HashOps, LangId, Multimodal, Similarity, TextOps, Fingerprint64}
 
 class TextOpsSpec extends SparkSuite {
   import spark.implicits._
@@ -91,6 +91,32 @@ class DedupSpec extends SparkSuite {
       assert(pairs.contains((i, i + 10000)), s"exact dup pair $i missing"))
     (30L until 60L).foreach(i =>
       assert(pairs.contains((i, i + 20000)), s"near dup pair $i missing"))
+  }
+
+  test("bandBuckets expression is bit-identical to the transform/slice/xxhash64 chain") {
+    // the codegen'd one-pass banding must reproduce Catalyst's
+    // xxhash64(slice(sig, b*rpb+1, rpb), b) EXACTLY for every band —
+    // a changed bucket hash silently reshapes every LSH bucket
+    val rowsPerBand = 4
+    val numHashes = 32
+    val bands = numHashes / rowsPerBand
+    val sigs = docs.select(col("doc_id"),
+      Dedup.minhashSignature(
+        Dedup.shingles(col("text"), 3), numHashes).as("sig"))
+      .filter(size(col("sig")) > 0)
+    val oldChain = sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1,
+                            lit(rowsPerBand)), b)))
+        .as(Seq("band", "bucket")))
+      .as[(Long, Int, Long)].collect().toSet
+    val newExpr = sigs.select(col("doc_id"),
+      posexplode(HashOps.band_buckets_col(col("sig"), rowsPerBand))
+        .as(Seq("band", "bucket")))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(newExpr == oldChain,
+           s"band buckets diverged: ${newExpr.diff(oldChain).take(3)}")
+    assert(newExpr.size == sigs.count() * bands)
   }
 
   test("minhash LSH pairs are a subset of exact-jaccard pairs (no FPs)") {
