@@ -242,6 +242,10 @@ object BenchExtra {
               .as("text"))
           .persist()
         println(s"docs=${corpus.count()}")
+        timeIt("words-only(noop)")(
+          noop(corpus.select(graft.ops.TextOps.words(col("text")).as("ws"))))
+        timeIt("shingles5-only(noop)")(
+          noop(corpus.select(graft.ops.Dedup.shingles(col("text"), 5).as("sh"))))
         timeIt("decon")(
           graft.ops.Decontaminate.overlap(corpus, bench, "id", "text", n = 5)
             .filter(col("contaminated")).count())

@@ -1021,22 +1021,22 @@ object SparkEntry {
     }),
     // ---------------- similarity search ----------------
     "q33_cosine_topk" -> ((s, dir) => {
-      // declarative brute-force: round sims, rank by (sim desc, id)
+      // declarative brute-force: round sims, rank by (sim desc, id).
+      // The scoring expression is the codegen'd one-pass
+      // HashOps.cosineSim — bit-identical (same fold order and sqrt
+      // association) to the aggregate/zip_with/transform chain it
+      // replaces, which evaluated as interpreted higher-order functions
+      // and dominated the query (OpsSpecs pins the equality)
       val e = T(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       val c = e.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
-      val dot = aggregate(zip_with(col("qv"), col("nv"),
-                                   (x, y) => x.cast("double") * y.cast("double")),
-                          lit(0.0), (acc, z) => acc + z)
-      def norm(v: org.apache.spark.sql.Column) =
-        sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
-                       lit(0.0), (acc, z) => acc + z))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("neighbor_id"))
       c.crossJoin(broadcast(q))
-        .withColumn("sim", round(dot / (norm(col("qv")) * norm(col("nv"))), 4))
+        .withColumn("sim",
+                    round(graft.ops.HashOps.cosine_sim_col(col("qv"), col("nv")), 4))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
         .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim"))

@@ -41,30 +41,53 @@ object ConnectedComponents {
 
   /** One large-star round: every node connects its strictly-larger
     * neighbors to the minimum of its neighborhood (including itself).
-    * Input/output edges are (u, v) with u > v not required on input;
-    * output always has u > v.
+    *
+    * REQUIRES the u > v invariant on the input (componentsWithRounds
+    * normalizes round 0 and every round preserves it). Under that
+    * invariant the whole star collapses to one aggregation plus one
+    * equi-join, with no symmetrized double-width window sort:
+    *
+    *   - a node x's neighborhood minimum is m(x) = least(x, min of its
+    *     SMALLER neighbors) — larger neighbors can never be the min —
+    *     and x's smaller neighbors are exactly the v's of edges where
+    *     x is u, so `groupBy(u).min(v)` (map-side partial aggregation)
+    *     computes every m;
+    *   - x's strictly-larger neighbors are exactly the u's of edges
+    *     where x is v, so the star's emissions are one row (u, m(v))
+    *     per input edge — the join of e (keyed on v) against the min
+    *     table. A node absent from the min table has no smaller
+    *     neighbor: m = itself.
+    *
+    * Output keeps u > v (u > x >= m(x)) and MAY contain duplicate rows
+    * — two edges (u, x1), (u, x2) can emit the same (u, m) — which the
+    * round's closing distinct (in [[smallStar]]) removes; duplicates
+    * never affect the min aggregations in between. The shuffled-hash
+    * hint avoids sorting both sides: the min table is the bounded build
+    * side (one row per distinct u).
     */
   private[graft] def largeStar(e: DataFrame): DataFrame = {
-    val sym = e.select(col("u"), col("v"))
-      .union(e.select(col("v").as("u"), col("u").as("v")))
-    val m = least(col("u"), min(col("v")).over(Window.partitionBy("u")))
-    sym.withColumn("m", m)
-      .filter(col("v") > col("u"))
-      .select(col("v").as("u"), col("m").as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
+    val mins = e.groupBy("u").agg(min("v").as("mv"))
+    e.join(mins.select(col("u").as("x"), col("mv")).hint("shuffle_hash"),
+           col("v") === col("x"), "left")
+      .select(col("u"),
+              least(col("v"), coalesce(col("mv"), col("v"))).as("v2"))
+      .filter(col("u") =!= col("v2"))
+      .select(col("u"), col("v2").as("v"))
   }
 
   /** One small-star round over edges with the u > v invariant: every
     * node connects its smaller neighbors AND itself to the minimum of
-    * that set.
+    * that set. The two emissions per row ((v, m) and (u, m)) ride ONE
+    * window pass via a generator — the former union of two projections
+    * re-executed the whole exchange+sort+window subtree per branch.
+    * Closes the round with the canonicalizing distinct.
     */
   private[graft] def smallStar(e: DataFrame): DataFrame = {
     val withM = e.withColumn(
       "m", least(col("u"), min(col("v")).over(Window.partitionBy("u"))))
-    withM.select(col("v").as("u"), col("m").as("v"))
-      .union(withM.select(col("u"), col("m").as("v")))
-      .filter(col("u") =!= col("v"))
+    withM.select(explode(array(col("v"), col("u"))).as("u2"), col("m"))
+      .filter(col("u2") =!= col("m"))
+      .select(col("u2").as("u"), col("m").as("v"))
       .distinct()
   }
 

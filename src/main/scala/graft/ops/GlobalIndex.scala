@@ -1,9 +1,7 @@
 package graft.ops
 
-import org.apache.spark.TaskContext
-import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Global consecutive row numbering under a total order — the
   * distributed primitive behind "assign every training example a
@@ -16,7 +14,8 @@ import org.apache.spark.sql.types.LongType
   * (the same two steps a global ORDER BY plans), then ONE tiny job
   * counts rows per partition (partial-aggregated `spark_partition_id`
   * counts — numPartitions rows reach the driver), and a final
-  * narrow `mapPartitions` adds `offset(pid) + local index`. Total
+  * narrow codegen'd projection adds `offset(pid) + local index`
+  * (decomposed from `monotonically_increasing_id`). Total
   * cost = one shuffle of the data (unavoidable for a total order) +
   * an O(numPartitions) metadata job; no single-task bottleneck at any
   * corpus size.
@@ -52,17 +51,26 @@ object GlobalIndex {
       .collect()
       .map(r => r.getInt(0) -> r.getLong(1))
       .toMap
+    // monotonically_increasing_id() is (partition id << 33) | row index
+    // within the partition — decomposing it gives offset(pid) + local
+    // index as pure codegen'd arithmetic over the pinned frame, where
+    // the former mapPartitions paid a full external-Row encode/decode
+    // of every row (measured ~2s per million chunk-sized rows). The
+    // pinned checkpoint fixes partition content and order, so the ids
+    // decompose deterministically; same numbering as the old path.
+    require(counts.values.forall(_ < (1L << 33)),
+            s"a partition exceeds 2^33 rows; raise numPartitions ($numPartitions)")
     val offsets = new Array[Long](numPartitions)
     var acc = 0L
     (0 until numPartitions).foreach { p =>
       offsets(p) = acc; acc += counts.getOrElse(p, 0L)
     }
-    val outSchema = sorted.schema.add("global_idx", LongType, nullable = false)
-    sorted.mapPartitions { rows =>
-      val base = offsets(TaskContext.getPartitionId())
-      rows.zipWithIndex.map { case (r, i) =>
-        Row.fromSeq(r.toSeq :+ (base + i))
-      }
-    }(Encoders.row(outSchema))
+    val mid = monotonically_increasing_id()
+    val gid = element_at(lit(offsets), shiftrightunsigned(mid, 33).cast("int") + 1) +
+      mid.bitwiseAND(lit((1L << 33) - 1))
+    // coalesce pins nullable=false (element_at alone types as nullable;
+    // the pid is always in range, so the fallback never fires) — the
+    // output schema must stay identical to the former mapPartitions path
+    sorted.withColumn("global_idx", coalesce(gid, lit(-1L)))
   }
 }

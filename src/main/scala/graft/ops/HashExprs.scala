@@ -151,6 +151,50 @@ object HashOps extends Serializable {
 
   def band_buckets_col(sig: Column, rowsPerBand: Int): Column =
     GraftExprs.toColumn(BandBucketsExpression(GraftExprs.toExpr(sig), rowsPerBand))
+
+  /** One-pass cosine similarity over two float arrays, associated
+    * EXACTLY like the declarative q33 formulation it replaces —
+    * dot / (sqrt(sum a²) * sqrt(sum b²)), every accumulation a
+    * left-to-right double fold in array-index order, each element cast
+    * to double before multiplying — so results are bit-identical to the
+    * interpreted aggregate/zip_with/transform chain (which evaluated as
+    * CodegenFallback higher-order functions, the dominant cost of the
+    * brute-force scoring pass). Note the two-sqrt association differs
+    * from [[Similarity.cosine]]'s sqrt(na*nb); both exist deliberately.
+    */
+  def cosineSim(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val la = a.numElements()
+    val lb = b.numElements()
+    // null-semantics parity with the chain: unequal lengths make
+    // zip_with pad with nulls and any null element nulls the fold — in
+    // both cases the declarative sim is NULL, so this one is too
+    if (la != lb) return null
+    var i = 0
+    while (i < la) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      i += 1
+    }
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    i = 0
+    while (i < la) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      i += 1
+    }
+    // separate index-order folds (not fused) to mirror the three
+    // independent aggregate() folds of the declarative form exactly
+    i = 0
+    while (i < la) { val x = a.getFloat(i).toDouble; na += x * x; i += 1 }
+    i = 0
+    while (i < lb) { val y = b.getFloat(i).toDouble; nb += y * y; i += 1 }
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  def cosine_sim_col(a: Column, b: Column): Column =
+    GraftExprs.toColumn(CosineSimExpression(GraftExprs.toExpr(a), GraftExprs.toExpr(b)))
 }
 
 case class SimHash64Expression(child: Expression) extends UnaryExpression {
@@ -186,6 +230,26 @@ case class BandBucketsExpression(child: Expression, rowsPerBand: Int)
     defineCodeGen(ctx, ev, c => s"graft.ops.HashOps.bandBuckets($c, $rowsPerBand)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild, rowsPerBand = rowsPerBand)
+}
+
+case class CosineSimExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true // null on length/element mismatch
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashOps.cosineSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("graftCos")
+      s"""
+         |java.lang.Double $tmp = graft.ops.HashOps.cosineSim($a, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 case class ShinglesExpression(child: Expression, n: Int)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftExprs
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -35,9 +36,14 @@ object TextOps {
 
   /** Lowercased word array (alpha-num runs), empty strings removed —
     * shared tokenization for jaccard/minhash/stopword features.
+    * Codegen'd one-pass expression; output is exactly
+    * `filter(split(lower(c), "[^a-z0-9]+"), x => x =!= "")`, which
+    * evaluated as an interpreted higher-order function plus a regex
+    * pass and measurably dominated every tokenizing operator
+    * ([[Words.split]] documents the equivalence argument).
     */
   def words(c: Column): Column =
-    filter(split(lower(c), "[^a-z0-9]+"), x => x =!= "")
+    GraftExprs.toColumn(WordsExpression(GraftExprs.toExpr(c)))
 
   /** Punctuation character ratio, rounded to 4 decimals. */
   def punct_ratio(c: Column): Column =
@@ -130,6 +136,52 @@ object TextOps {
     val distinctN = size(Dedup.shingles(c, n)).cast("double")
     when(total > 0, round(lit(1.0) - distinctN / total, 4)).otherwise(lit(0.0))
   }
+}
+
+/** One-pass tokenizer backing [[TextOps.words]]: Unicode-lowercase the
+  * string (the same `UTF8String.toLowerCase` the `lower()` expression
+  * calls), then emit maximal runs of ASCII `[a-z0-9]` BYTES. Byte
+  * scanning is exact against the former
+  * `filter(split(lower(c), "[^a-z0-9]+"), _ != "")` formulation: every
+  * non-ASCII character encodes only bytes >= 0x80 in UTF-8, so it can
+  * never sit inside an `[a-z0-9]` run, and the regex split's
+  * leading/trailing empty strings are exactly the runs this scan never
+  * emits. Shared by the expression and tests.
+  */
+object Words extends Serializable {
+  def split(s: UTF8String): ArrayData = {
+    val lower = s.toLowerCase
+    val bytes = lower.getBytes
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      val b = bytes(i)
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
+        val start = i
+        i += 1
+        while (i < n && {
+                 val c = bytes(i)
+                 (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+               }) i += 1
+        out.add(UTF8String.fromBytes(bytes, start, i - start))
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray(new Array[AnyRef](out.size()))
+      .asInstanceOf[Array[Any]])
+  }
+}
+
+case class WordsExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override protected def nullSafeEval(input: Any): Any =
+    Words.split(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.Words.split($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Deterministic language-ID heuristic: CJK codepoint fraction decides

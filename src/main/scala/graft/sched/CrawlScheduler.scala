@@ -42,7 +42,17 @@ final case class CrawlConfig(
     // synthetic web in-process; HttpFetcherFactory swaps in real HTTP
     // against a loopback SynthWebServer gateway — same fetch log
     // bit-for-bit (RealTransportSpec)
-    fetcher: FetcherFactory = SimulatedFetcherFactory
+    fetcher: FetcherFactory = SimulatedFetcherFactory,
+    // broadcast the per-HOST dimension tables (robots rules, politeness
+    // budgets, per-round selection counts) into the frontier-sized
+    // joins while the manifest's host count stays below this bound —
+    // host tables are O(hosts), frontier/candidate tables are O(URLs),
+    // and hosts ~ URLs/10^3 on the web, so up to ~10^6 hosts the rule
+    // table is an executor-cache-sized build side and every gate join
+    // stays map-side. Above the bound (or when a resumed manifest
+    // predates the counter) the joins fall back to shuffles — the
+    // results are identical either way, only the exchange count moves.
+    hostBroadcastMax: Long = 1000000L
 ) {
   /** Per-bucket bloom shard size; constant across rounds so shards stay
     * mergeable/incrementable.
@@ -184,6 +194,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
       counters = Map(
         "frontier" -> frontier.size.toLong,
         "frontier_pri0" -> frontier.count(_.priority == 0).toLong,
+        "hosts" -> hostState.size.toLong,
         "cfg_n_buckets" -> cfg.nBuckets.toLong,
         "cfg_frontier_buckets" -> cfg.frontierBuckets.toLong),
       done = false))
@@ -245,6 +256,12 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val robots = readT[RobotsRule](m.tables("robots"))
     val hostState = readT[HostState](m.tables("host_state"))
+    // per-host dimension tables ride map-side while the host count is
+    // provably small (see CrawlConfig.hostBroadcastMax); an absent
+    // counter (pre-counter checkpoint) conservatively keeps shuffles
+    val bcastHosts = m.counters.get("hosts").exists(_ <= cfg.hostBroadcastMax)
+    def hostDim(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      if (bcastHosts) broadcast(df) else df
     // shard locations: bucket -> round whose files are current. Tasks
     // read exactly the bucket shards they touch from the snapshot store;
     // no filter bytes move through the driver or a broadcast.
@@ -322,7 +339,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
 
     // -- robots gate (non-robots frontier, with this round's rules) ------
     val gatedDf = rest
-      .join(robotsAll.withColumnRenamed("host", "r_host"),
+      .join(hostDim(robotsAll.withColumnRenamed("host", "r_host")),
             rest("host") === col("r_host"), "left")
       .withColumn("robots_known", col("r_host").isNotNull)
       .withColumn("path", regexp_replace(col("url"), "^[^:/]+://[^/]*", ""))
@@ -349,7 +366,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
       .withColumn("avail", least(col("capacity"), col("tokens") + col("refill_per_round")))
       .select(col("host").as("b_host"), floor(col("avail")).cast("int").as("budget"))
     val withBudget = eligible
-      .join(budgets, eligible("host") === col("b_host"), "left")
+      .join(hostDim(budgets), eligible("host") === col("b_host"), "left")
       .select(struct(frontier.columns.map(col): _*).as("e"),
               coalesce(col("budget"), lit(0)).as("budget"))
       .as[WithBudget]
@@ -566,7 +583,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     // constant discovery_time r*1e6 is tie-broken by url_hash)
     val robotsCand = seenFree(
       candSeenFree.select(col("host")).distinct()
-        .join(robotsAll.select(col("host").as("k_host")),
+        .join(hostDim(robotsAll.select(col("host").as("k_host"))),
               col("host") === col("k_host"), "left_anti")
         .as[String]
         .map(h => Fetcher.entryOf(s"https://$h/robots.txt", 0,
@@ -594,7 +611,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     // -- host state update ----------------------------------------------
     val selCounts = selected.groupBy(col("e.host").as("c_host")).count()
     val hostStateUpd = hostState
-      .join(selCounts, col("host") === col("c_host"), "left")
+      .join(hostDim(selCounts), col("host") === col("c_host"), "left")
       .withColumn("tokens",
         least(col("capacity"), col("tokens") + col("refill_per_round"))
           - coalesce(col("count"), lit(0)).cast("double"))
@@ -610,7 +627,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
     // with no dependency on the update pass's output (and no second
     // evaluation of the robots-candidate pipeline)
     val newHostRows = candSeenFree.map(_.host).distinct()
-      .join(hostState.select(col("host").as("h_host")),
+      .join(hostDim(hostState.select(col("host").as("h_host"))),
             col("value") === col("h_host"), "left_anti")
       .as[String]
       .map(h => HostState(h, UrlCanon.hostHash(h), 0.0, capD, refD))
@@ -784,9 +801,12 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
         snaps.tablePath(r, "robots")
       } else m.tables("robots")
     }
+    val obsHost = Observation()
     val hostF = Future {
       spark.sparkContext.setJobDescription(s"crawl r$r: host_state write")
-      hostStateAll.toDF().coalesce(statePar)
+      hostStateAll.toDF()
+        .observe(obsHost, count(lit(1)).as("n"))
+        .coalesce(statePar)
         .write.mode("overwrite").parquet(snaps.tablePath(r, "host_state"))
     }
 
@@ -957,6 +977,7 @@ final class CrawlScheduler(spark: SparkSession, cfg: CrawlConfig) {
         "frontier" -> frontierLeft,
         "frontier_pri0" -> newFrontierPri0.values.sum,
         "spans" -> spansCnt, "docs" -> docsCnt,
+        "hosts" -> obsL(obsHost, "n"),
         "cfg_n_buckets" -> cfg.nBuckets.toLong,
         "cfg_frontier_buckets" -> cfg.frontierBuckets.toLong),
       done = frontierLeft == 0))

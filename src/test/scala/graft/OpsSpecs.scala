@@ -13,6 +13,30 @@ class TextOpsSpec extends SparkSuite {
     assert(got == Seq(0, 0, 1, 2, 3))
   }
 
+  test("words expression is exactly the filter(split(lower)) chain") {
+    // the one-pass tokenizer must match the former interpreted
+    // formulation on every input class: ascii, punctuation-only, empty,
+    // unicode lowercase targets (Kelvin sign K lowers to ascii 'k'),
+    // multi-byte separators, leading/trailing separators, nulls
+    val cases = Seq(
+      "Hello World", "  !a-b__9  ", "", "!!!", "über straße",
+      "Kelvin sign", "中文 mixed ascii42", "a", "9",
+      "tab\tand\nnewline", null)
+    val df = cases.toDF("t")
+    val viaExpr = df.select(TextOps.words(col("t"))).as[Seq[String]].collect()
+    val viaChain = df.select(
+      filter(split(lower(col("t")), "[^a-z0-9]+"), x => x =!= ""))
+      .as[Seq[String]].collect()
+    assert(viaExpr.toSeq == viaChain.toSeq)
+    // and over the real corpus, in bulk
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val diff = docs.select(
+      TextOps.words(col("text")).as("a"),
+      filter(split(lower(col("text")), "[^a-z0-9]+"), x => x =!= "").as("b"))
+      .filter(not(col("a") === col("b"))).count()
+    assert(diff == 0)
+  }
+
   test("subword_count: alpha runs, digit runs, punctuation marks") {
     val df = Seq("hello world", "abc123 x!", "a-b.c", "").toDF("t")
     val got = df.select(TextOps.subword_count(col("t"))).as[Int].collect().toSeq
@@ -91,6 +115,27 @@ class DedupSpec extends SparkSuite {
       assert(pairs.contains((i, i + 10000)), s"exact dup pair $i missing"))
     (30L until 60L).foreach(i =>
       assert(pairs.contains((i, i + 20000)), s"near dup pair $i missing"))
+  }
+
+  test("cosineSim expression is bit-identical to the aggregate/zip_with chain") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("nid"), col("embedding").as("nv"))
+    val dot = aggregate(zip_with(col("qv"), col("nv"),
+                                 (x, y) => x.cast("double") * y.cast("double")),
+                        lit(0.0), (acc, z) => acc + z)
+    def norm(v: org.apache.spark.sql.Column) =
+      sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
+                     lit(0.0), (acc, z) => acc + z))
+    val both = c.crossJoin(q)
+      .select((dot / (norm(col("qv")) * norm(col("nv")))).as("chain"),
+              HashOps.cosine_sim_col(col("qv"), col("nv")).as("expr"))
+    // UNROUNDED doubles must be bitwise-equal (same fold order, same
+    // sqrt association); <=> is null-safe so a null mismatch also fails
+    assert(both.filter(not(col("chain") <=> col("expr"))).count() == 0)
+    assert(both.count() > 0)
   }
 
   test("bandBuckets expression is bit-identical to the transform/slice/xxhash64 chain") {
