@@ -178,6 +178,73 @@ object BenchExtra {
         vecs.unpersist()
         s.stop()
 
+      case "annincr" =>
+        val s = session(cpus)
+        val base = s.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id").as("id0"), col("embedding"))
+        val vecs = base.crossJoin(
+            s.range(0, 64).select(col("id").cast("int").as("k")))
+          .select(
+            (col("id0") * 64 + col("k")).as("id"),
+            when(col("k") <= 1, col("embedding"))
+              .otherwise(
+                transform(sequence(lit(0), lit(63)),
+                          i => ((pmod(xxhash64(col("id0") * 64 + col("k"), i),
+                                      lit(2001)) - 1000) / 1000.0).cast("float")))
+              .as("vec"))
+          .persist()
+        println(s"vecs=${vecs.count()}")
+        val delta = base.select((lit(10000000L) + col("id0")).as("id"),
+                                col("embedding").as("vec"))
+        (1 to 3).foreach { rep =>
+          val idx = SparkEntry.tmpWorkDir("extra-incann-")
+          val r1c = graft.ops.IncrementalAnn.roundPairs(
+            s, idx, vecs.filter(pmod(col("id"), lit(2)) === 0), "id",
+            "vec", threshold = 0.9999, bits = 16).count()
+          timeIt(s"ann-incr-round2 rep$rep", 1)(
+            graft.ops.IncrementalAnn.roundPairs(
+              s, idx, vecs.filter(pmod(col("id"), lit(2)) === 1), "id",
+              "vec", threshold = 0.9999, bits = 16).count())
+          timeIt(s"ann-incr-smalldelta rep$rep", 1)(
+            graft.ops.IncrementalAnn.roundPairs(
+              s, idx, delta, "id", "vec", threshold = 0.9999,
+              bits = 16).count())
+          println(s"  r1pairs=$r1c")
+        }
+        vecs.unpersist()
+        s.stop()
+
+      case "lshincr" =>
+        val s = session(cpus)
+        val raw = s.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text").as("text0"))
+          .withColumn("id0", pmod(xxhash64(col("doc_id")), lit(1000000000000L)))
+          .select(col("id0"), col("text0"))
+        val copies = raw.crossJoin(
+            s.range(0, 8).select(col("id").cast("int").as("k")))
+          .select(
+            (col("id0") * 16 + col("k")).as("id"),
+            when(col("k") <= 1, col("text0"))
+              .otherwise(concat(col("text0"), lit(" salt"), col("k"),
+                                lit(" v"), pmod(col("id0"), lit(997))))
+              .as("text"))
+          .persist()
+        println(s"docs=${copies.count()}")
+        (1 to 3).foreach { rep =>
+          val idx = SparkEntry.tmpWorkDir("extra-inclsh-")
+          graft.ops.IncrementalLsh.roundPairs(
+            s, idx, copies.filter(pmod(col("id"), lit(2)) === 0), "id",
+            "text", shingleN = 3, numHashes = 32, rowsPerBand = 4,
+            threshold = 1.0, maxBucket = 1024).count()
+          timeIt(s"lsh-incr-round2 rep$rep", 1)(
+            graft.ops.IncrementalLsh.roundPairs(
+              s, idx, copies.filter(pmod(col("id"), lit(2)) === 1), "id",
+              "text", shingleN = 3, numHashes = 32, rowsPerBand = 4,
+              threshold = 1.0, maxBucket = 1024).count())
+        }
+        copies.unpersist()
+        s.stop()
+
       case "cc" =>
         val s = session(cpus)
         val nNodes = 10010000L

@@ -80,16 +80,49 @@ object ConnectedComponents {
     * that set. The two emissions per row ((v, m) and (u, m)) ride ONE
     * window pass via a generator — the former union of two projections
     * re-executed the whole exchange+sort+window subtree per branch.
-    * Closes the round with the canonicalizing distinct.
+    * Closes the round with the canonicalizing dedup, keyed so the NEXT
+    * round reuses its exchange (see [[roundDedup]]).
     */
   private[graft] def smallStar(e: DataFrame): DataFrame = {
     val withM = e.withColumn(
       "m", least(col("u"), min(col("v")).over(Window.partitionBy("u"))))
-    withM.select(explode(array(col("v"), col("u"))).as("u2"), col("m"))
-      .filter(col("u2") =!= col("m"))
-      .select(col("u2").as("u"), col("m").as("v"))
-      .distinct()
+    roundDedup(
+      withM.select(explode(array(col("v"), col("u"))).as("u2"), col("m"))
+        .filter(col("u2") =!= col("m"))
+        .select(col("u2").as("u"), col("m").as("v")))
   }
+
+  /** The round-closing (u, v) dedup, partitioned by `u` ALONE: a
+    * hash(u) layout co-locates equal (u, v) rows just as well as
+    * hash(u, v), so the dedup aggregate runs exchange-free on top of
+    * the explicit repartition — and, because `localCheckpoint`
+    * preserves the materialized partitioning, the NEXT round's
+    * `groupBy("u").min("v")` (in [[largeStar]]) needs NO exchange
+    * either: one full-edge-set shuffle per round is removed outright
+    * (guide §2.4 — two operations keyed the same way share one
+    * exchange). The explicit partition count pins plain
+    * HashPartitioning (AQE-coalesced output would still be valid but
+    * is harder to prove preserved through the checkpoint).
+    */
+  private def roundDedup(d: DataFrame): DataFrame = {
+    val p = d.sparkSession.sessionState.conf.numShufflePartitions
+    d.repartition(p, col("u")).dropDuplicates("u", "v")
+  }
+
+  /** The partition count [[roundDedup]] pinned, for the matching
+    * checkpoint claim.
+    */
+  private def dedupPartitions(d: DataFrame): Int =
+    d.sparkSession.sessionState.conf.numShufflePartitions
+
+  /** Eager lineage cut that keeps the hash(u) layout [[roundDedup]]
+    * just established — plain `localCheckpoint` drops it under AQE
+    * (see [[org.apache.spark.sql.GraftCheckpoint]]), which would
+    * re-introduce the exchange this round structure removes.
+    */
+  private def checkpointKeyedU(d: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftCheckpoint
+      .localCheckpointKeepHash(d, Seq("u"), dedupPartitions(d))
 
   /** Connected components of the undirected graph given by
     * `edges(idA, idB)`. Returns (id, component_id) for every distinct
@@ -112,12 +145,10 @@ object ConnectedComponents {
   def componentsWithRounds(edges: DataFrame, idA: String = "id_a",
                            idB: String = "id_b", maxIter: Int = 50)
       : (DataFrame, Int) = {
-    var e = edges
+    var e = checkpointKeyedU(roundDedup(edges
       .select(greatest(col(idA).cast("long"), col(idB).cast("long")).as("u"),
               least(col(idA).cast("long"), col(idB).cast("long")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
+      .filter(col("u") =!= col("v"))))
 
     // XOR fold: order-independent, overflow-free (ANSI-safe).
     def signature(d: DataFrame): (Long, Long) = {
@@ -132,7 +163,7 @@ object ConnectedComponents {
       iter += 1
       require(iter <= maxIter, s"connected components did not converge in $maxIter rounds")
       val prev = e
-      e = smallStar(largeStar(e)).localCheckpoint(true)
+      e = checkpointKeyedU(smallStar(largeStar(e)))
       val next = signature(e)
       converged = next == sig
       sig = next

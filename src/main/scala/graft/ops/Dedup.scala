@@ -89,10 +89,6 @@ object Dedup {
                       maxBucket: Int = 1024,
                       acc: Option[org.apache.spark.util.LongAccumulator] = None)
       : DataFrame = {
-    val shingled = df.select(col(idCol).cast("long").as("id"),
-                             shingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-
     // exact-dup mode (threshold >= 1.0, the at-scale/pipeline setting):
     // signature EQUALITY is a lossless prefilter — equal shingle sets
     // imply equal minhash signatures, so a candidate pair with ANY
@@ -104,9 +100,21 @@ object Dedup {
     // dropDuplicates exchange and the shingle verification at the
     // true-duplicate scale. Tag hash collisions only admit extra
     // candidates, which the exact verification below removes.
+    //
+    // Signatures come from the FUSED words->gram-hash MinHash kernel
+    // (HashOps.minhashText): the banding path only ever hashes the
+    // shingle strings, so the word array and every gram string are
+    // never materialized here — bit-identical signatures (FNV is
+    // byte-sequential; a per-slot min is duplicate-insensitive), with
+    // the < shingleN-words rows dropped by the same null the composed
+    // form's size(sh) > 0 filter encoded. Shingle ARRAYS are still
+    // computed below, but only for the pair-surviving sliver.
     val exactOnly = threshold >= 1.0
-    val banded = shingled
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = df
+      .select(col(idCol).cast("long").as("id"),
+              HashOps.minhash_text_col(col(textCol), shingleN, numHashes)
+                .as("sig"))
+      .filter(col("sig").isNotNull)
       .select(
         col("id") +: (if (exactOnly) Seq(xxhash64(col("sig")).as("tag")) else Nil) :+
         // codegen'd one-pass banding (HashOps.bandBuckets) — buckets are

@@ -88,6 +88,79 @@ object HashOps extends Serializable {
     new GenericArrayData(mins)
   }
 
+  /** Fused words -> word-n-gram MinHash: the banding path only ever
+    * HASHES the shingle strings, so this computes every gram's
+    * [[tokenHash]] incrementally over the lowercased byte array (FNV-1a
+    * is byte-sequential: hashing word-slice bytes with single space
+    * bytes between them is exactly hashing the concatenated
+    * `w1 w2 … wn` string) without materializing the word array or any
+    * gram string. The first-occurrence dedup in [[shingles]] is skipped
+    * outright — a per-slot MIN is idempotent under duplicates — so the
+    * resulting signature is bit-identical to
+    * `minhash(shingles(words(text), n), numHashes)`.
+    *
+    * Returns null when the text has fewer than n words — the exact
+    * rows the composed form's `size(sh) > 0` filter drops.
+    */
+  def minhashText(s: UTF8String, n: Int, numHashes: Int): ArrayData = {
+    val lower = s.toLowerCase
+    val bytes = lower.getBytes
+    val len = bytes.length
+    // word offsets over maximal [a-z0-9] byte runs (Words.split's scan)
+    var nWords = 0
+    var cap = 16
+    var starts = new Array[Int](cap)
+    var ends = new Array[Int](cap)
+    var i = 0
+    while (i < len) {
+      val b = bytes(i)
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
+        val st = i
+        i += 1
+        while (i < len && {
+                 val c = bytes(i)
+                 (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+               }) i += 1
+        if (nWords == cap) {
+          cap *= 2
+          starts = java.util.Arrays.copyOf(starts, cap)
+          ends = java.util.Arrays.copyOf(ends, cap)
+        }
+        starts(nWords) = st
+        ends(nWords) = i
+        nWords += 1
+      } else i += 1
+    }
+    if (nWords < n) return null
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val seeds = seedsFor(numHashes)
+    var w = 0
+    while (w <= nWords - n) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < n) {
+        if (j > 0) { h ^= 0x20L; h *= 0x100000001b3L } // the joining space
+        var p = starts(w + j)
+        val e = ends(w + j)
+        while (p < e) { h ^= (bytes(p) & 0xffL); h *= 0x100000001b3L; p += 1 }
+        j += 1
+      }
+      val base = mix64(h)
+      var k = 0
+      while (k < numHashes) {
+        val hh = mix64(base ^ seeds(k))
+        if (hh < mins(k)) mins(k) = hh
+        k += 1
+      }
+      w += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def minhash_text_col(text: Column, n: Int, numHashes: Int): Column =
+    GraftExprs.toColumn(
+      MinHashTextExpression(GraftExprs.toExpr(text), n, numHashes))
+
   def simhash_col(tokens: Column): Column =
     GraftExprs.toColumn(SimHash64Expression(GraftExprs.toExpr(tokens)))
 
@@ -152,6 +225,48 @@ object HashOps extends Serializable {
   def band_buckets_col(sig: Column, rowsPerBand: Int): Column =
     GraftExprs.toColumn(BandBucketsExpression(GraftExprs.toExpr(sig), rowsPerBand))
 
+  /** All `tables` random-hyperplane signatures of a float vector in one
+    * codegen'd pass — bit-identical to calling
+    * [[Similarity.signatureAt]] per table (same memoized plane
+    * components via [[Similarity.planesFor]], same double accumulation
+    * order), but evaluated directly over the columnar `ArrayData`
+    * instead of a Dataset `mapPartitions` that decoded every vector
+    * into an external `Array[Float]` first. The decode dominated the
+    * signature pass once the plane cache landed (the arithmetic is
+    * ~tables x bits x dim flops; the decode was an allocation + copy
+    * per row).
+    */
+  def hyperplaneSigs(vec: ArrayData, tables: Int, bits: Int,
+                     seed: Long): ArrayData = {
+    val dim = vec.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      val planes = Similarity.planesFor(seed, t, bits, dim)
+      var sig = 0
+      var b = 0
+      while (b < bits) {
+        var dot = 0.0
+        var d = 0
+        val off = b * dim
+        while (d < dim) {
+          dot += vec.getFloat(d).toDouble * planes(off + d)
+          d += 1
+        }
+        if (dot >= 0) sig |= (1 << b)
+        b += 1
+      }
+      out(t) = sig.toLong
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def hyperplane_sigs_col(vec: Column, tables: Int, bits: Int,
+                          seed: Long): Column =
+    GraftExprs.toColumn(
+      HyperplaneSigsExpression(GraftExprs.toExpr(vec), tables, bits, seed))
+
   /** One-pass cosine similarity over two float arrays, associated
     * EXACTLY like the declarative q33 formulation it replaces —
     * dot / (sqrt(sum a²) * sqrt(sum b²)), every accumulation a
@@ -195,6 +310,38 @@ object HashOps extends Serializable {
 
   def cosine_sim_col(a: Column, b: Column): Column =
     GraftExprs.toColumn(CosineSimExpression(GraftExprs.toExpr(a), GraftExprs.toExpr(b)))
+
+  /** The near-dup verify kernel: [[Similarity.cosine]]'s exact fold
+    * (ONE fused dot/na/nb loop over min length, 0.0 on zero norms —
+    * note this association differs from [[cosineSim]]'s three separate
+    * folds; both exist deliberately) followed by the verify paths'
+    * `math.rint(c * 10000) / 10000` rounding, computed inside codegen.
+    * Replaces a Dataset `.map` that decoded BOTH float arrays of every
+    * candidate pair into external objects — at ~1.5M random-collision
+    * candidates per at-scale pass, the decode dominated verification.
+    * Bit-identical: same primitive ops in the same order.
+    */
+  def cosineRint4(a: ArrayData, b: ArrayData): Double = {
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i)
+      val y = b.getFloat(i)
+      dot += x.toDouble * y
+      na += x.toDouble * x
+      nb += y.toDouble * y
+      i += 1
+    }
+    val c = if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    math.rint(c * 10000) / 10000
+  }
+
+  def cosine_rint4_col(a: Column, b: Column): Column =
+    GraftExprs.toColumn(
+      CosineRint4Expression(GraftExprs.toExpr(a), GraftExprs.toExpr(b)))
 }
 
 case class SimHash64Expression(child: Expression) extends UnaryExpression {
@@ -218,6 +365,26 @@ case class MinHashExpression(child: Expression, numHashes: Int)
     defineCodeGen(ctx, ev, c => s"graft.ops.HashOps.minhash($c, $numHashes)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild, numHashes = numHashes)
+}
+
+case class MinHashTextExpression(child: Expression, n: Int, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // null for texts with < n words
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.minhashText(input.asInstanceOf[UTF8String], n, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("graftMhT")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.ops.HashOps.minhashText($c, $n, $numHashes);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 case class BandBucketsExpression(child: Expression, rowsPerBand: Int)
@@ -250,6 +417,34 @@ case class CosineSimExpression(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+case class CosineRint4Expression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(
+      HashOps.cosineRint4(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ops.HashOps.cosineRint4($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class HyperplaneSigsExpression(child: Expression, tables: Int,
+                                    bits: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.hyperplaneSigs(input.asInstanceOf[ArrayData], tables, bits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.ops.HashOps.hyperplaneSigs($c, $tables, $bits, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 case class ShinglesExpression(child: Expression, n: Int)

@@ -45,19 +45,16 @@ object IncrementalAnn {
     * bucket membership agree by construction.
     */
   def bands(emb: DataFrame, idCol: String, vecCol: String,
-            tables: Int = 8, bits: Int = 10, seed: Long = 7L): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
+            tables: Int = 8, bits: Int = 10, seed: Long = 7L): DataFrame =
+    // one codegen'd pass per row (HashOps.hyperplaneSigs) — signatures
+    // bit-identical to the former per-table signatureAt mapPartitions,
+    // without decoding every vector into an external Array[Float]
     emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        it.flatMap { case (id, vec) =>
-          (0 until tables).iterator
-            .map(t => (t, signatureAt(vec, seed, t, bits).toLong, id))
-        }
-      }
-      .toDF("band", "bucket", "id")
-  }
+      .select(col("id"),
+              posexplode(HashOps.hyperplane_sigs_col(col("vec"), tables, bits,
+                                                     seed))
+                .as(Seq("band", "bucket")))
+      .select(col("band"), col("bucket"), col("id"))
 
   // table dirs live inside the ACTIVE generation (RoundSlots'
   // compaction layer — same LSM fold as [[IncrementalLsh.compact]])
@@ -121,8 +118,12 @@ object IncrementalAnn {
       .persist()
     // bands from the PERSISTED (id, vec) slice, not the caller's
     // source plan — one source scan per round, and bands/vecs cannot
-    // disagree if the source is nondeterministic
-    val newBands = bands(newVecs, "id", "vec", tables, bits, seed)
+    // disagree if the source is nondeterministic. The banding itself is
+    // ALSO persisted: it has three consumers (pair generation's grouped
+    // side, its touched-bucket semi-join build side, and the index
+    // append below), each of which would otherwise re-run the signature
+    // pass over the round's slice.
+    val newBands = bands(newVecs, "id", "vec", tables, bits, seed).persist()
     val complete = slot match {
       case None => completeRounds(indexDir)
       case Some(k) =>
@@ -148,19 +149,20 @@ object IncrementalAnn {
     val pairIds = IncrementalLsh.broadcastPairIds(pairsRaw, nPairRows)
     val lookup = oldVecs.select(col("id"), col("vec")).unionByName(newVecs)
       .join(pairIds, Seq("id"), "left_semi")
+    // codegen'd verify kernel (HashOps.cosineRint4 — Similarity.cosine's
+    // exact fold + the rint rounding): no per-pair external decode of
+    // two float arrays across the candidate set
     val pairs = IncrementalLsh
       .joinPairsToLookup(spark, pairsRaw, nPairRows, lookup)
-      .select(col("id_a"), col("id_b"), col("payload_a"), col("payload_b"))
-      .as[(Long, Long, Array[Float], Array[Float])]
-      .map { case (ia, ib, va, vb) =>
-        (ia, ib, math.rint(cosine(va, vb) * 10000) / 10000)
-      }
-      .toDF("id_a", "id_b", "cosine")
+      .select(col("id_a"), col("id_b"),
+              HashOps.cosine_rint4_col(col("payload_a"), col("payload_b"))
+                .as("cosine"))
       .filter(col("cosine") >= threshold)
       .localCheckpoint() // force BEFORE the append mutates the index
     val k = slot.getOrElse(complete.size)
     newBands.write.mode("overwrite").parquet(s"${bandsDir(indexDir)}/r$k")
     newVecs.write.mode("overwrite").parquet(s"${vecsDir(indexDir)}/r$k")
+    newBands.unpersist()
     newVecs.unpersist()
     // LSM fold on the caller's cadence: bounded slot count, same data
     if (compactEvery > 0 && k + 1 >= compactEvery) compact(spark, indexDir)

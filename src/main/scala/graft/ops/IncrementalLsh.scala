@@ -265,7 +265,11 @@ object IncrementalLsh {
               Dedup.shingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist()
+    // banding persisted too: three consumers (pair generation's grouped
+    // side, its touched-bucket semi-join build side, the index append)
+    // would otherwise each re-run the minhash pass over the round slice
     val newBands = bandsFromShingled(newShingled, numHashes, rowsPerBand)
+      .persist()
     val complete = slot match {
       case None => completeRounds(indexDir)
       case Some(k) =>
@@ -332,6 +336,7 @@ object IncrementalLsh {
     val k = slot.getOrElse(complete.size)
     newBands.write.mode("overwrite").parquet(s"${bandsDir(indexDir)}/r$k")
     newShingled.write.mode("overwrite").parquet(s"${shinglesDir(indexDir)}/r$k")
+    newBands.unpersist()
     newShingled.unpersist()
     // LSM fold on the caller's cadence: bounded slot count, same data
     if (compactEvery > 0 && k + 1 >= compactEvery) compact(spark, indexDir)

@@ -122,7 +122,7 @@ object Similarity {
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int, Int), Array[Float]]()
 
-  private def planesFor(seed: Long, t: Int, bits: Int, dim: Int): Array[Float] =
+  private[ops] def planesFor(seed: Long, t: Int, bits: Int, dim: Int): Array[Float] =
     planeCache.computeIfAbsent((seed, t, bits, dim), { _ =>
       val a = new Array[Float](bits * dim)
       var b = 0
@@ -479,15 +479,15 @@ object Similarity {
                      seed: Long = 7L, maxBucket: Int = 1024): DataFrame = {
     import spark.implicits._
     val base = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    // one codegen'd pass per row (HashOps.hyperplaneSigs) — signatures
+    // bit-identical to the former per-table signatureAt mapPartitions,
+    // without decoding every vector into an external Array[Float]
     val banded = base
-      .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        it.flatMap { case (id, vec) =>
-          (0 until tables).iterator
-            .map(t => (t, signatureAt(vec, seed, t, bits).toLong, id))
-        }
-      }
-      .toDF("band", "bucket", "id")
+      .select(col("id"),
+              posexplode(HashOps.hyperplane_sigs_col(col("vec"), tables, bits,
+                                                     seed))
+                .as(Seq("band", "bucket")))
+      .select(col("band"), col("bucket"), col("id"))
     // pair set pinned once, vector lookup pruned to pair-surviving ids
     // (same shape as Dedup.minhashNearDups, measured-size broadcast
     // guards included): embeddings of unpaired rows never ride the
@@ -499,13 +499,15 @@ object Similarity {
     val idsSide = LshPairs.broadcastIfFits(pairIds, 2L * nPairRows, 24L)
     val pairSide = LshPairs.broadcastIfFits(pairsRaw, nPairRows, 48L)
     val lookup = base.join(idsSide, Seq("id"), "left_semi")
+    // codegen'd verify kernel (HashOps.cosineRint4 — Similarity.cosine's
+    // exact fold + the rint rounding): no per-pair external decode of
+    // two float arrays, which dominated verification at the ~10^6
+    // random-collision candidate scale
     pairSide
       .join(lookup.select(col("id").as("id_a"), col("vec").as("va")), "id_a")
       .join(lookup.select(col("id").as("id_b"), col("vec").as("vb")), "id_b")
-      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
-      .as[(Long, Long, Array[Float], Array[Float])]
-      .map { case (ia, ib, va, vb) => (ia, ib, math.rint(cosine(va, vb) * 10000) / 10000) }
-      .toDF("id_a", "id_b", "cosine")
+      .select(col("id_a"), col("id_b"),
+              HashOps.cosine_rint4_col(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -106,6 +106,34 @@ class DedupSpec extends SparkSuite {
     assert(survivors == corpus.count() - 30)
   }
 
+  test("fused text minhash is bit-identical to minhash(shingles(words))") {
+    // the banding path rides HashOps.minhashText — pin bit-equality
+    // against the composed form on the full corpus, plus the
+    // null-iff-(< n words) drop semantics, for both q27's and the
+    // at-scale leg's (n, numHashes) configs and edge-case texts
+    val edge = Seq((90001L, ""), (90002L, "one two"), (90003L, "one two three"),
+                   (90004L, "  A!  b2,c  d "), (90005L, "x x x x"))
+      .toDF("id", "text")
+    val all = corpus.union(edge)
+    for ((n, k) <- Seq((3, 32), (5, 16))) {
+      val composed = all.select(
+          col("id"), Dedup.shingles(col("text"), n).as("sh"))
+        .select(col("id"), size(col("sh")).as("nsh"),
+                Dedup.minhashSignature(col("sh"), k).as("sig"))
+        .as[(Long, Int, Array[Long])].collect()
+      val fused = all.select(
+          col("id"),
+          graft.ops.HashOps.minhash_text_col(col("text"), n, k).as("sig"))
+        .as[(Long, Option[Array[Long]])].collect().toMap
+      composed.foreach { case (id, nsh, sig) =>
+        val got = fused(id)
+        if (nsh == 0) assert(got.isEmpty, s"id=$id: expected null sig")
+        else assert(got.isDefined && got.get.toSeq == sig.toSeq,
+                    s"id=$id n=$n k=$k: fused ${got.map(_.toSeq)} vs composed ${sig.toSeq}")
+      }
+    }
+  }
+
   test("minhash LSH finds all planted exact and near duplicates") {
     val pairs = Dedup.minhashNearDups(corpus, "id", "text",
                                       shingleN = 3, numHashes = 32,
@@ -393,6 +421,49 @@ class SimilaritySpec extends SparkSuite {
       brute(q).intersect(ivf.getOrElse(q, Set.empty)).size.toDouble / 5.0
     }.sum / queries.size
     assert(recall >= 0.3, s"IVF recall with distributed training too low: $recall")
+  }
+
+  test("codegen hyperplane signatures are bit-identical to signatureAt") {
+    // the banding paths (cosineNearDups / IncrementalAnn.bands) ride the
+    // codegen'd HashOps.hyperplaneSigs — pin bit-equality against the
+    // scalar signatureAt reference for every row, table and bit width
+    val rows = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    assert(rows.nonEmpty)
+    for (bits <- Seq(10, 16); tables <- Seq(2, 8); seed <- Seq(7L, 42L)) {
+      val got = emb
+        .select(col("vec_id").cast("long").as("id"),
+                graft.ops.HashOps.hyperplane_sigs_col(
+                  col("embedding"), tables, bits, seed).as("sigs"))
+        .as[(Long, Array[Long])].collect().toMap
+      rows.foreach { case (id, vec) =>
+        val want = (0 until tables)
+          .map(t => Similarity.signatureAt(vec, seed, t, bits).toLong)
+        assert(got(id).toSeq == want,
+               s"sig mismatch id=$id bits=$bits tables=$tables seed=$seed")
+      }
+    }
+  }
+
+  test("codegen verify kernel is bit-identical to Similarity.cosine + rint") {
+    val rows = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val pairsDf = emb.select(col("vec_id").cast("long").as("id_a"),
+                             col("embedding").as("va"))
+      .crossJoin(emb.select(col("vec_id").cast("long").as("id_b"),
+                            col("embedding").as("vb")))
+      .filter(col("id_a") < col("id_b") && col("id_b") < 30)
+      .select(col("id_a"), col("id_b"),
+              graft.ops.HashOps.cosine_rint4_col(col("va"), col("vb")).as("c"))
+      .as[(Long, Long, Double)].collect()
+    assert(pairsDf.nonEmpty)
+    val byId = rows.toMap
+    pairsDf.foreach { case (a, b, got) =>
+      val want = math.rint(Similarity.cosine(byId(a), byId(b)) * 10000) / 10000
+      assert(java.lang.Double.doubleToRawLongBits(got) ==
+               java.lang.Double.doubleToRawLongBits(want),
+             s"cosine kernel mismatch for ($a,$b): $got vs $want")
+    }
   }
 
   test("cosine near-dup finds all planted duplicate vectors") {
