@@ -31,21 +31,13 @@ object Chunking {
     require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
     require(stride >= 1 && stride <= chunkSize,
             s"stride must be in [1, chunkSize], got $stride")
-    val len = size(col("ws")).cast("long")
-    val nChunks = when(len === 0, lit(0L))
-      .when(len <= chunkSize, lit(1L))
-      .otherwise(lit(1L) +
-        ceil((len - chunkSize).cast("double") / stride.toDouble).cast("long"))
-    df.select(col(idCol).as("id"), TextOps.words(col(textCol)).as("ws"))
-      .withColumn("n_chunks", nChunks)
-      .filter(col("n_chunks") > 0)
-      .select(col("id"), col("ws"),
-              explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
-      .withColumn("chunk",
-                  slice(col("ws"), (col("chunk_idx") * stride + 1).cast("int"),
-                        lit(chunkSize)))
-      .select(col("id"), col("chunk_idx"),
-              size(col("chunk")).cast("long").as("n_tokens"),
-              array_join(col("chunk"), " ").as("chunk_text"))
+    // fused one-pass kernel (HashOps.chunks): text -> array of
+    // (chunk_idx, n_tokens, chunk_text) structs, inlined. Rows are
+    // byte-identical to the former words/explode/slice/array_join
+    // chain (spec-pinned), which copied the FULL word array into every
+    // generated chunk row — O(words x chunks) moved bytes per doc
+    // where the chunks themselves are O(chunkSize x chunks).
+    df.select(col(idCol).as("id"),
+              inline(HashOps.chunks_col(col(textCol), chunkSize, stride)))
   }
 }

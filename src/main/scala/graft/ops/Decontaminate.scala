@@ -37,12 +37,32 @@ object Decontaminate {
   def overlap(corpus: DataFrame, benchmark: DataFrame,
               idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val spark = corpus.sparkSession
     val benchGrams = benchmark
       .select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
       .distinct()
+    // prefilter: a fused row-local kernel (HashOps.gramHit) hashes each
+    // corpus gram incrementally over the lowercased bytes — no word
+    // arrays, no gram strings — and checks it against the broadcast
+    // sorted hash set of the benchmark grams. Gram equality implies
+    // hash equality, so the prefilter has NO false negatives; a false
+    // positive only admits an extra doc into the exact string-join
+    // verification below, whose algebra is unchanged. The expensive
+    // shingle-string materialization now runs over the maybe-hit sliver
+    // instead of the whole corpus. The benchmark side is driver-scale
+    // by the operator's contract (eval suites, not corpora), so the
+    // collect here is bounded the same way the broadcast always was.
+    val benchHashes: Array[Long] = benchGrams
+      .collect()
+      .map(r => HashOps.tokenHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))))
+    java.util.Arrays.sort(benchHashes)
+    val bc = spark.sparkContext.broadcast(benchHashes)
     val hits = corpus
-      .select(col(idCol).as("id"),
-              explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .select(col(idCol).as("id"), col(textCol).as("__dc_text"))
+      .filter(HashOps.gram_hit_col(col("__dc_text"), n, bc))
+      .select(col("id"),
+              explode(Dedup.shingles(col("__dc_text"), n)).as("gram"))
       .join(broadcast(benchGrams), "gram")
       .groupBy("id")
       .agg(count(lit(1)).as("n_hit_grams"))

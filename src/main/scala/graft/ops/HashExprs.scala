@@ -161,6 +161,118 @@ object HashOps extends Serializable {
     GraftExprs.toColumn(
       MinHashTextExpression(GraftExprs.toExpr(text), n, numHashes))
 
+  /** Word (start, end) byte offsets over the lowercased byte array —
+    * the shared tokenizer scan of [[Words.split]] / [[minhashText]],
+    * packed as [s0, e0, s1, e1, …]; returns (packed, nWords).
+    */
+  private def wordOffsets(bytes: Array[Byte]): (Array[Int], Int) = {
+    val len = bytes.length
+    var n = 0
+    var cap = 32
+    var off = new Array[Int](cap)
+    var i = 0
+    while (i < len) {
+      val b = bytes(i)
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
+        val st = i
+        i += 1
+        while (i < len && {
+                 val c = bytes(i)
+                 (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+               }) i += 1
+        if (2 * n == cap) { cap *= 2; off = java.util.Arrays.copyOf(off, cap) }
+        off(2 * n) = st
+        off(2 * n + 1) = i
+        n += 1
+      } else i += 1
+    }
+    (off, n)
+  }
+
+  /** Fused sliding-window chunker: one pass from text to
+    * array<struct<chunk_idx, n_tokens, chunk_text>> — exactly the rows
+    * the composed words/explode/slice/array_join chain produced, but
+    * without materializing the word array once per CHUNK row (the
+    * generator copied the full `ws` array into every emitted row, so a
+    * 100-word doc moved ~100 x nChunks word copies through the
+    * pipeline where the chunks themselves hold ~chunkSize x nChunks).
+    * chunk_text bytes are copied straight from the lowercased byte
+    * array with single joining spaces — byte-identical to
+    * `array_join(slice(words, idx*stride+1, chunkSize), " ")`.
+    */
+  def chunks(s: UTF8String, chunkSize: Int, stride: Int): ArrayData = {
+    val lower = s.toLowerCase
+    val bytes = lower.getBytes
+    val (off, nWords) = wordOffsets(bytes)
+    if (nWords == 0) return new GenericArrayData(Array.empty[Any])
+    val nChunks =
+      if (nWords <= chunkSize) 1
+      else 1 + math.ceil((nWords - chunkSize).toDouble / stride).toInt
+    val out = new Array[Any](nChunks)
+    var c = 0
+    while (c < nChunks) {
+      val start = c * stride
+      val end = math.min(start + chunkSize, nWords)
+      val nTok = end - start
+      var blen = nTok - 1
+      var w = start
+      while (w < end) { blen += off(2 * w + 1) - off(2 * w); w += 1 }
+      val buf = new Array[Byte](blen)
+      var o = 0
+      w = start
+      while (w < end) {
+        if (w > start) { buf(o) = ' '; o += 1 }
+        val l = off(2 * w + 1) - off(2 * w)
+        System.arraycopy(bytes, off(2 * w), buf, o, l)
+        o += l
+        w += 1
+      }
+      out(c) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](c.toLong, nTok.toLong, UTF8String.fromBytes(buf)))
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def chunks_col(text: Column, chunkSize: Int, stride: Int): Column =
+    GraftExprs.toColumn(
+      ChunksExpression(GraftExprs.toExpr(text), chunkSize, stride))
+
+  /** True iff any word n-gram of `s` hashes ([[tokenHash]] semantics,
+    * computed incrementally like [[minhashText]]) into the SORTED
+    * `hashes` array — the decontamination prefilter. Gram equality
+    * implies hash equality, so this has NO false negatives; false
+    * positives only admit extra rows into the exact string-join
+    * verification downstream.
+    */
+  def gramHit(s: UTF8String, n: Int, hashes: Array[Long]): Boolean = {
+    if (hashes.isEmpty) return false
+    val lower = s.toLowerCase
+    val bytes = lower.getBytes
+    val (off, nWords) = wordOffsets(bytes)
+    if (nWords < n) return false
+    var w = 0
+    while (w <= nWords - n) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < n) {
+        if (j > 0) { h ^= 0x20L; h *= 0x100000001b3L }
+        var p = off(2 * (w + j))
+        val e = off(2 * (w + j) + 1)
+        while (p < e) { h ^= (bytes(p) & 0xffL); h *= 0x100000001b3L; p += 1 }
+        j += 1
+      }
+      if (java.util.Arrays.binarySearch(hashes, mix64(h)) >= 0) return true
+      w += 1
+    }
+    false
+  }
+
+  def gram_hit_col(text: Column, n: Int,
+                   hashes: org.apache.spark.broadcast.Broadcast[Array[Long]])
+      : Column =
+    GraftExprs.toColumn(GramHitExpression(GraftExprs.toExpr(text), n, hashes))
+
   def simhash_col(tokens: Column): Column =
     GraftExprs.toColumn(SimHash64Expression(GraftExprs.toExpr(tokens)))
 
@@ -383,6 +495,43 @@ case class MinHashTextExpression(child: Expression, n: Int, numHashes: Int)
          |else { ${ev.value} = $tmp; }
        """.stripMargin
     })
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class ChunksExpression(child: Expression, chunkSize: Int, stride: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("chunk_idx", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_tokens", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("chunk_text",
+        org.apache.spark.sql.types.StringType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.chunks(input.asInstanceOf[UTF8String], chunkSize, stride)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.ops.HashOps.chunks($c, $chunkSize, $stride)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class GramHitExpression(child: Expression, n: Int,
+                             hashes: org.apache.spark.broadcast.Broadcast[Array[Long]])
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = child.nullable
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(
+      HashOps.gramHit(input.asInstanceOf[UTF8String], n, hashes.value))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("graftGramHashes", hashes,
+      classOf[org.apache.spark.broadcast.Broadcast[Array[Long]]].getName)
+    defineCodeGen(ctx, ev,
+      c => s"graft.ops.HashOps.gramHit($c, $n, (long[]) $bcRef.value())")
+  }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
