@@ -41,9 +41,10 @@ import graft.seen.BloomFilter
   * exactly as the seen tier does (`Snapshots.bloomShardPathAt`) and
   * prefilter each co-partitioned bucket with its own shard.
   *
-  * Reference behavior this scales: the seen-URL membership gate of
-  * the reference's crawl loop (olx_c226/main.go:121-137) generalized
-  * to arbitrary join keys.
+  * Reference behavior this scales: the implicit URL-revisit dedup the
+  * reference's collector relies on (colly tracks visited URLs
+  * internally; the scrapers carry no explicit seen-set code),
+  * generalized to arbitrary join keys.
   */
 object BloomPrune {
 

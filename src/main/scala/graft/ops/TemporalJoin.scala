@@ -68,6 +68,21 @@ object TemporalJoin {
                               key: String, leftTs: String, rightTs: String,
                               payloadCols: Seq[String],
                               forward: Boolean): DataFrame = {
+    // scratch-column guard (mirrors BloomPrune's type-mismatch guard
+    // style): withColumn would silently OVERWRITE a left column named
+    // like a reserved scratch column and re-select it corrupted, and a
+    // payload column shadowing a left column would duplicate output
+    // columns — fail loud instead
+    val reserved = Set("__t", "__side", "__payload", "__carry")
+    val clash = left.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+            s"as-of join: left columns ${clash.mkString(", ")} collide " +
+              "with reserved scratch names __t/__side/__payload/__carry — " +
+              "rename them before joining")
+    val payloadClash = payloadCols.filter(left.columns.contains)
+    require(payloadClash.isEmpty,
+            s"as-of join: payload columns ${payloadClash.mkString(", ")} " +
+              "already exist on the left side — rename one side")
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("__t", col(leftTs))
@@ -146,12 +161,20 @@ object TemporalJoin {
           "or pass TIMESTAMP (instant) columns.")
     }
     val w = bucketSec * 1000000L // micros
-    // exact floor division on longs: Spark's `/` is double division,
-    // which rounds at epoch-microsecond magnitudes; subtracting the
-    // pmod first makes the quotient exactly representable (and gives
-    // floor — not truncate-toward-zero — for pre-1970 instants)
-    def bucketOf(c: org.apache.spark.sql.Column) =
-      ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+    // exact floor division on longs, end to end: subtracting the pmod
+    // gives floor (not truncate-toward-zero) for pre-1970 instants, and
+    // the integer `div` keeps the quotient exact over the FULL long
+    // range — the former `/` was IEEE double division, exact only while
+    // |c - pmod| < 2^53 µs (roughly years 1685–2255), beyond which the
+    // quotient could round below the integer and bucket a matching
+    // probe/interval pair apart
+    def bucketOf(c: org.apache.spark.sql.Column) = {
+      import org.apache.spark.sql.GraftExprs
+      GraftExprs.toColumn(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          GraftExprs.toExpr(c - pmod(c, lit(w))),
+          GraftExprs.toExpr(lit(w)))).cast("long")
+    }
     // TIMESTAMP_NTZ columns (parquet default) cast through the session
     // zone; under the fixed-offset zones the guard above admits, the
     // cast is strictly monotone, and bucketing only needs
