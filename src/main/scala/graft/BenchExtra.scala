@@ -68,10 +68,13 @@ object BenchExtra {
     leg match {
       case "explain" =>
         val suffix = if (args.length > 1) args(1) else "before"
+        // optional explicit query list after the suffix; defaults to the
+        // headline set so the original invocation is unchanged
+        val names = if (args.length > 2) args.drop(2).toSeq else headline
         val s = session(cpus)
         val dir = java.nio.file.Paths.get("plans/r06")
         java.nio.file.Files.createDirectories(dir)
-        headline.foreach { n =>
+        names.foreach { n =>
           val df = SparkEntry.queries(n)(s, sfDir)
           java.nio.file.Files.write(dir.resolve(s"${n}_$suffix.txt"),
                                     explainStr(df).getBytes("UTF-8"))

@@ -108,7 +108,8 @@ object Dedup {
     // byte-sequential; a per-slot min is duplicate-insensitive), with
     // the < shingleN-words rows dropped by the same null the composed
     // form's size(sh) > 0 filter encoded. Shingle ARRAYS are still
-    // computed below, but only for the pair-surviving sliver.
+    // computed below for verification — in exactOnly mode only for the
+    // pair-surviving sliver.
     val exactOnly = threshold >= 1.0
     val banded = df
       .select(col(idCol).cast("long").as("id"),
@@ -123,26 +124,44 @@ object Dedup {
         posexplode(HashOps.band_buckets_col(col("sig"), rowsPerBand))
           .as(Seq("band", "bucket")): _*)
 
-    // pair set pinned once (localCheckpoint: candidate generation must
-    // not re-execute per consumer) and COUNTED, then the verification
-    // lookup is PRUNED to ids that actually appear in a surviving pair —
-    // shingle arrays are recomputed (and, under a non-broadcast plan,
-    // shuffled) only for that sliver of the corpus instead of every
-    // row, twice. Both the id set (semi join) and the pair set
-    // (verify joins) carry a measured-size broadcast guard: when they
-    // fit the session threshold every corpus touch stays map-side.
-    val cand = LshPairs.cappedIdPairs(banded, maxBucket, acc,
-                                      matchTag = exactOnly)
-      .localCheckpoint()
-    val nCand = cand.count()
-    val pairIds = cand
-      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-    val idsSide = LshPairs.broadcastIfFits(pairIds, 2L * nCand, 24L)
-    val pairSide = LshPairs.broadcastIfFits(cand, nCand, 48L)
-    val lookup = df
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("__mnd_text"))
-      .join(idsSide, Seq("id"), "left_semi")
-      .select(col("id"), shingles(col("__mnd_text"), shingleN).as("sh"))
+    // Verification strategy splits on the mode:
+    //  - exactOnly (the at-scale/pipeline setting): the pair set is
+    //    pinned once (localCheckpoint: candidate generation must not
+    //    re-execute per consumer) and COUNTED, then the verification
+    //    lookup is PRUNED to ids that actually appear in a surviving
+    //    pair — shingle arrays are recomputed (and, under a
+    //    non-broadcast plan, shuffled) only for that sliver of the
+    //    corpus instead of every row, twice. Both the id set (semi
+    //    join) and the pair set (verify joins) carry a measured-size
+    //    broadcast guard: when they fit the session threshold every
+    //    corpus touch stays map-side.
+    //  - threshold < 1.0 (bounded-subset similarity search): no tag
+    //    prefilter exists, so the candidate set is O(bucket overlap) of
+    //    the input and the pruning machinery's extra actions (eager
+    //    checkpoint + count) cost more than shingling the corpus once.
+    //    One action, the capped-pair exchange reused across both verify
+    //    joins — the measured fixture-scale shape.
+    val candRaw = LshPairs.cappedIdPairs(banded, maxBucket, acc,
+                                         matchTag = exactOnly)
+    val (pairSide, lookup) =
+      if (exactOnly) {
+        val cand = candRaw.localCheckpoint()
+        val nCand = cand.count()
+        val pairIds = cand
+          .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+        val idsSide = LshPairs.broadcastIfFits(pairIds, 2L * nCand, 24L)
+        val lk = df
+          .select(col(idCol).cast("long").as("id"), col(textCol).as("__mnd_text"))
+          .join(idsSide, Seq("id"), "left_semi")
+          .select(col("id"), shingles(col("__mnd_text"), shingleN).as("sh"))
+        (LshPairs.broadcastIfFits(cand, nCand, 48L), lk)
+      } else {
+        val lk = df
+          .select(col(idCol).cast("long").as("id"),
+                  shingles(col(textCol), shingleN).as("sh"))
+          .filter(size(col("sh")) > 0)
+        (candRaw, lk)
+      }
     pairSide
       .join(lookup.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(lookup.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
