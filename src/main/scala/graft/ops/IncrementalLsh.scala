@@ -19,7 +19,9 @@ import org.apache.spark.util.LongAccumulator
   * cost O(|new| + |touched buckets|):
   *
   *   - the index is two append-only parquet tables under `indexDir`:
-  *     `bands` (band, bucket, id — the skinny LSH postings) and
+  *     `bands` (band, bucket, id, tag — the skinny LSH postings; `tag`
+  *     is the xxhash64 of the row's full minhash signature, feeding the
+  *     exact-dup prefilter at pair emission) and
   *     `shingles` (id, sh — the verification payloads), one `r<k>`
   *     subdirectory per ingest round (same LSM cadence as the crawl's
   *     seen state). Reads take only rounds present in BOTH tables and
@@ -66,6 +68,13 @@ object IncrementalLsh {
   /** [[bands]] over an already-shingled (id, sh) frame — lets
     * roundPairs derive postings from its PERSISTED shingle slice
     * instead of re-evaluating the caller's source plan a second time.
+    *
+    * Each posting also carries `tag` = xxhash64 of the FULL minhash
+    * signature — the same per-row tag [[Dedup.minhashNearDups]] feeds
+    * its exact-dup prefilter. Storing it with the posting costs 8
+    * bytes/row and lets threshold-1.0 incremental rounds suppress
+    * sig-unequal candidates AT EMISSION, instead of re-reading the fat
+    * shingle store to recompute every signature for a post-hoc filter.
     */
   def bandsFromShingled(shingled: DataFrame, numHashes: Int,
                         rowsPerBand: Int): DataFrame =
@@ -73,6 +82,7 @@ object IncrementalLsh {
       .withColumn("sig", Dedup.minhashSignature(col("sh"), numHashes))
       .select(
         col("id"),
+        xxhash64(col("sig")).as("tag"),
         // codegen'd one-pass banding — bit-identical buckets to the
         // former transform/slice/xxhash64 chain (see HashOps.bandBuckets)
         posexplode(HashOps.band_buckets_col(col("sig"), rowsPerBand))
@@ -85,9 +95,17 @@ object IncrementalLsh {
     * Mirrors [[LshPairs.cappedIdPairs]] (cap smallest ids per bucket,
     * deterministic, O(cap) task memory, counted drops) but suppresses
     * old-old pairs — they were emitted in an earlier round.
+    *
+    * `matchTag`: when true, both inputs must carry a long `tag` column
+    * and a pair is emitted only when the tags are EQUAL — the
+    * in-generation exact-dup signature prefilter (cf.
+    * [[LshPairs.cappedIdPairs]]). Tag collisions only ADD candidates;
+    * the caller's exact verification removes them. Cap semantics are
+    * untouched.
     */
   def cappedNewPairs(oldBands: DataFrame, newBands: DataFrame, cap: Int,
-                     acc: Option[LongAccumulator] = None): DataFrame = {
+                     acc: Option[LongAccumulator] = None,
+                     matchTag: Boolean = false): DataFrame = {
     require(cap > 1, s"cap must be > 1, got $cap")
     val spark = newBands.sparkSession
     import spark.implicits._
@@ -95,7 +113,8 @@ object IncrementalLsh {
       spark.sparkContext.longAccumulator("lsh_capped_dropped_rows"))
     def norm(df: DataFrame, isNew: Boolean) = df
       .select(col("band").cast("int"), col("bucket").cast("long"),
-              col("id").cast("long"), lit(isNew).as("is_new"))
+              col("id").cast("long"), lit(isNew).as("is_new"),
+              (if (matchTag) col("tag").cast("long") else lit(0L)).as("tag"))
     // buckets untouched by new rows contribute nothing: semi-join the
     // old postings down to touched buckets BEFORE grouping, so the
     // grouped exchange carries O(|new| + |old in touched buckets|)
@@ -107,20 +126,20 @@ object IncrementalLsh {
             col("band") === col("t_band") && col("bucket") === col("t_bucket"),
             "left_semi")
     touched.unionByName(oldTouched)
-      .as[(Int, Long, Long, Boolean)]
+      .as[(Int, Long, Long, Boolean, Long)]
       .groupByKey(t => (t._1, t._2))
-      .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long, Boolean)]) =>
-        // bounded max-heap over (id, is_new), keeping the cap smallest
-        // ids — same cap semantics as LshPairs.cappedIdPairs
-        implicit val ord: Ordering[(Long, Boolean)] = Ordering.by(_._1)
-        val buf = new mutable.ArrayBuffer[(Long, Boolean)](4)
-        var heap: mutable.PriorityQueue[(Long, Boolean)] = null
+      .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long, Boolean, Long)]) =>
+        // bounded max-heap over (id, is_new, tag), keeping the cap
+        // smallest ids — same cap semantics as LshPairs.cappedIdPairs
+        implicit val ord: Ordering[(Long, Boolean, Long)] = Ordering.by(_._1)
+        val buf = new mutable.ArrayBuffer[(Long, Boolean, Long)](4)
+        var heap: mutable.PriorityQueue[(Long, Boolean, Long)] = null
         it.foreach { t =>
-          val e = (t._3, t._4)
+          val e = (t._3, t._4, t._5)
           if (heap == null) {
             buf += e
             if (buf.length > cap) {
-              heap = mutable.PriorityQueue.empty[(Long, Boolean)]
+              heap = mutable.PriorityQueue.empty[(Long, Boolean, Long)]
               heap ++= buf
               heap.dequeue()
               dropped.add(1L)
@@ -129,13 +148,14 @@ object IncrementalLsh {
             heap.dequeue(); heap.enqueue(e); dropped.add(1L)
           } else dropped.add(1L)
         }
-        val ids: scala.collection.Seq[(Long, Boolean)] =
+        val ids: scala.collection.Seq[(Long, Boolean, Long)] =
           if (heap == null) {
             val a = buf.toArray; java.util.Arrays.sort(a, ord); a
           } else heap.dequeueAll.reverse
         ids.indices.iterator.flatMap { i =>
           (i + 1 until ids.length).iterator
-            .filter(j => ids(i)._2 || ids(j)._2) // >= 1 new member
+            .filter(j => (ids(i)._2 || ids(j)._2) && // >= 1 new member
+              ids(i)._3 == ids(j)._3) // tags equal (0 == 0 untagged)
             .map(j => (ids(i)._1, ids(j)._1))
         }
       }
@@ -279,48 +299,41 @@ object IncrementalLsh {
         prior
     }
     val oldBands = readRounds(spark, bandsDir(indexDir), complete,
-                              Seq.empty[(Int, Long, Long)].toDF("band", "bucket", "id")
-                                .select(col("band"), col("bucket"), col("id")))
+                              Seq.empty[(Int, Long, Long, Long)]
+                                .toDF("band", "bucket", "id", "tag")
+                                .select(col("band"), col("bucket"),
+                                        col("id"), col("tag")))
     val oldShingles = readRounds(spark, shinglesDir(indexDir), complete,
                                  spark.emptyDataset[(Long, Seq[String])]
                                    .toDF("id", "sh"))
-    // materialize the capped pair set so the verify join is planned
-    // from its MEASURED size (broadcast only if it fits — see
-    // joinPairsToLookup); the checkpoint also pins the pair set before
-    // the append below mutates the index
-    val pairsRaw = cappedNewPairs(oldBands, newBands, maxBucket, acc)
-      .localCheckpoint()
-    val nPairRows = pairsRaw.count()
     // exact-dup mode (threshold >= 1.0): signature equality is a
     // lossless prefilter — equal shingle sets imply equal minhash
     // signatures, so a candidate with ANY differing slot cannot reach
-    // jaccard 1.0 (same reasoning as Dedup.minhashNearDups). Signatures
-    // are recomputed row-locally from the stored/new shingle arrays
-    // (cheap next to the shingling the store already paid), cutting the
-    // fat shingle-verify join to the true-duplicate sliver.
-    val shingleAll = oldShingles.select(col("id"), col("sh"))
-      .unionByName(newShingled)
-    val (cand, nCand) =
-      if (threshold < 1.0) (pairsRaw, nPairRows)
-      else {
-        val sigAll = shingleAll.select(
-          col("id"), Dedup.minhashSignature(col("sh"), numHashes).as("sig"))
-        val c = LshPairs.broadcastIfFits(pairsRaw, nPairRows, 48L)
-          .join(sigAll.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-          .join(sigAll.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-          .filter(col("sig_a") === col("sig_b"))
-          .select(col("id_a"), col("id_b"))
-          .localCheckpoint()
-        (c, c.count())
-      }
+    // jaccard 1.0 (same reasoning as Dedup.minhashNearDups). The
+    // signature tag is STORED with each posting (bandsFromShingled), so
+    // the filter rides inside pair generation — no re-read of the fat
+    // shingle store, no post-hoc signature join, no second checkpoint.
+    // Tag hash collisions only admit extra candidates, removed by the
+    // exact verification below.
+    //
+    // The capped pair set is materialized so the verify join is planned
+    // from its MEASURED size (broadcast only if it fits — see
+    // joinPairsToLookup); the checkpoint also pins the pair set before
+    // the append below mutates the index
+    val pairsRaw = cappedNewPairs(oldBands, newBands, maxBucket, acc,
+                                  matchTag = threshold >= 1.0)
+      .localCheckpoint()
+    val nPairRows = pairsRaw.count()
     // shingle lookup: old store + this round's slice (ids are globally
     // unique across rounds — enforced by the caller's round partition),
     // PRUNED to ids that appear in a surviving pair: fat shingle arrays
     // of untouched index rows are dropped right after the scan instead
     // of riding the verify join's exchange
-    val pairIds = broadcastPairIds(cand, nCand)
+    val shingleAll = oldShingles.select(col("id"), col("sh"))
+      .unionByName(newShingled)
+    val pairIds = broadcastPairIds(pairsRaw, nPairRows)
     val lookup = shingleAll.join(pairIds, Seq("id"), "left_semi")
-    val pairs = joinPairsToLookup(spark, cand, nCand, lookup)
+    val pairs = joinPairsToLookup(spark, pairsRaw, nPairRows, lookup)
       .withColumnRenamed("payload_a", "sh_a")
       .withColumnRenamed("payload_b", "sh_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))

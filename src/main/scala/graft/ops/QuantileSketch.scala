@@ -73,6 +73,12 @@ object QuantileSketch {
   def histSketch(df: DataFrame, groupCol: String, valueCol: String,
                  subBits: Int = 4): DataFrame = {
     checkSubBits(subBits)
+    // a group column named like the scratch/output columns would make
+    // the internal references ambiguous (duplicate names after the
+    // select) — fail with the reason instead of an analysis error
+    require(!Set("__v", "bucket", "cnt").contains(groupCol),
+            s"histSketch: groupCol '$groupCol' collides with the " +
+              "reserved __v/bucket/cnt column names — rename it first")
     df.select(col(groupCol), col(valueCol).cast("long").as("__v"))
       .filter(col("__v").isNotNull && col("__v") > 0)
       .select(col(groupCol), bucketId("__v", subBits).as("bucket"))

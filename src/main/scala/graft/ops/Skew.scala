@@ -22,6 +22,13 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int): DataFrame = {
     require(salts > 0)
+    // scratch-column guard (same class as TemporalJoin's): withColumn
+    // would silently overwrite an input column named __salt and the
+    // join would drop it corrupted — fail loud instead
+    val saltClash = (big.columns ++ small.columns).filter(_ == "__salt")
+    require(saltClash.isEmpty,
+            "saltedJoin: an input column is named __salt, colliding with " +
+              "the reserved salt scratch column — rename it before joining")
     val bigS = big.withColumn(
       "__salt",
       pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts.toLong)))
@@ -49,6 +56,11 @@ object Skew {
     import org.apache.spark.sql.expressions.Window
     require(groupCols.nonEmpty, "pass at least one grouping column")
     require(orderCols.nonEmpty, "pass a total ordering (include a tiebreak)")
+    val reservedClash = df.columns.filter(Set("__salt", "__r").contains)
+    require(reservedClash.isEmpty,
+            s"topKByGroups: input columns ${reservedClash.mkString(", ")} " +
+              "collide with reserved scratch names __salt/__r — rename " +
+              "them first")
     val salted = df.withColumn(
       "__salt",
       pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salts.toLong)))

@@ -141,6 +141,16 @@ object TemporalJoin {
                    intervals: DataFrame, startCol: String, endCol: String,
                    bucketSec: Long, maxSpanBuckets: Long = 10000L): DataFrame = {
     require(bucketSec > 0, s"bucketSec must be positive: $bucketSec")
+    // scratch-column guard (same class as the as-of join's): withColumn
+    // would silently overwrite like-named input columns and the final
+    // drop would remove the corrupted originals
+    val ivReserved = Set("__bucket", "__b0", "__b1", "__b1g")
+    val ivClash = (probe.columns.filter(_ == "__bucket") ++
+      intervals.columns.filter(ivReserved.contains)).distinct
+    require(ivClash.isEmpty,
+            s"intervalJoin: input columns ${ivClash.mkString(", ")} collide " +
+              "with reserved scratch names __bucket/__b0/__b1/__b1g — " +
+              "rename them before joining")
     // Non-instant inputs (TIMESTAMP_NTZ / date / string) reach micros
     // through a session-zone cast. In a DST-observing zone that cast is
     // not monotone across the spring-forward gap, so a probe inside a

@@ -744,6 +744,41 @@ class IncrementalLshSpec extends SparkSuite {
     assert(extra.count() == 0)
   }
 
+  test("incremental union equals batch at threshold 1.0 (stored-tag prefilter)") {
+    // exact-dup mode rides the signature tag STORED with each posting:
+    // sig-unequal candidates are suppressed at pair emission instead of
+    // via a post-hoc signature join over the shingle store. The output
+    // contract is unchanged — union across rounds == batch at 1.0.
+    val idx = tmpDir("inclsh-exact-")
+    val incr = (0 to 2).flatMap { r =>
+      IncrementalLsh.roundPairs(
+          spark, idx, corpus.filter(pmod(col("id"), lit(3)) === r),
+          "id", "text", shingleN = 3, numHashes = 32, rowsPerBand = 4,
+          threshold = 1.0)
+        .as[(Long, Long, Double)].collect()
+    }
+    val batch = Dedup.minhashNearDups(corpus, "id", "text", 3, 32, 4, 1.0)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(incr.size == incr.distinct.size, "duplicate pairs across rounds")
+    assert(incr.toSet == batch)
+    assert(batch.nonEmpty, "fixture lost its planted exact dups")
+  }
+
+  test("cappedNewPairs matchTag suppresses sig-unequal candidates at emission") {
+    // same bucket, tags differ -> no pair even though ids co-bucket;
+    // equal tags pair as before; untagged mode ignores the column
+    val old = Seq((0, 10L, 1L, 7L), (0, 10L, 2L, 8L))
+      .toDF("band", "bucket", "id", "tag")
+    val neu = Seq((0, 10L, 3L, 7L)).toDF("band", "bucket", "id", "tag")
+    val tagged = IncrementalLsh.cappedNewPairs(old, neu, cap = 16,
+                                               matchTag = true)
+      .as[(Long, Long)].collect().toSet
+    assert(tagged == Set((1L, 3L)))
+    val untagged = IncrementalLsh.cappedNewPairs(old, neu, cap = 16)
+      .as[(Long, Long)].collect().toSet
+    assert(untagged == Set((1L, 3L), (2L, 3L)))
+  }
+
   test("a round append that died half-way is invisible and retried cleanly") {
     val idx = tmpDir("inclsh-crash-")
     val r0 = IncrementalLsh.roundPairs(

@@ -111,4 +111,16 @@ class QuantileSketchSpec extends SparkSuite {
         QuantileSketch.histSketch(cents, "g", "x", S), "g", Seq(0), S)
     }
   }
+
+  test("a group column named like a reserved column fails loud") {
+    val renamed = cents.withColumnRenamed("g", "__v")
+    val e = intercept[IllegalArgumentException] {
+      QuantileSketch.histSketch(renamed, "__v", "x", S)
+    }
+    assert(e.getMessage.contains("__v"))
+    intercept[IllegalArgumentException] {
+      QuantileSketch.histSketch(cents.withColumnRenamed("g", "bucket"),
+                                "bucket", "x", S)
+    }
+  }
 }

@@ -38,6 +38,26 @@ class SkewSpec extends SparkSuite {
       .select("g", "id").as[(Long, Long)].collect().toSet
     assert(got == want)
   }
+
+  test("reserved scratch columns fail loud instead of corrupting output") {
+    val withSalt = spark.range(0, 10)
+      .select(col("id").as("k"), col("id").as("__salt"))
+    val small = spark.range(0, 10).select(col("id").as("k"))
+    val e1 = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(withSalt, small, "k", salts = 4)
+    }
+    assert(e1.getMessage.contains("__salt"))
+    val e2 = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(small, withSalt, "k", salts = 4)
+    }
+    assert(e2.getMessage.contains("__salt"))
+    val withR = spark.range(0, 10)
+      .select(col("id").as("g"), col("id").as("__r"))
+    val e3 = intercept[IllegalArgumentException] {
+      Skew.topKByGroup(withR, "g", Seq(col("__r")), 3)
+    }
+    assert(e3.getMessage.contains("__r"))
+  }
 }
 
 /** Golden end-to-end regression: a fixed-seed multi-round crawl must

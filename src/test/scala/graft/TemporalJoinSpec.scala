@@ -265,4 +265,21 @@ class TemporalJoinSpec extends SparkSuite {
       assert(!widePlan.contains("BroadcastNestedLoopJoin"), widePlan)
     } finally spark.conf.set(thresholdKey, saved)
   }
+
+  test("intervalJoin: reserved scratch columns fail loud") {
+    val probes = Seq((1L, ts("2024-01-01 00:00:30"))).toDF("pid", "pts")
+      .withColumn("__bucket", lit(0L))
+    val ivs = Seq((ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00")))
+      .toDF("s", "e")
+    val e1 = intercept[IllegalArgumentException] {
+      TemporalJoin.intervalJoin(probes, "pts", ivs, "s", "e", 1800L)
+    }
+    assert(e1.getMessage.contains("__bucket"))
+    val e2 = intercept[IllegalArgumentException] {
+      TemporalJoin.intervalJoin(probes.drop("__bucket"), "pts",
+                                ivs.withColumn("__b1", lit(0L)),
+                                "s", "e", 1800L)
+    }
+    assert(e2.getMessage.contains("__b1"))
+  }
 }
